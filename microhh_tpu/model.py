@@ -1,0 +1,323 @@
+"""Model orchestration: builds the jitted time step and runs the host loop.
+
+Reference: ``src/model.cxx``.  The whole RK3/RK4 iteration (all substeps,
+including ghost-cell fills, all physics tendencies, the Poisson solve and the
+low-storage RK update) is traced into ONE jitted device function `step(state,
+dt)`; dt is a traced scalar so adaptive stepping never recompiles.  Host code
+only does integer-time bookkeeping, the adaptive-dt reduction fetch, status
+output and restart I/O — mirroring the reference's main loop
+(``src/model.cxx:303-557``) with the device/host split redrawn for TPU.
+"""
+
+import os
+import time as _time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Ini
+from .grid import Grid
+from .fields import Fields
+from .timeloop import Timeloop, IFACTOR
+from . import ops
+from .ops.stencil import ip, jp, i2
+
+
+class Context:
+    """Static (non-traced) grid/metric constants closed over by the step."""
+
+    def __init__(self, grid, fields, dtype):
+        self.dtype = dtype
+        g = grid
+        self.ks, self.ke = g.kstart, g.kend
+        self.itot, self.jtot, self.ktot = g.itot, g.jtot, g.ktot
+        self.kcells = g.kcells
+        self.spatial_order = g.spatial_order
+        self.dx, self.dy = g.dx, g.dy
+        self.dxi, self.dyi = dtype(g.dxi), dtype(g.dyi)
+        self.zsize = g.zsize
+        self.utrans, self.vtrans = g.utrans, g.vtrans
+        for name in ("z", "zh", "dz", "dzh", "dzi", "dzhi"):
+            setattr(self, name, jnp.asarray(getattr(g, name), dtype=dtype))
+        for name in ("dzi4", "dzhi4"):
+            v = getattr(g, name, None)
+            setattr(self, name, None if v is None else jnp.asarray(v, dtype=dtype))
+        self.rhoref = jnp.asarray(fields.rhoref, dtype=dtype)
+        self.rhorefh = jnp.asarray(fields.rhorefh, dtype=dtype)
+        self.scalar_names = tuple(fields.sp.keys())
+        # numpy copies for host-side math
+        self.np_dz = grid.dz
+        self.np_z = grid.z
+
+    def refresh_basestate(self, fields):
+        self.rhoref = jnp.asarray(fields.rhoref, dtype=self.dtype)
+        self.rhorefh = jnp.asarray(fields.rhorefh, dtype=self.dtype)
+
+
+class Model:
+    def __init__(self, ini, sim_mode, casename="", workdir=".", dtype=None):
+        if isinstance(ini, str):
+            ini = Ini(ini)
+        self.ini = ini
+        self.sim_mode = sim_mode
+        self.casename = casename
+        self.workdir = workdir
+
+        if dtype is None:
+            dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
+        self.dtype = dtype
+
+        # Input NetCDF (profiles); optional for pure-vortex cases.
+        self.input_nc = None
+        nc_path = os.path.join(workdir, "%s_input.nc" % casename)
+        if os.path.exists(nc_path):
+            from .utils import nc
+            self.input_nc = nc.Dataset(nc_path, "r")
+
+        self.grid = Grid(ini)
+        if self.input_nc is not None and "z" in self.input_nc.variables:
+            self.grid.set_z(np.asarray(self.input_nc.variables["z"][:self.grid.ktot]))
+        else:
+            # Uniform grid fallback.
+            dz = self.grid.zsize / self.grid.ktot
+            self.grid.set_z(np.linspace(0.5 * dz, self.grid.zsize - 0.5 * dz, self.grid.ktot))
+
+        self.fields = Fields(ini, self.grid)
+        # Thermo registers its prognostic scalars before the BC table is built.
+        self.thermo = ops.make_thermo(ini, self.grid, self.fields)
+        self.boundary = ops.make_boundary(ini, self.fields, self.grid)
+        self.advec = ops.make_advec(ini, self.grid, self.fields)
+        self.diff = ops.make_diff(ini, self.grid, self.fields, self.boundary)
+        self.pres = ops.make_pres(ini, self.grid, self.fields, dtype)
+        self.force = self._make_force()
+        self.buffer = self._make_buffer()
+        self.limiter = self._make_limiter()
+        self.stats = None  # attached later by build_stats()
+
+        self.timeloop = Timeloop(ini, sim_mode)
+
+        self._step_fn = None
+        self._limits_fn = None
+        self._diag_fn = None
+        self._last_wallclock = _time.time()
+
+    def _make_force(self):
+        from .ops.force import make_force
+        return make_force(self.ini, self.grid, self.fields, self.input_nc)
+
+    def _make_buffer(self):
+        from .ops.buffer import make_buffer
+        return make_buffer(self.ini, self.grid, self.fields, self.input_nc)
+
+    def _make_limiter(self):
+        from .ops.limiter import Limiter
+        return Limiter(self.ini, self.fields)
+
+    # ------------------------------------------------------------------
+    def finish_setup(self):
+        """Base state + solver precomputation; call before init/run."""
+        self.thermo.create_basestate(self.input_nc)
+        self.ctx = Context(self.grid, self.fields, self.dtype)
+        self.pres.set_values()
+
+    # ------------------------------------------------------------------
+    #  init mode
+    # ------------------------------------------------------------------
+    def save_initial_state(self):
+        tl = self.timeloop
+        state = self.fields.create(self.input_nc, dtype=self.dtype)
+        self.grid.save(os.path.join(self.workdir, "grid.%07d" % 0))
+        self.fields.save(state, 0, self.workdir)
+        tl.save(0, self.workdir)
+        if hasattr(self.thermo, "save_basestate"):
+            self.thermo.save_basestate(0, self.workdir)
+        return state
+
+    # ------------------------------------------------------------------
+    #  step construction
+    # ------------------------------------------------------------------
+    def build_step(self):
+        ctx = self.ctx
+        tl = self.timeloop
+        cA, cB = tl.rk_ca, tl.rk_cb
+        nsub = tl.n_substeps
+        names = self.fields.prognostic_names
+
+        def substep(s, t, aux, dt, sub):
+            s = self.boundary.set_ghost_cells(ctx, s)
+            aux = self.diff.exec_viscosity(ctx, s, aux)
+            t = self.thermo.exec(ctx, s, t, aux)
+            s, aux = self.boundary.exec(ctx, s, aux)
+            if getattr(self.boundary, "is_surface", False):
+                s = self.boundary.set_ghost_cells(ctx, s)
+            t = self.advec.exec(ctx, s, t, aux)
+            t = self.diff.exec(ctx, s, t, aux)
+            subdt = cB[sub] * dt
+            aux = dict(aux)
+            aux["subdt"] = subdt
+            t = self.buffer(ctx, s, t, aux)
+            t = self.force(ctx, s, t, aux)
+            t, aux = self.pres.exec(ctx, s, t, aux, subdt)
+            t = self.limiter(ctx, s, t, aux, subdt)
+            # Low-storage RK update (timeloop.cxx:250-334).  Tendency ghost
+            # levels are always zero, so whole-array updates are safe.
+            s = {n: s[n] + (cB[sub] * dt) * t[n] for n in names}
+            can = cA[(sub + 1) % nsub]
+            t = {n: t[n] * ctx.dtype(can) for n in names}
+            return s, t, aux
+
+        def step(s, t, dt):
+            aux = {}
+            for sub in range(nsub):
+                s, t, aux = substep(s, t, aux, dt, sub)
+            return s, t, aux
+
+        def limits(s):
+            out = {}
+            cfl = self.advec.cfl_max(ctx, s)
+            if cfl is not None:
+                out["cfl_rate"] = cfl
+            s_g = self.boundary.set_ghost_cells(ctx, s)
+            aux = self.diff.exec_viscosity(ctx, s_g, {})
+            dn = self.diff.get_dn(ctx, s_g, aux)
+            if dn is not None:
+                out["dn_rate"] = dn
+            return out
+
+        def diagnostics(s):
+            ks, ke = ctx.ks, ctx.ke
+            u, v, w = s["u"], s["v"], s["w"]
+            dzc = ctx.dz[ks:ke][:, None, None]
+            norm = ctx.itot * ctx.jtot * ctx.zsize
+            mom = jnp.sum((i2(u, ip(u))[ks:ke] + i2(v, jp(v))[ks:ke]
+                           + i2(w[ks:ke], w[ks + 1:ke + 1])) * dzc) / norm
+            tke = 0.5 * jnp.sum((i2(u * u, ip(u) ** 2)[ks:ke]
+                                 + i2(v * v, jp(v) ** 2)[ks:ke]
+                                 + i2(w[ks:ke] ** 2, w[ks + 1:ke + 1] ** 2)) * dzc) / norm
+            out = {"div": self.pres.divergence_max(ctx, s), "mom": mom, "tke": tke}
+            if ctx.scalar_names:
+                first = ctx.scalar_names[0]
+                out["mass"] = jnp.sum(s[first][ks:ke] * dzc) / norm
+            else:
+                out["mass"] = jnp.zeros((), ctx.dtype)
+            return out
+
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+        self._limits_fn = jax.jit(limits)
+        self._diag_fn = jax.jit(diagnostics)
+
+    # ------------------------------------------------------------------
+    #  run mode
+    # ------------------------------------------------------------------
+    def load_state(self):
+        tl = self.timeloop
+        iotime = int(tl.istarttime // tl.iiotimeprec)
+        tl.load(iotime, self.workdir)
+        state_np = self.fields.load(iotime, self.workdir, dtype=self.dtype)
+        return state_np
+
+    def as_device_state(self, state_np):
+        s = {n: jnp.asarray(state_np[n], dtype=self.dtype) for n in self.fields.prognostic_names}
+        t = {n: jnp.zeros_like(s[n]) for n in self.fields.prognostic_names}
+        return s, t
+
+    def save_restart(self, s):
+        tl = self.timeloop
+        iotime = int(tl.iotime)
+        state_np = {n: np.asarray(s[n]) for n in self.fields.prognostic_names}
+        self.fields.save(state_np, iotime, self.workdir)
+        tl.save(iotime, self.workdir)
+
+    def _status_path(self):
+        return os.path.join(self.workdir, "%s.out" % (self.casename or "run"))
+
+    def print_status(self, s, cfl, dn, status_file):
+        tl = self.timeloop
+        d = {k: float(v) for k, v in self._diag_fn(s).items()}
+        now = _time.time()
+        cpudt = now - self._last_wallclock
+        self._last_wallclock = now
+        line = ("%8d %11.3E %10.4f %11.3E %8.4f %8.4f %11.3E %16.8E %16.8E %16.8E\n"
+                % (tl.iteration, tl.time, cpudt, tl.dt, cfl, dn,
+                   d["div"], d["mom"], d["tke"], d["mass"]))
+        status_file.write(line)
+        status_file.flush()
+        if not np.isfinite(cfl):
+            raise RuntimeError("Simulation has non-finite numbers")
+        return d
+
+    def run(self, max_iters=None):
+        tl = self.timeloop
+        state_np = self.load_state()
+        s, t = self.as_device_state(state_np)
+        self.build_step()
+
+        cflmax = getattr(self.advec, "cflmax", 1.0)
+        cflmin = getattr(self.advec, "cflmin", 1.e-5)
+        dnmax = getattr(self.diff, "dnmax", None)
+
+        status_file = open(self._status_path(), "a")
+        status_file.write("%8s %11s %10s %11s %8s %8s %11s %16s %16s %16s\n"
+                          % ("ITER", "TIME", "CPUDT", "DT", "CFL", "DNUM",
+                             "DIV", "MOM", "TKE", "MASS"))
+        niter = 0
+        while True:
+            # Adaptive time step (model.cxx:730-751).
+            tl.reset_time_step_limit()
+            lim = {k: float(v) for k, v in self._limits_fn(s).items()}
+            cfl = lim.get("cfl_rate", 0.) * tl.dt
+            dn = lim.get("dn_rate", 0.) * tl.dt
+            if "cfl_rate" in lim:
+                cfl_eff = max(cfl, cflmin)
+                tl.set_time_step_limit(tl.idt * cflmax / cfl_eff)
+            if dnmax is not None and dn > 0.:
+                tl.set_time_step_limit(tl.idt * dnmax / dn)
+            tl.set_time_step()
+
+            if tl.do_check():
+                self.print_status(s, cfl, dn, status_file)
+
+            if self.stats is not None and tl.is_stats_step():
+                self.stats.maybe_exec(self, s, t)
+
+            if tl.is_finished():
+                break
+
+            dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
+            s, t, _aux = self._step_fn(s, t, dt_dev)
+            tl.step_time()
+
+            if tl.do_save():
+                self.save_restart(s)
+
+            niter += 1
+            if max_iters is not None and niter >= max_iters:
+                break
+
+        status_file.close()
+        return s, t
+
+
+def run_case(case_dir, casename, mode, dtype=None):
+    """CLI entry: microhh {init,run} casename (reference main/microhh.cxx)."""
+    ini = Ini(os.path.join(case_dir, "%s.ini" % casename))
+    model = Model(ini, mode, casename, workdir=case_dir, dtype=dtype)
+    model.finish_setup()
+    if mode == "init":
+        model.save_initial_state()
+    elif mode == "run":
+        if model.ini.get_int("stats", "swstats", default=0) or model.ini.has_item("stats", "sampletime"):
+            try:
+                from .stats import Stats
+                model.stats = Stats(model)
+            except Exception:
+                model.stats = None
+        model.run()
+    else:
+        raise ValueError("unknown mode %s" % mode)
+    unused = model.ini.unused_items()
+    if unused:
+        print("WARNING unused ini options:", ", ".join(
+            "[%s] %s%s" % (s, i, "[%s]" % su if su else "") for s, i, su in unused))
+    return model

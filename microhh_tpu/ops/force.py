@@ -1,0 +1,146 @@
+"""Large-scale forcings (reference ``src/force.cxx``).
+
+Implemented: swlspres in {0/disabled, uflux, dpdx, geo(+coriolis)}, large-scale
+source terms (swls + lslist), subsidence (swwls=mean/local), nudging (swnudge).
+Profiles come from the input NetCDF ``init`` group; time dependence is a later
+milestone.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .stencil import i2, im, ip, jm, jp
+
+
+def _prof(input_nc, name, ktot):
+    init = input_nc.groups["init"]
+    return np.asarray(init.variables[name][:ktot], dtype=np.float64)
+
+
+class Force:
+    def __init__(self, ini, grid, fields, input_nc):
+        self.grid = grid
+        self.swlspres = ini.get_str("force", "swlspres", default="0")
+        if self.swlspres in ("0", "false"):
+            self.swlspres = "0"
+        self.swls = ini.get_str("force", "swls", default="0")
+        self.swwls = ini.get_str("force", "swwls", default="0")
+        self.swnudge = ini.get_str("force", "swnudge", default="0")
+
+        ks, ke, kt = grid.kstart, grid.kend, grid.ktot
+
+        if self.swlspres == "uflux":
+            self.uflux = ini.get_float("force", "uflux")
+        elif self.swlspres == "dpdx":
+            self.dpdx = ini.get_float("force", "dpdx")
+        elif self.swlspres == "geo":
+            self.fc = ini.get_float("force", "fc")
+            ug = _prof(input_nc, "u_geo", kt)
+            vg = _prof(input_nc, "v_geo", kt)
+            self.ug = ug[:, None, None]
+            self.vg = vg[:, None, None]
+        elif self.swlspres != "0":
+            raise ValueError("%s is an illegal value for swlspres" % self.swlspres)
+
+        if self.swls == "1":
+            self.lslist = ini.get_list(str, "force", "lslist", default=[])
+            self.ls_profs = {n: _prof(input_nc, n + "_ls", kt)[:, None, None]
+                             for n in self.lslist}
+        if self.swwls == "1":
+            self.swwls = "mean"  # legacy alias
+        if self.swwls in ("mean", "local"):
+            self.swwls_mom = ini.get_bool("force", "swwls_mom", default=False)
+            self.wls = _prof(input_nc, "w_ls", kt)
+        elif self.swwls != "0":
+            raise ValueError("%s is an illegal value for swwls" % self.swwls)
+
+        if self.swnudge == "1":
+            self.nudgelist = ini.get_list(str, "force", "nudgelist", default=[])
+            self.scalednudgelist = ini.get_list(str, "force", "scalednudgelist", default=[])
+            self.nudge_fac = _prof(input_nc, "nudgefac", kt)[:, None, None]
+            self.nudge_profs = {n: _prof(input_nc, n + "_nudge", kt)[:, None, None]
+                                for n in self.nudgelist}
+
+    def __call__(self, ctx, s, t, aux):
+        ks, ke = ctx.ks, ctx.ke
+        t = dict(t)
+
+        if self.swlspres == "uflux":
+            # Fix the domain-mean u flux (force.cxx flux kernels): uniform
+            # correction so that mean(u + dt*ut) == uflux.  The reference
+            # computes it with the current tendencies; dt enters via aux.
+            dzc = ctx.dz[ks:ke][:, None, None]
+            um = jnp.sum(s["u"][ks:ke] * dzc) / (ctx.itot * ctx.jtot * ctx.zsize)
+            utm = jnp.sum(t["u"][ks:ke] * dzc) / (ctx.itot * ctx.jtot * ctx.zsize)
+            subdt = aux["subdt"]
+            fbody = (self.uflux - um - ctx.utrans) / subdt - utm
+            t["u"] = t["u"].at[ks:ke].add(fbody)
+        elif self.swlspres == "dpdx":
+            t["u"] = t["u"].at[ks:ke].add(-self.dpdx)
+        elif self.swlspres == "geo":
+            fc = ctx.dtype(self.fc)
+            ug = jnp.asarray(self.ug, dtype=ctx.dtype)
+            vg = jnp.asarray(self.vg, dtype=ctx.dtype)
+            u, v = s["u"], s["v"]
+            if ctx.spatial_order == 2:
+                # coriolis_2nd (force.cxx:78-140)
+                v_at_u = 0.25 * (v + ip(v) + jm(v) + jm(ip(v)))[ks:ke]
+                u_at_v = 0.25 * (u + im(u) + jp(u) + im(jp(u)))[ks:ke]
+                t["u"] = t["u"].at[ks:ke].add(fc * (v_at_u + ctx.vtrans - vg))
+                t["v"] = t["v"].at[ks:ke].add(-fc * (u_at_v + ctx.utrans - ug))
+            else:
+                from .. import fd
+                ci0, ci1, ci2, ci3 = fd.ci0, fd.ci1, fd.ci2, fd.ci3
+                vi = lambda a: (ci0 * im(a, 2) + ci1 * im(a, 1) + ci2 * a + ci3 * ip(a, 1))
+                v_at_u = (ci0 * vi(jm(v, 1)) + ci1 * vi(v) + ci2 * vi(jp(v, 1)) + ci3 * vi(jp(v, 2)))[ks:ke]
+                ui = lambda a: (ci0 * jm(a, 2) + ci1 * jm(a, 1) + ci2 * a + ci3 * jp(a, 1))
+                u_at_v = (ci0 * ui(im(u, 1)) + ci1 * ui(u) + ci2 * ui(ip(u, 1)) + ci3 * ui(ip(u, 2)))[ks:ke]
+                t["u"] = t["u"].at[ks:ke].add(fc * (v_at_u + ctx.vtrans - vg))
+                t["v"] = t["v"].at[ks:ke].add(-fc * (u_at_v + ctx.utrans - ug))
+
+        if self.swls == "1":
+            for name in self.lslist:
+                t[name] = t[name].at[ks:ke].add(jnp.asarray(self.ls_profs[name], dtype=ctx.dtype))
+
+        if self.swwls in ("mean", "local"):
+            wls = jnp.asarray(self.wls[:, None, None], dtype=ctx.dtype)
+            names = list(ctx.scalar_names)
+            if getattr(self, "swwls_mom", False):
+                names += ["u", "v"]
+            dzhi = ctx.dzhi
+            for name in names:
+                a = s[name]
+                if self.swwls == "mean":
+                    # advec_wls_2nd on the mean profile (force.cxx:324-335)
+                    amean = jnp.mean(a, axis=(1, 2), keepdims=True)
+                else:
+                    amean = a
+                # upwind-ish 2nd order: wls>0 uses lower difference
+                ddz_dn = (amean[ks:ke] - amean[ks - 1:ke - 1]) * dzhi[ks:ke][:, None, None]
+                ddz_up = (amean[ks + 1:ke + 1] - amean[ks:ke]) * dzhi[ks + 1:ke + 1][:, None, None]
+                tend = jnp.where(wls > 0., -wls * ddz_dn, -wls * ddz_up)
+                t[name] = t[name].at[ks:ke].add(tend)
+
+        if self.swnudge == "1":
+            fac = jnp.asarray(self.nudge_fac, dtype=ctx.dtype)
+            for name in self.nudgelist:
+                prof = jnp.asarray(self.nudge_profs[name], dtype=ctx.dtype)
+                amean = jnp.mean(s[name][ks:ke], axis=(1, 2), keepdims=True)
+                t[name] = t[name].at[ks:ke].add(-fac * (amean - prof))
+
+        return t
+
+
+class _NoForce:
+    def __call__(self, ctx, s, t, aux):
+        return t
+
+
+def make_force(ini, grid, fields, input_nc):
+    swlspres = ini.get_str("force", "swlspres", default="0")
+    swls = ini.get_str("force", "swls", default="0")
+    swwls = ini.get_str("force", "swwls", default="0")
+    swnudge = ini.get_str("force", "swnudge", default="0")
+    if swlspres in ("0", "false") and swls == "0" and swwls == "0" and swnudge == "0":
+        return _NoForce()
+    return Force(ini, grid, fields, input_nc)

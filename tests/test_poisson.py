@@ -1,0 +1,113 @@
+"""Pressure solver correctness: after the projection, the updated velocity
+field must be divergence-free to machine precision (reference guarantees
+DIV ~ 1e-12 in double precision; see check_divergence, pres_2.cxx:389-423)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from microhh_tpu.config import Ini
+from microhh_tpu.model import Model
+
+
+INI = """
+[grid]
+itot=16
+jtot=12
+ktot=10
+xsize=1.
+ysize=1.
+zsize=0.5
+swspatialorder=2
+
+[advec]
+swadvec=0
+
+[diff]
+swdiff=0
+
+[fields]
+visc=0.001
+
+[boundary]
+mbcbot=freeslip
+mbctop=freeslip
+
+[time]
+starttime=0
+endtime=1.
+savetime=1.
+dt=0.01
+"""
+
+
+def make_model():
+    m = Model(Ini(INI), "run", "testcase")
+    m.finish_setup()
+    return m
+
+
+def test_projection_divergence_free():
+    m = make_model()
+    g = m.grid
+    rng = np.random.RandomState(1)
+    s = {}
+    for name in ("u", "v", "w"):
+        a = np.zeros((g.kcells, g.jtot, g.itot))
+        a[g.kstart:g.kend] = rng.randn(g.ktot, g.jtot, g.itot)
+        s[name] = a
+    # no-penetration walls
+    s["w"][g.kstart] = 0.
+    s["w"][g.kend] = 0.
+    s = {k: jnp.asarray(v) for k, v in s.items()}
+    t = {k: jnp.zeros_like(v) for k, v in s.items()}
+
+    ctx = m.ctx
+    subdt = 0.01
+    t2, aux = m.pres.exec(ctx, s, t, {}, subdt)
+    s_new = {n: s[n] + subdt * t2[n] for n in s}
+
+    div = float(m.pres.divergence_max(ctx, s_new))
+    assert div < 1e-11, div
+
+
+def test_mean_pressure_mode_bounded():
+    """The kx=ky=0 mode must stay bounded (p_top=0 BC, pres_2.cxx:317-323)."""
+    m = make_model()
+    g = m.grid
+    rhs = jnp.asarray(np.random.RandomState(2).randn(g.ktot, g.jtot, g.itot))
+    p = m.pres.solve(m.ctx, rhs)
+    assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_poisson_operator_inverse():
+    """solve() must invert the discrete Laplacian: applying the 2nd-order
+    Laplacian with Neumann-bottom/Neumann-top (mean-mode pinned) to the
+    solution reproduces the RHS."""
+    m = make_model()
+    g, ctx = m.grid, m.ctx
+    ks, ke = g.kstart, g.kend
+    rng = np.random.RandomState(3)
+    rhs = rng.randn(g.ktot, g.jtot, g.itot)
+    rhs -= rhs.mean()  # solvable RHS
+
+    p_int = np.asarray(m.pres.solve(ctx, jnp.asarray(rhs)))
+
+    # Build ghosted p: dp/dz = 0 at both walls for every mode except the mean
+    # mode top (p ghost = -p interior, giving p=0 at the wall).
+    p = np.zeros((g.kcells, g.jtot, g.itot))
+    p[ks:ke] = p_int
+    p[ks - 1] = p[ks]
+    p[ke] = p[ke - 1]
+    pmean = p_int.mean(axis=(1, 2))
+    p[ke] -= 2 * pmean[-1] / 1.0  # top BC for the mean mode: p_top = 0
+
+    dxidxi = g.dxi ** 2
+    dyidyi = g.dyi ** 2
+    lap = np.zeros_like(rhs)
+    for k in range(ks, ke):
+        kk = k - ks
+        lap[kk] = ((np.roll(p[k], -1, -1) - 2 * p[k] + np.roll(p[k], 1, -1)) * dxidxi
+                   + (np.roll(p[k], -1, -2) - 2 * p[k] + np.roll(p[k], 1, -2)) * dyidyi
+                   + ((p[k + 1] - p[k]) * g.dzhi[k + 1]
+                      - (p[k] - p[k - 1]) * g.dzhi[k]) * g.dzi[k])
+    assert np.allclose(lap, rhs, atol=1e-9), np.abs(lap - rhs).max()

@@ -1,0 +1,122 @@
+"""Taylor-Green vortex: analytic-decay convergence test (reference
+``cases/taylorgreen/taylorgreen_test.py``).  The 2nd-order scheme must show
+~2nd-order convergence of u and w against the analytic solution."""
+
+import numpy as np
+import pytest
+
+from microhh_tpu.config import Ini
+from microhh_tpu.model import Model
+
+VISC = 1. / (8. * np.pi ** 2 * 100.)
+
+INI_TMPL = """
+[grid]
+itot=%(itot)d
+jtot=1
+ktot=%(ktot)d
+xsize=1.
+ysize=1.
+zsize=0.5
+swspatialorder=2
+
+[force]
+swlspres=0
+
+[thermo]
+swthermo=0
+
+[fields]
+visc=%(visc).17g
+rndamp=0.
+vortexnpair=1
+vortexamp=1.
+vortexaxis=y
+
+[boundary]
+mbcbot=freeslip
+mbctop=freeslip
+
+[time]
+starttime=0
+adaptivestep=true
+dt=0.0025
+dtmax=0.01
+endtime=1.
+savetime=1.
+outputiter=10
+rkorder=3
+
+[advec]
+cflmax=0.5
+
+[diff]
+dnmax=0.2
+"""
+
+
+def run_tg(tmp_path, itot, ktot):
+    case_dir = tmp_path / ("tg%d" % itot)
+    case_dir.mkdir()
+    ini_text = INI_TMPL % {"itot": itot, "ktot": ktot, "visc": VISC}
+    (case_dir / "taylorgreen.ini").write_text(ini_text)
+
+    wd = str(case_dir)
+    m = Model(Ini(ini_text), "init", "taylorgreen", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+
+    m = Model(Ini(ini_text), "run", "taylorgreen", workdir=wd)
+    m.finish_setup()
+    s, _t = m.run()
+    return m, s
+
+
+def error_uw(m, s):
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    time = 1.0
+    decay = np.exp(-8. * np.pi ** 2 * VISC * time)
+    xh = g.xh
+    x = g.x
+    z = g.z[ks:ke]
+    zh = g.zh[ks:ke]
+    u_ref = np.sin(2 * np.pi * xh)[None, :] * np.cos(2 * np.pi * z)[:, None] * decay
+    w_ref = -np.cos(2 * np.pi * x)[None, :] * np.sin(2 * np.pi * zh)[:, None] * decay
+    u = np.asarray(s["u"])[ks:ke, 0, :]
+    w = np.asarray(s["w"])[ks:ke, 0, :]
+    dx = 1. / g.itot
+    dz = 0.5 / g.ktot
+    err_u = np.sum(dx * dz * np.abs(u - u_ref))
+    err_w = np.sum(dx * dz * np.abs(w - w_ref))
+    return err_u, err_w
+
+
+@pytest.mark.slow
+def test_taylorgreen_convergence(tmp_path):
+    errs = {}
+    for itot, ktot in ((16, 8), (32, 16), (64, 32)):
+        m, s = run_tg(tmp_path, itot, ktot)
+        errs[itot] = error_uw(m, s)
+
+    # absolute accuracy at the finest resolution
+    assert errs[64][0] < 5e-4
+    assert errs[64][1] < 5e-4
+
+    # convergence order over the resolution ladder
+    order_u = np.log(errs[16][0] / errs[64][0]) / np.log(4.)
+    order_w = np.log(errs[16][1] / errs[64][1]) / np.log(4.)
+    assert order_u > 1.7, order_u
+    assert order_w > 1.7, order_w
+
+
+def test_taylorgreen_single_step_stability(tmp_path):
+    """One coarse run: finite fields, small divergence, status file written."""
+    m, s = run_tg(tmp_path, 16, 8)
+    assert np.all(np.isfinite(np.asarray(s["u"])))
+    div = float(m.pres.divergence_max(m.ctx, s))
+    assert div < 1e-10
+    out = (tmp_path / "tg16" / "taylorgreen.out").read_text()
+    assert "ITER" in out
+    # restart file written at savetime
+    assert (tmp_path / "tg16" / "u.0000001").exists()
