@@ -89,6 +89,11 @@ class Model:
         self.boundary = ops.make_boundary(ini, self.fields, self.grid)
         self.advec = ops.make_advec(ini, self.grid, self.fields)
         self.diff = ops.make_diff(ini, self.grid, self.fields, self.boundary)
+        # Cross-wiring (the reference passes Thermo& into these at exec time).
+        if hasattr(self.diff, "thermo"):
+            self.diff.thermo = self.thermo
+        if hasattr(self.boundary, "thermo"):
+            self.boundary.thermo = self.thermo
         self.pres = ops.make_pres(ini, self.grid, self.fields, dtype)
         self.force = self._make_force()
         self.buffer = self._make_buffer()
@@ -144,15 +149,17 @@ class Model:
         nsub = tl.n_substeps
         names = self.fields.prognostic_names
 
-        def substep(s, t, aux, dt, sub):
-            s = self.boundary.set_ghost_cells(ctx, s)
-            aux = self.diff.exec_viscosity(ctx, s, aux)
+        is_surface = getattr(self.boundary, "is_surface", False)
+
+        def substep(s, t, sfc, aux, dt, sub):
+            s = self.boundary.set_ghost_cells(ctx, s, sfc)
+            aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
             t = self.thermo.exec(ctx, s, t, aux)
-            s, aux = self.boundary.exec(ctx, s, aux)
-            if getattr(self.boundary, "is_surface", False):
-                s = self.boundary.set_ghost_cells(ctx, s)
+            sfc = self.boundary.exec(ctx, s, sfc, aux)
+            if is_surface:
+                s = self.boundary.set_ghost_cells(ctx, s, sfc)
             t = self.advec.exec(ctx, s, t, aux)
-            t = self.diff.exec(ctx, s, t, aux)
+            t = self.diff.exec(ctx, s, t, aux, sfc)
             subdt = cB[sub] * dt
             aux = dict(aux)
             aux["subdt"] = subdt
@@ -165,21 +172,21 @@ class Model:
             s = {n: s[n] + (cB[sub] * dt) * t[n] for n in names}
             can = cA[(sub + 1) % nsub]
             t = {n: t[n] * ctx.dtype(can) for n in names}
-            return s, t, aux
+            return s, t, sfc, aux
 
-        def step(s, t, dt):
+        def step(s, t, sfc, dt):
             aux = {}
             for sub in range(nsub):
-                s, t, aux = substep(s, t, aux, dt, sub)
-            return s, t, aux
+                s, t, sfc, aux = substep(s, t, sfc, aux, dt, sub)
+            return s, t, sfc, aux
 
-        def limits(s):
+        def limits(s, sfc):
             out = {}
             cfl = self.advec.cfl_max(ctx, s)
             if cfl is not None:
                 out["cfl_rate"] = cfl
-            s_g = self.boundary.set_ghost_cells(ctx, s)
-            aux = self.diff.exec_viscosity(ctx, s_g, {})
+            s_g = self.boundary.set_ghost_cells(ctx, s, sfc)
+            aux = self.diff.exec_viscosity(ctx, s_g, sfc, {})
             dn = self.diff.get_dn(ctx, s_g, aux)
             if dn is not None:
                 out["dn_rate"] = dn
@@ -203,7 +210,7 @@ class Model:
                 out["mass"] = jnp.zeros((), ctx.dtype)
             return out
 
-        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1, 2))
         self._limits_fn = jax.jit(limits)
         self._diag_fn = jax.jit(diagnostics)
 
@@ -220,7 +227,12 @@ class Model:
     def as_device_state(self, state_np):
         s = {n: jnp.asarray(state_np[n], dtype=self.dtype) for n in self.fields.prognostic_names}
         t = {n: jnp.zeros_like(s[n]) for n in self.fields.prognostic_names}
-        return s, t
+        if getattr(self.boundary, "is_surface", False):
+            sfc_np = self.boundary.init_surface_state(dtype=self.dtype)
+            sfc = {k: jnp.asarray(v, dtype=self.dtype) for k, v in sfc_np.items()}
+        else:
+            sfc = {}
+        return s, t, sfc
 
     def save_restart(self, s):
         tl = self.timeloop
@@ -250,7 +262,7 @@ class Model:
     def run(self, max_iters=None):
         tl = self.timeloop
         state_np = self.load_state()
-        s, t = self.as_device_state(state_np)
+        s, t, sfc = self.as_device_state(state_np)
         self.build_step()
 
         cflmax = getattr(self.advec, "cflmax", 1.0)
@@ -265,7 +277,7 @@ class Model:
         while True:
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit()
-            lim = {k: float(v) for k, v in self._limits_fn(s).items()}
+            lim = {k: float(v) for k, v in self._limits_fn(s, sfc).items()}
             cfl = lim.get("cfl_rate", 0.) * tl.dt
             dn = lim.get("dn_rate", 0.) * tl.dt
             if "cfl_rate" in lim:
@@ -285,7 +297,7 @@ class Model:
                 break
 
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
-            s, t, _aux = self._step_fn(s, t, dt_dev)
+            s, t, sfc, _aux = self._step_fn(s, t, sfc, dt_dev)
             tl.step_time()
 
             if tl.do_save():
@@ -296,6 +308,7 @@ class Model:
                 break
 
         status_file.close()
+        self.final_sfc = sfc
         return s, t
 
 

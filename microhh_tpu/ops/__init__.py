@@ -10,7 +10,7 @@ class DisabledOp:
     def exec(self, ctx, s, t, aux, *a, **k):
         return t
 
-    def exec_viscosity(self, ctx, s, aux):
+    def exec_viscosity(self, ctx, s, sfc, aux):
         return aux
 
     def cfl_max(self, ctx, s):

@@ -143,7 +143,7 @@ class DefaultBoundary:
             self.viscs[name] = f.visc
         self.offsets = {"u": grid.utrans, "v": grid.vtrans}
 
-    def set_ghost_cells(self, ctx, s):
+    def set_ghost_cells(self, ctx, s, sfc=None):
         out = dict(s)
         for name, bc in self.bcs.items():
             out[name] = set_ghost_cells_field(
@@ -151,6 +151,6 @@ class DefaultBoundary:
         out["w"] = set_ghost_cells_w(ctx, s["w"], conservation=False)
         return out
 
-    def exec(self, ctx, s, aux):
+    def exec(self, ctx, s, sfc, aux):
         """Surface-model hook (MOST etc.); default scheme does nothing."""
-        return s, aux
+        return sfc

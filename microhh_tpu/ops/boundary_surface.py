@@ -1,0 +1,236 @@
+"""Monin-Obukhov (MOST) surface boundary (reference ``src/boundary_surface.cxx``).
+
+TPU-first re-design notes:
+
+* All surface planes (ustar, obuk, fluxes, gradients) live in the carried
+  ``sfc`` dict of 2-D (jtot, itot) arrays and are updated functionally each
+  substep, mirroring the reference's ``Boundary_surface::exec``
+  (boundary_surface.cxx:830-975).
+* The Obukhov length comes from the reference's z/L lookup table, evaluated
+  with one vectorized ``searchsorted`` over the whole surface plane (see
+  most.py) instead of a per-point warm-started linear search or Newton loop —
+  branch-free, no data-dependent iteration under jit.
+* Only constant z0 is currently supported (``swconstantz0=true``, the
+  default); heterogeneous z0/Charnock is a later milestone.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as cst
+from . import most
+from .boundary import (BC, make_bcs, set_ghost_cells_field, set_ghost_cells_w,
+                       DIRICHLET, NEUMANN, FLUX, USTAR)
+from .stencil import im, ip, jm, jp, i2
+
+
+class BoundarySurface:
+    is_surface = True
+
+    def __init__(self, ini, fields, grid):
+        self.grid = grid
+        self.fields = fields
+        self.bcs = make_bcs(ini, fields)
+        self.viscs = {"u": fields.visc, "v": fields.visc}
+        for name, f in fields.sp.items():
+            self.viscs[name] = f.visc
+        self.offsets = {"u": grid.utrans, "v": grid.vtrans}
+
+        self.sw_constant_z0 = ini.get_bool("boundary", "swconstantz0", default=True)
+        if not self.sw_constant_z0:
+            raise NotImplementedError("swconstantz0=false not yet supported")
+        self.z0m = ini.get_float("boundary", "z0m")
+        self.z0h = ini.get_float("boundary", "z0h")
+
+        mbcbot = self.bcs["u"].bcbot
+        if mbcbot == NEUMANN:
+            raise ValueError("Neumann bc is not supported in surface model")
+        self.mbcbot = mbcbot
+        if mbcbot == USTAR:
+            self.ustarin = ini.get_float("boundary", "ustar")
+        for name in fields.sp:
+            if self.bcs[name].bcbot == NEUMANN:
+                raise ValueError("Fixed gradient bc is not supported in surface model")
+            if self.bcs[name].bcbot == DIRICHLET and mbcbot == USTAR:
+                raise ValueError("Fixed ustar + Dirichlet scalar bc not supported")
+
+        self.thermo = None  # set by Model after construction
+        self._lut = None
+
+    def _thermobc(self):
+        if self.thermo is None or not getattr(self.thermo, "scalars", ()):
+            return FLUX
+        return self.bcs[self.thermo.scalars[0]].bcbot
+
+    def _get_lut(self):
+        if self._lut is None:
+            zsl = self.grid.z[self.grid.kstart]
+            thermobc = self._thermobc()
+            zL, f = most.prepare_lut(self.z0m, self.z0h, zsl,
+                                     mbcbot_dirichlet=(self.mbcbot == DIRICHLET),
+                                     thermobc_flux=(thermobc == FLUX))
+            self._lut = (jnp.asarray(zL), jnp.asarray(f))
+        return self._lut
+
+    # ------------------------------------------------------------------
+    def init_surface_state(self, dtype=np.float64):
+        """Initial sfc dict (reference init_surface: obuk=-dbig etc.)."""
+        g = self.grid
+        shape = (g.jtot, g.itot)
+        z = lambda: np.zeros(shape, dtype=dtype)
+        sfc = {"ustar": np.full(shape, 0.1, dtype=dtype),
+               "obuk": np.full(shape, -cst.dbig, dtype=dtype),
+               "dudz_mo": z(), "dvdz_mo": z(), "dbdz_mo": z()}
+        if self.mbcbot == USTAR:
+            sfc["ustar"][:] = self.ustarin
+        for name in ("u", "v"):
+            bc = self.bcs[name]
+            sfc[name + "_bot"] = np.full(shape, bc.bot - self.offsets[name], dtype=dtype)
+            sfc[name + "_fluxbot"] = z()
+            sfc[name + "_gradbot"] = z()
+        for name in self.fields.sp:
+            bc = self.bcs[name]
+            sfc[name + "_bot"] = z()
+            sfc[name + "_fluxbot"] = z()
+            sfc[name + "_gradbot"] = z()
+            if bc.bcbot == DIRICHLET:
+                sfc[name + "_bot"][:] = bc.bot
+            elif bc.bcbot == FLUX:
+                sfc[name + "_fluxbot"][:] = bc.bot
+        return sfc
+
+    # ------------------------------------------------------------------
+    def _calc_dutot(self, ctx, s, sfc):
+        """Filtered wind-speed difference (boundary_surface_kernels.h:136-183)."""
+        ks = ctx.ks
+        u = s["u"][ks]
+        v = s["v"][ks]
+
+        def filt_u(a):
+            row = 0.5 * im(a) + a + ip(a) + 0.5 * ip(a, 2)
+            return (jm(row) + row + jp(row)) / 9.
+
+        def filt_v(a):
+            col = 0.5 * jm(a) + a + jp(a) + 0.5 * jp(a, 2)
+            return (im(col) + col + ip(col)) / 9.
+
+        ubot, vbot = sfc["u_bot"], sfc["v_bot"]
+        du = filt_u(u) - 0.5 * (ubot + ip(ubot))
+        dv = filt_v(v) - 0.5 * (vbot + jp(vbot))
+        return jnp.maximum(jnp.sqrt(du * du + dv * dv), 0.1)
+
+    def exec(self, ctx, s, sfc, aux):
+        """Stability + surface fluxes/gradients; returns the new sfc."""
+        g = self.grid
+        ks = ctx.ks
+        zsl = float(g.z[ks])
+        sfc = dict(sfc)
+
+        dutot = self._calc_dutot(ctx, s, sfc)
+
+        thermo_on = self.thermo is not None and getattr(self.thermo, "scalars", ())
+        if not thermo_on:
+            # stability_neutral (boundary_surface.cxx:141-186)
+            obuk = jnp.full_like(dutot, -cst.dbig)
+            if self.mbcbot == USTAR:
+                ustar = sfc["ustar"]
+            else:
+                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+        else:
+            bfluxbot = self.thermo.get_buoyancy_fluxbot(ctx, s, sfc)
+            thermobc = self._thermobc()
+            if self.mbcbot == USTAR and thermobc == FLUX:
+                ustar = sfc["ustar"]
+                obuk = -(ustar ** 3) / (cst.kappa * bfluxbot)
+            elif self.mbcbot == DIRICHLET and thermobc == FLUX:
+                zL_lut, f_lut = self._get_lut()
+                Ri = -cst.kappa * bfluxbot * zsl / dutot ** 3
+                zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                obuk = zsl / zL
+                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+            elif self.mbcbot == DIRICHLET and thermobc == DIRICHLET:
+                b, bbot = self.thermo.get_buoyancy_surf(ctx, s, sfc)
+                db = b - bbot + self.thermo.get_db_ref()
+                zL_lut, f_lut = self._get_lut()
+                Ri = cst.kappa * db * zsl / dutot ** 2
+                zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                obuk = zsl / zL
+                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+            else:
+                raise ValueError("unsupported mbcbot/thermobc combination")
+
+        sfc["ustar"] = ustar
+        sfc["obuk"] = obuk
+
+        # surfm (boundary_surface.cxx:188-320)
+        u, v = s["u"][ks], s["v"][ks]
+        ubot, vbot = sfc["u_bot"], sfc["v_bot"]
+        ufm = ustar * most.fm(zsl, self.z0m, obuk)
+        if self.mbcbot == DIRICHLET:
+            sfc["u_fluxbot"] = -(u - ubot) * 0.5 * (im(ufm) + ufm)
+            sfc["v_fluxbot"] = -(v - vbot) * 0.5 * (jm(ufm) + ufm)
+        elif self.mbcbot == USTAR:
+            minval = 1.e-2
+            du, dv = u - ubot, v - vbot
+            vonu2 = jnp.maximum(minval, 0.25 * (im(dv) ** 2 + im(jp(dv)) ** 2 + dv ** 2 + jp(dv) ** 2))
+            uonv2 = jnp.maximum(minval, 0.25 * (jm(du) ** 2 + jm(ip(du)) ** 2 + du ** 2 + ip(du) ** 2))
+            u2 = jnp.maximum(minval, du ** 2)
+            v2 = jnp.maximum(minval, dv ** 2)
+            ustaronu4 = 0.5 * (im(ustar) ** 4 + ustar ** 4)
+            ustaronv4 = 0.5 * (jm(ustar) ** 4 + ustar ** 4)
+            sfc["u_fluxbot"] = -jnp.sign(du) * jnp.sqrt(ustaronu4 / (1. + vonu2 / u2))
+            sfc["v_fluxbot"] = -jnp.sign(dv) * jnp.sqrt(ustaronv4 / (1. + uonv2 / v2))
+        sfc["u_gradbot"] = (u - ubot) / zsl
+        sfc["v_gradbot"] = (v - vbot) / zsl
+
+        # surfs per scalar (boundary_surface.cxx:322-380)
+        fh2d = ustar * most.fh(zsl, self.z0h, obuk)
+        for name in self.fields.sp:
+            bc = self.bcs[name]
+            var = s[name][ks]
+            if bc.bcbot == DIRICHLET:
+                varbot = sfc[name + "_bot"]
+                sfc[name + "_fluxbot"] = -(var - varbot) * fh2d
+                sfc[name + "_gradbot"] = (var - varbot) / zsl
+            elif bc.bcbot == FLUX:
+                fluxbot = sfc[name + "_fluxbot"]
+                varbot = fluxbot / fh2d + var
+                sfc[name + "_bot"] = varbot
+                sfc[name + "_gradbot"] = (var - varbot) / zsl
+
+        # MO gradients for the SGS model (calc_duvdz_mo / calc_dbdz_mo)
+        # dudz = -ufluxbot_c/(kappa*zsl*ustar)*phim with ufluxbot_c =
+        # -du_c*ustar*fm -> dudz = du_c*fm*phim/(kappa*zsl).
+        du_c = 0.5 * ((u - ubot) + (ip(u) - ip(ubot)))
+        dv_c = 0.5 * ((v - vbot) + (jp(v) - jp(vbot)))
+        fac = most.fm(zsl, self.z0m, obuk) * most.phim(zsl / obuk) / (cst.kappa * zsl)
+        sfc["dudz_mo"] = du_c * fac
+        sfc["dvdz_mo"] = dv_c * fac
+        if thermo_on:
+            bfluxbot = self.thermo.get_buoyancy_fluxbot(ctx, s, sfc)
+            sfc["dbdz_mo"] = -bfluxbot / (cst.kappa * zsl * ustar) * most.phih(zsl / obuk)
+        return sfc
+
+    # ------------------------------------------------------------------
+    def set_ghost_cells(self, ctx, s, sfc):
+        """Ghost fill using the surface model's 2-D bot/grad planes."""
+        out = dict(s)
+        ks, ke = ctx.ks, ctx.ke
+        for name in ["u", "v"] + list(self.fields.sp.keys()):
+            a = s[name]
+            bc = self.bcs[name]
+            # Bottom: Dirichlet from <f>_bot or Neumann from <f>_gradbot.
+            if self.mbcbot == USTAR and name in ("u", "v"):
+                # ustar bc: Neumann with MO gradient
+                a = a.at[ks - 1].set(-sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks])
+            elif name in ("u", "v"):
+                a = a.at[ks - 1].set(2. * sfc[name + "_bot"] - a[ks])
+            else:
+                # scalars: both Dirichlet and Flux reduce to a gradient fill
+                a = a.at[ks - 1].set(-sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks])
+            # Top: static BC from ini (same as default boundary).
+            a = set_ghost_cells_field(ctx, a, BC("off", 0., bc.bctop, bc.top),
+                                      self.viscs[name], self.offsets.get(name, 0.))
+            out[name] = a
+        out["w"] = set_ghost_cells_w(ctx, s["w"], conservation=False)
+        return out

@@ -52,10 +52,10 @@ class Diff2:
         for name, f in fields.sp.items():
             self.viscs[name] = f.visc
 
-    def exec_viscosity(self, ctx, s, aux):
+    def exec_viscosity(self, ctx, s, sfc, aux):
         return aux
 
-    def exec(self, ctx, s, t, aux):
+    def exec(self, ctx, s, t, aux, sfc=None):
         ks, ke = ctx.ks, ctx.ke
         t = dict(t)
         t["u"] = t["u"].at[ks:ke].add(diff_c(ctx, s["u"], self.visc))
