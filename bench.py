@@ -1,0 +1,69 @@
+"""Benchmark: drycblles LES wall-clock per RK3 step on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference's strong-scaling record is 1024^3 at
+1.04 s/iter on 4096 SuperMUC cores ~= 1.0e9 grid-point updates/s aggregate
+(one iter = full RK3 step).  vs_baseline = our grid-point updates/s on ONE
+chip divided by that whole-machine 1.0e9.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    ktot = int(os.environ.get("BENCH_KTOT", str(min(size, 512))))
+    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    try:
+        model = ge._build_model(size, size, ktot)
+        model.build_step()
+        s, t, sfc = ge._initial_state(model)
+    except Exception:
+        # fall back to a smaller grid (memory)
+        size = 256
+        ktot = 256
+        model = ge._build_model(size, size, ktot)
+        model.build_step()
+        s, t, sfc = ge._initial_state(model)
+
+    dt = jnp.asarray(2.0, dtype=model.dtype)
+    step = model._step_fn
+
+    # warmup/compile
+    s, t, sfc, aux = step(s, t, sfc, dt)
+    jax.block_until_ready(s["u"])
+
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        s, t, sfc, aux = step(s, t, sfc, dt)
+    jax.block_until_ready(s["u"])
+    t1 = time.perf_counter()
+
+    sec_per_step = (t1 - t0) / nsteps
+    points = size * size * ktot
+    updates_per_s = points / sec_per_step
+
+    baseline_agg = 1.0e9  # reference 1024^3 @ 1.04 s/iter on 4096 cores
+    out = {
+        "metric": "drycblles %dx%dx%d LES wall-clock per RK3 step (1 chip)" % (size, size, ktot),
+        "value": sec_per_step,
+        "unit": "s/step",
+        "vs_baseline": updates_per_s / baseline_agg,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -210,6 +210,7 @@ class Model:
                 out["mass"] = jnp.zeros((), ctx.dtype)
             return out
 
+        self._step_raw = step
         self._step_fn = jax.jit(step, donate_argnums=(0, 1, 2))
         self._limits_fn = jax.jit(limits)
         self._diag_fn = jax.jit(diagnostics)
@@ -277,6 +278,10 @@ class Model:
         while True:
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit()
+            if self.stats is not None:
+                # Align steps with the sampling time (stats get_time_limit).
+                tl.set_time_step_limit(
+                    self.stats.isampletime - tl.itime % self.stats.isampletime)
             lim = {k: float(v) for k, v in self._limits_fn(s, sfc).items()}
             cfl = lim.get("cfl_rate", 0.) * tl.dt
             dn = lim.get("dn_rate", 0.) * tl.dt
@@ -291,7 +296,7 @@ class Model:
                 self.print_status(s, cfl, dn, status_file)
 
             if self.stats is not None and tl.is_stats_step():
-                self.stats.maybe_exec(self, s, t)
+                self.stats.maybe_exec(self, s, t, sfc)
 
             if tl.is_finished():
                 break
@@ -320,13 +325,12 @@ def run_case(case_dir, casename, mode, dtype=None):
     if mode == "init":
         model.save_initial_state()
     elif mode == "run":
-        if model.ini.get_int("stats", "swstats", default=0) or model.ini.has_item("stats", "sampletime"):
-            try:
-                from .stats import Stats
-                model.stats = Stats(model)
-            except Exception:
-                model.stats = None
+        if model.ini.get_int("stats", "swstats", default=0):
+            from .stats import Stats
+            model.stats = Stats(model)
         model.run()
+        if model.stats is not None:
+            model.stats.close()
     else:
         raise ValueError("unknown mode %s" % mode)
     unused = model.ini.unused_items()

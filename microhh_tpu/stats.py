@@ -1,0 +1,223 @@
+"""Statistics engine: horizontally-averaged profiles and time series to
+NetCDF (reference ``src/stats.cxx``).
+
+Output layout mirrors the reference: one file ``<sim>.<mask>.<starttime>.nc``
+per mask with dims z/zh/time, variables ``time``/``iter`` at root, profile
+variables inside per-component groups ("default", "thermo", ...), and
+``area``/``areah`` mask-fraction profiles (stats.cxx:627-694).
+
+Round-1 scope: the unconditional "default" mask; profile operations mean /
+moments 2-4 / resolved w-flux / gradient / diffusive flux / total flux
+(stats.cxx:865-905 suffix semantics); surface time series (ustar, obuk,
+*_bot); boundary-layer depth zi.  All reductions run on device in one jitted
+pass, then one small host transfer writes the NetCDF row.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .timeloop import IFACTOR
+from .ops.stencil import i2, im, ip, jm, jp
+
+
+class Stats:
+    def __init__(self, model):
+        ini = model.ini
+        self.model = model
+        self.sampletime = ini.get_float("stats", "sampletime")
+        self.isampletime = int(self.sampletime * IFACTOR + 0.5)
+        ini.flag_as_used("stats", "swstats")
+        self.swtendency = ini.get_bool("stats", "swtendency", default=False)
+
+        g = model.grid
+        tl = model.timeloop
+        from .utils import nc
+        fname = os.path.join(model.workdir, "%s.default.%07d.nc"
+                             % (model.casename or "run", tl.iotime))
+        f = nc.Dataset(fname, "w")
+        f.createDimension("z", g.ktot)
+        f.createDimension("zh", g.ktot + 1)
+        f.createDimension("time", None)
+        vz = f.createVariable("z", "f8", ("z",))
+        vz[:] = g.z[g.kstart:g.kend]
+        vzh = f.createVariable("zh", "f8", ("zh",))
+        vzh[:] = g.zh[g.kstart:g.kend + 1]
+        self.v_time = f.createVariable("time", "f8", ("time",))
+        self.v_iter = f.createVariable("iter", "i4", ("time",))
+
+        self.file = f
+        self.groups = {}
+        self.vars = {}
+        self._idx = 0
+        self._diag = None
+
+        self._register(model)
+
+    def _group(self, name):
+        if name not in self.groups:
+            self.groups[name] = self.file.createGroup(name)
+        return self.groups[name]
+
+    def add_prof(self, name, longname, unit, zdim, group="default"):
+        g = self._group(group)
+        v = g.createVariable(name, "f8", ("time", zdim))
+        v.setncattr("units", unit)
+        v.setncattr("long_name", longname)
+        self.vars[name] = v
+
+    def add_time_series(self, name, longname, unit, group="default"):
+        g = self._group(group)
+        v = g.createVariable(name, "f8", ("time",))
+        v.setncattr("units", unit)
+        v.setncattr("long_name", longname)
+        self.vars[name] = v
+
+    def _register(self, model):
+        fields = model.fields
+        names = [n for n in fields.prognostic_names if n != "w"]
+        for name in names:
+            zdim = "z"
+            self.add_prof(name, name, "-", zdim)
+            for mom in ("2", "3", "4"):
+                self.add_prof(name + "_" + mom, "moment %s of %s" % (mom, name), "-", zdim)
+            self.add_prof(name + "_w", "Resolved flux of %s" % name, "-", "zh")
+            self.add_prof(name + "_grad", "Gradient of %s" % name, "-", "zh")
+            self.add_prof(name + "_diff", "Diffusive flux of %s" % name, "-", "zh")
+            self.add_prof(name + "_flux", "Total flux of %s" % name, "-", "zh")
+        self.add_prof("w", "w", "m s-1", "zh")
+        for mom in ("2", "3", "4"):
+            self.add_prof("w_" + mom, "moment %s of w" % mom, "-", "zh")
+        self.add_prof("p", "Pressure", "Pa", "z")
+        if getattr(model.diff, "cs", None) is not None:
+            self.add_prof("evisc", "Eddy viscosity", "m2 s-1", "z")
+        self.add_prof("area", "Fractional area contained in mask", "-", "z")
+        self.add_prof("areah", "Fractional area contained in mask", "-", "zh")
+        if getattr(model.boundary, "is_surface", False):
+            self.add_time_series("ustar", "Surface friction velocity", "m s-1")
+            self.add_time_series("obuk", "Obukhov length", "m")
+        for name in fields.sp:
+            self.add_time_series(name + "_bot", "Surface " + name, "-")
+        if getattr(model.thermo, "scalars", ()):
+            self.add_time_series("zi", "Boundary Layer Depth", "m", "thermo")
+
+    # ------------------------------------------------------------------
+    def _build_diag(self, model):
+        ctx = model.ctx
+        ks, ke = ctx.ks, ctx.ke
+        fields = model.fields
+        is_surface = getattr(model.boundary, "is_surface", False)
+        has_smag = getattr(model.diff, "cs", None) is not None
+
+        def hmean(a):
+            return jnp.mean(a, axis=(1, 2))
+
+        def diag(s, t, sfc):
+            out = {}
+            s = model.boundary.set_ghost_cells(ctx, s, sfc)
+            aux = model.diff.exec_viscosity(ctx, s, sfc, {})
+
+            scalars = [n for n in fields.prognostic_names if n != "w"]
+            w = s["w"]
+            for name in scalars:
+                a = s[name]
+                amean_full = jnp.mean(a, axis=(1, 2), keepdims=True)
+                out[name] = hmean(a[ks:ke])
+                for mom in (2, 3, 4):
+                    out["%s_%d" % (name, mom)] = hmean(((a - amean_full) ** mom)[ks:ke])
+                # resolved flux at half levels ks..ke
+                if name == "u":
+                    wloc = i2(im(w), w)
+                elif name == "v":
+                    wloc = i2(jm(w), w)
+                else:
+                    wloc = w
+                flux = jnp.zeros(ke - ks + 1, dtype=ctx.dtype)
+                res = hmean(wloc[ks + 1:ke] * i2(a[ks:ke - 1], a[ks + 1:ke]))
+                flux = flux.at[1:-1].set(res)
+                out[name + "_w"] = flux
+                # gradient at half levels
+                grad = jnp.zeros(ke - ks + 1, dtype=ctx.dtype)
+                gin = hmean((a[ks + 1:ke] - a[ks:ke - 1])) * ctx.dzhi[ks + 1:ke]
+                grad = grad.at[1:-1].set(gin)
+                grad = grad.at[0].set(jnp.mean(a[ks] - a[ks - 1]) * ctx.dzhi[ks])
+                grad = grad.at[-1].set(jnp.mean(a[ke] - a[ke - 1]) * ctx.dzhi[ke])
+                out[name + "_grad"] = grad
+                # diffusive flux
+                dflux = jnp.zeros(ke - ks + 1, dtype=ctx.dtype)
+                if has_smag:
+                    evisc = aux["evisc"]
+                    tPr = model.diff.tPr
+                    if name in ("u", "v"):
+                        evh = 0.25 * ((im(evisc) if name == "u" else jm(evisc))[ks + 1:ke]
+                                      + evisc[ks + 1:ke]
+                                      + (im(evisc) if name == "u" else jm(evisc))[ks:ke - 1]
+                                      + evisc[ks:ke - 1]) + fields.visc
+                    else:
+                        evh = 0.5 * (evisc[ks + 1:ke] + evisc[ks:ke - 1]) / tPr + model.diff.viscs.get(name, fields.visc)
+                    din = -hmean(evh * (a[ks + 1:ke] - a[ks:ke - 1])) * ctx.dzhi[ks + 1:ke]
+                else:
+                    visc = fields.visc if name in ("u", "v") else model.diff.viscs.get(name, fields.visc)
+                    din = -visc * hmean(a[ks + 1:ke] - a[ks:ke - 1]) * ctx.dzhi[ks + 1:ke]
+                dflux = dflux.at[1:-1].set(din)
+                if is_surface:
+                    dflux = dflux.at[0].set(jnp.mean(sfc[name + "_fluxbot"]) if name + "_fluxbot" in sfc else 0.)
+                out[name + "_diff"] = dflux
+                out[name + "_flux"] = out[name + "_w"] + dflux
+
+            out["w"] = hmean(w[ks:ke + 1])
+            wmean_full = jnp.mean(w, axis=(1, 2), keepdims=True)
+            for mom in (2, 3, 4):
+                out["w_%d" % mom] = hmean(((w - wmean_full) ** mom)[ks:ke + 1])
+
+            if has_smag:
+                out["evisc"] = hmean(aux["evisc"][ks:ke])
+            out["area"] = jnp.ones(ke - ks, dtype=ctx.dtype)
+            out["areah"] = jnp.ones(ke - ks + 1, dtype=ctx.dtype)
+
+            if is_surface:
+                out["ustar"] = jnp.mean(sfc["ustar"])
+                out["obuk"] = jnp.mean(sfc["obuk"])
+                for name in fields.sp:
+                    out[name + "_bot"] = jnp.mean(sfc[name + "_bot"])
+            else:
+                for name in fields.sp:
+                    out[name + "_bot"] = jnp.zeros((), dtype=ctx.dtype)
+
+            # zi: height of the max gradient of the first thermo scalar
+            # (thermo_dry.cxx calc_zi)
+            tsc = getattr(model.thermo, "scalars", ())
+            if tsc:
+                prof = hmean(s[tsc[0]][ks:ke])
+                grad = prof[1:] - prof[:-1]
+                kinv = jnp.argmax(grad) + 1
+                z_int = ctx.z[ks:ke]
+                out["zi"] = z_int[kinv]
+            return out
+
+        return jax.jit(diag)
+
+    # ------------------------------------------------------------------
+    def do_statistics(self, itime):
+        return itime % self.isampletime == 0
+
+    def maybe_exec(self, model, s, t, sfc):
+        tl = model.timeloop
+        if not self.do_statistics(tl.itime):
+            return
+        if self._diag is None:
+            self._diag = self._build_diag(model)
+        out = {k: np.asarray(v) for k, v in self._diag(s, t, sfc).items()}
+        i = self._idx
+        self.v_time[i] = tl.time
+        self.v_iter[i] = tl.iteration
+        for name, v in out.items():
+            if name in self.vars:
+                self.vars[name][i] = v
+        self._idx += 1
+        self.file.sync()
+
+    def close(self):
+        self.file.close()
