@@ -22,6 +22,7 @@ from .fields import Fields
 from .timeloop import Timeloop, IFACTOR
 from . import ops
 from .ops.stencil import ip, jp, i2
+from .ops.boundary import set_ghost_cells_w
 
 
 class Context:
@@ -158,14 +159,21 @@ class Model:
             sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
-            t = self.advec.exec(ctx, s, t, aux)
+            # Conservation-type w ghosts around advec and pres; normal
+            # ghosts for diff (model.cxx:387-412).  No-op at 2nd order.
+            if ctx.spatial_order == 4:
+                s_cons = dict(s)
+                s_cons["w"] = set_ghost_cells_w(ctx, s["w"], conservation=True)
+            else:
+                s_cons = s
+            t = self.advec.exec(ctx, s_cons, t, aux)
             t = self.diff.exec(ctx, s, t, aux, sfc)
             subdt = cB[sub] * dt
             aux = dict(aux)
             aux["subdt"] = subdt
             t = self.buffer(ctx, s, t, aux)
             t = self.force(ctx, s, t, aux)
-            t, aux = self.pres.exec(ctx, s, t, aux, subdt)
+            t, aux = self.pres.exec(ctx, s_cons, t, aux, subdt)
             t = self.limiter(ctx, s, t, aux, subdt)
             # Low-storage RK update (timeloop.cxx:250-334).  Tendency ghost
             # levels are always zero, so whole-array updates are safe.
@@ -192,7 +200,15 @@ class Model:
                 out["dn_rate"] = dn
             return out
 
-        def diagnostics(s):
+        def diagnostics(s, sfc):
+            # Ghost cells are filled before the checks, like the reference's
+            # print_status which runs after set_ghost_cells.  The divergence
+            # check uses conservation-type w ghosts at 4th order — the ghost
+            # type under which the pressure projection is exact.
+            s = self.boundary.set_ghost_cells(ctx, s, sfc)
+            if ctx.spatial_order == 4:
+                s = dict(s)
+                s["w"] = set_ghost_cells_w(ctx, s["w"], conservation=True)
             ks, ke = ctx.ks, ctx.ke
             u, v, w = s["u"], s["v"], s["w"]
             dzc = ctx.dz[ks:ke][:, None, None]
@@ -245,9 +261,9 @@ class Model:
     def _status_path(self):
         return os.path.join(self.workdir, "%s.out" % (self.casename or "run"))
 
-    def print_status(self, s, cfl, dn, status_file):
+    def print_status(self, s, sfc, cfl, dn, status_file):
         tl = self.timeloop
-        d = {k: float(v) for k, v in self._diag_fn(s).items()}
+        d = {k: float(v) for k, v in self._diag_fn(s, sfc).items()}
         now = _time.time()
         cpudt = now - self._last_wallclock
         self._last_wallclock = now
@@ -293,7 +309,7 @@ class Model:
             tl.set_time_step()
 
             if tl.do_check():
-                self.print_status(s, cfl, dn, status_file)
+                self.print_status(s, sfc, cfl, dn, status_file)
 
             if self.stats is not None and tl.is_stats_step():
                 self.stats.maybe_exec(self, s, t, sfc)

@@ -1,0 +1,281 @@
+"""4th-order spectral Poisson solver (reference ``src/pres_4.cxx``).
+
+Same FFT structure as pres_2 but with 4th-order modified wavenumbers and a
+**heptadiagonal** vertical system of kmax+4 rows (2 BC rows per wall).  The
+TPU design exploits that the matrix is time-independent: the full hdma LU
+factorization (pres_4.cxx:573-680) is done ONCE in float64 numpy, vectorized
+over every (ky, kx) mode; the per-step work is just the forward/backward
+substitutions — two depth-3 linear recurrences along k run as ``lax.scan``
+with all modes vectorized across the VPU lanes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import fd
+from .stencil import im, ip, jm, jp
+
+
+def _hdma_factorize(m):
+    """Vectorized LU factorization of the hepta system.
+
+    m: (7, N, ...) bands m1..m7 for N=kmax+4 rows.  Mirrors
+    Pres_4::hdma's factorization exactly (pres_4.cxx).
+    """
+    m1, m2, m3, m4, m5, m6, m7 = [m[i].copy() for i in range(7)]
+    N = m1.shape[0]
+    kmax = N - 4
+
+    # k = 0
+    m1[0] = 1.
+    m2[0] = 1.
+    m3[0] = 1. / m4[0]
+    m4[0] = 1.
+    m5[0] = m5[0] * m3[0]
+    m6[0] = m6[0] * m3[0]
+    m7[0] = m7[0] * m3[0]
+    # k = 1
+    m1[1] = 1.
+    m2[1] = 1.
+    m3[1] = m3[1] / m4[0]
+    m4[1] = m4[1] - m3[1] * m5[0]
+    m5[1] = m5[1] - m3[1] * m6[0]
+    m6[1] = m6[1] - m3[1] * m7[0]
+    # k = 2
+    m1[2] = 1.
+    m2[2] = m2[2] / m4[0]
+    m3[2] = (m3[2] - m2[2] * m5[0]) / m4[1]
+    m4[2] = m4[2] - m3[2] * m5[1] - m2[2] * m6[0]
+    m5[2] = m5[2] - m3[2] * m6[1] - m2[2] * m7[0]
+    m6[2] = m6[2] - m3[2] * m7[1]
+    # k = 3 .. kmax+1 (general)
+    for k in range(3, kmax + 2):
+        m1[k] = m1[k] / m4[k - 3]
+        m2[k] = (m2[k] - m1[k] * m5[k - 3]) / m4[k - 2]
+        m3[k] = (m3[k] - m2[k] * m5[k - 2] - m1[k] * m6[k - 3]) / m4[k - 1]
+        m4[k] = m4[k] - m3[k] * m5[k - 1] - m2[k] * m6[k - 2] - m1[k] * m7[k - 3]
+        m5[k] = m5[k] - m3[k] * m6[k - 1] - m2[k] * m7[k - 2]
+        m6[k] = m6[k] - m3[k] * m7[k - 1]
+    m7[kmax + 1] = 1.
+    k = kmax + 2
+    m1[k] = m1[k] / m4[k - 3]
+    m2[k] = (m2[k] - m1[k] * m5[k - 3]) / m4[k - 2]
+    m3[k] = (m3[k] - m2[k] * m5[k - 2] - m1[k] * m6[k - 3]) / m4[k - 1]
+    m4[k] = m4[k] - m3[k] * m5[k - 1] - m2[k] * m6[k - 2] - m1[k] * m7[k - 3]
+    m5[k] = m5[k] - m3[k] * m6[k - 1] - m2[k] * m7[k - 2]
+    m6[k] = 1.
+    m7[k] = 1.
+    k = kmax + 3
+    m1[k] = m1[k] / m4[k - 3]
+    m2[k] = (m2[k] - m1[k] * m5[k - 3]) / m4[k - 2]
+    m3[k] = (m3[k] - m2[k] * m5[k - 2] - m1[k] * m6[k - 3]) / m4[k - 1]
+    m4[k] = m4[k] - m3[k] * m5[k - 1] - m2[k] * m6[k - 2] - m1[k] * m7[k - 3]
+    m5[k] = 1.
+    m6[k] = 1.
+    m7[k] = 1.
+    return np.stack([m1, m2, m3, m4, m5, m6, m7])
+
+
+class Pres4:
+    def __init__(self, ini, grid, fields, dtype=np.float64):
+        self.grid = grid
+        self.fields = fields
+        self.dtype = dtype
+        self._built = False
+
+    def set_values(self):
+        g = self.grid
+        itot, jtot, kmax, ks = g.itot, g.jtot, g.ktot, g.kstart
+        ihalf = itot // 2 + 1
+        dxidxi = 1. / (g.dx * g.dx)
+        dyidyi = 1. / (g.dy * g.dy)
+
+        def bmat(n, total, didi):
+            ang = np.pi * np.arange(total // 2 + 1) / total
+            b = (2. * (1. / 576.) * np.cos(6. * ang)
+                 - 2. * (54. / 576.) * np.cos(4. * ang)
+                 + 2. * (783. / 576.) * np.cos(2. * ang)
+                 - (1460. / 576.)) * didi
+            full = np.empty(total)
+            full[:total // 2 + 1] = b
+            for j in range(total // 2 + 1, total):
+                full[j] = full[total - j]
+            return full[:n] if n != total else full
+
+        bmati = bmat(ihalf, itot, dxidxi)
+        bmatj = bmat(jtot, jtot, dyidyi)
+        bm = bmatj[:, None] + bmati[None, :]  # (jtot, ihalf)
+
+        dzi4, dzhi4 = g.dzi4, g.dzhi4
+        mk = np.zeros((7, kmax))
+        # Interior + wall rows (pres_4.cxx:216-258).
+        k = 0
+        kc = ks
+        mk[0, 0] = 0.
+        mk[1, 0] = (1. / 576.) * (-27. * dzhi4[kc]) * dzi4[kc]
+        mk[2, 0] = (1. / 576.) * (-1. * dzhi4[kc + 1] + 729. * dzhi4[kc] + 27. * dzhi4[kc + 1]) * dzi4[kc]
+        mk[3, 0] = (1. / 576.) * (27. * dzhi4[kc + 1] - 729. * dzhi4[kc] - 729. * dzhi4[kc + 1] - 1. * dzhi4[kc + 2]) * dzi4[kc]
+        mk[4, 0] = (1. / 576.) * (-27. * dzhi4[kc + 1] + 27. * dzhi4[kc] + 729. * dzhi4[kc + 1] + 27. * dzhi4[kc + 2]) * dzi4[kc]
+        mk[5, 0] = (1. / 576.) * (1. * dzhi4[kc + 1] - 27. * dzhi4[kc + 1] - 27. * dzhi4[kc + 2]) * dzi4[kc]
+        mk[6, 0] = (1. / 576.) * (1. * dzhi4[kc + 2]) * dzi4[kc]
+        for k in range(1, kmax - 1):
+            kc = ks + k
+            mk[0, k] = (1. / 576.) * (1. * dzhi4[kc - 1]) * dzi4[kc]
+            mk[1, k] = (1. / 576.) * (-27. * dzhi4[kc - 1] - 27. * dzhi4[kc]) * dzi4[kc]
+            mk[2, k] = (1. / 576.) * (27. * dzhi4[kc - 1] + 729. * dzhi4[kc] + 27. * dzhi4[kc + 1]) * dzi4[kc]
+            mk[3, k] = (1. / 576.) * (-1. * dzhi4[kc - 1] - 729. * dzhi4[kc] - 729. * dzhi4[kc + 1] - 1. * dzhi4[kc + 2]) * dzi4[kc]
+            mk[4, k] = (1. / 576.) * (27. * dzhi4[kc] + 729. * dzhi4[kc + 1] + 27. * dzhi4[kc + 2]) * dzi4[kc]
+            mk[5, k] = (1. / 576.) * (-27. * dzhi4[kc + 1] - 27. * dzhi4[kc + 2]) * dzi4[kc]
+            mk[6, k] = (1. / 576.) * (1. * dzhi4[kc + 2]) * dzi4[kc]
+        k = kmax - 1
+        kc = ks + k
+        mk[0, k] = (1. / 576.) * (1. * dzhi4[kc - 1]) * dzi4[kc]
+        mk[1, k] = (1. / 576.) * (-27. * dzhi4[kc - 1] - 27. * dzhi4[kc] + 1. * dzhi4[kc]) * dzi4[kc]
+        mk[2, k] = (1. / 576.) * (27. * dzhi4[kc - 1] + 729. * dzhi4[kc] + 27. * dzhi4[kc + 1] - 27. * dzhi4[kc]) * dzi4[kc]
+        mk[3, k] = (1. / 576.) * (-1. * dzhi4[kc - 1] - 729. * dzhi4[kc] - 729. * dzhi4[kc + 1] + 27. * dzhi4[kc]) * dzi4[kc]
+        mk[4, k] = (1. / 576.) * (27. * dzhi4[kc] + 729. * dzhi4[kc + 1] - 1. * dzhi4[kc]) * dzi4[kc]
+        mk[5, k] = (1. / 576.) * (-27. * dzhi4[kc + 1]) * dzi4[kc]
+        mk[6, k] = 0.
+
+        # Build the full kmax+4 row system per mode (pres_4.cxx solve()).
+        N = kmax + 4
+        m = np.zeros((7, N, jtot, ihalf))
+        # Bottom BC rows: zero-gradient (rows 0 and 1).
+        m[3, 0] = 1.
+        m[6, 0] = -1.
+        m[3, 1] = 1.
+        m[4, 1] = -1.
+        # Interior rows 2..kmax+1.
+        for k in range(kmax):
+            for b in range(7):
+                m[b, k + 2] = mk[b, k]
+            m[3, k + 2] += bm
+        # Top BC rows (mean mode pins p; others zero-gradient).
+        mean = np.zeros((jtot, ihalf), dtype=bool)
+        mean[0, 0] = True
+        r = kmax + 2
+        m[0, r] = 0.
+        m[1, r] = np.where(mean, -1. / 3., 0.)
+        m[2, r] = np.where(mean, 2., -1.)
+        m[3, r] = 1.
+        r = kmax + 3
+        m[0, r] = np.where(mean, -2., -1.)
+        m[1, r] = np.where(mean, 9., 0.)
+        m[2, r] = 0.
+        m[3, r] = 1.
+
+        fac = _hdma_factorize(m)
+        dt_ = self.dtype
+        self.lu = tuple(jnp.asarray(fac[i], dtype=dt_) for i in range(7))
+        self.kmax = kmax
+        self._built = True
+
+    # ------------------------------------------------------------------
+    def input(self, ctx, s, t, dti):
+        """4th-order divergence RHS with antisymmetric wt ghosts
+        (pres_4.cxx:260-318)."""
+        ks, ke = ctx.ks, ctx.ke
+        u, v, w = s["u"], s["v"], s["w"]
+        ut, vt, wt = t["u"], t["v"], t["w"]
+
+        wt = wt.at[ks - 1].set(-wt[ks + 1])
+        wt = wt.at[ke + 1].set(-wt[ke - 1])
+
+        uu = ut + u * dti
+        ww = wt + w * dti
+        rhs = (fd.cg0 * im(uu) + fd.cg1 * uu + fd.cg2 * ip(uu) + fd.cg3 * ip(uu, 2))[ks:ke] * ctx.dxi
+        if ctx.jtot > 1:
+            vv = vt + v * dti
+            rhs = rhs + (fd.cg0 * jm(vv) + fd.cg1 * vv + fd.cg2 * jp(vv) + fd.cg3 * jp(vv, 2))[ks:ke] * ctx.dyi
+        rhs = rhs + (fd.cg0 * ww[ks - 1:ke - 1] + fd.cg1 * ww[ks:ke]
+                     + fd.cg2 * ww[ks + 1:ke + 1] + fd.cg3 * ww[ks + 2:ke + 2]) * ctx.dzi4[ks:ke][:, None, None]
+        return rhs
+
+    def solve(self, ctx, rhs):
+        kmax = self.kmax
+        m1, m2, m3, m4, m5, m6, m7 = self.lu
+        p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
+
+        # RHS rows: 0,1 and kmax+2, kmax+3 are zero.
+        zero = jnp.zeros_like(p_hat[0])
+        y = jnp.concatenate([zero[None], zero[None], p_hat, zero[None], zero[None]], axis=0)
+
+        # Forward: Ly = p.  Rows 0..2 explicit (y0 = y1 = 0 after the BC
+        # rhs; y2 = p_hat[0] - 0 - 0), then the depth-3 recurrence.
+        def fwd(carry, xs):
+            pm1, pm2, pm3 = carry
+            rk, a1, a2, a3 = xs
+            pk = rk - pm1 * a3 - pm2 * a2 - pm3 * a1
+            return (pk, pm1, pm2), pk
+
+        y0 = y[0] * m3[0]
+        y1 = y[1] - y0 * m3[1]
+        y2 = y[2] - y1 * m3[2] - y0 * m2[2]
+        xs = (y[3:], m1[3:], m2[3:], m3[3:])
+        _, ys = jax.lax.scan(fwd, (y2, y1, y0), xs)
+        yfull = jnp.concatenate([y0[None], y1[None], y2[None], ys], axis=0)
+
+        # Backward: Ux = y.
+        def bwd(carry, xs):
+            pp1, pp2, pp3 = carry
+            yk, a4, a5, a6, a7 = xs
+            pk = (yk - pp1 * a5 - pp2 * a6 - pp3 * a7) / a4
+            return (pk, pp1, pp2), pk
+
+        kN = kmax + 3
+        xN = yfull[kN] / m4[kN]
+        xN1 = (yfull[kN - 1] - xN * m5[kN - 1]) / m4[kN - 1]
+        xN2 = (yfull[kN - 2] - xN1 * m5[kN - 2] - xN * m6[kN - 2]) / m4[kN - 2]
+        xs = (yfull[:kN - 2][::-1], m4[:kN - 2][::-1], m5[:kN - 2][::-1],
+              m6[:kN - 2][::-1], m7[:kN - 2][::-1])
+        _, xr = jax.lax.scan(bwd, (xN2, xN1, xN), xs)
+        xfull = jnp.concatenate([xr[::-1], xN2[None], xN1[None], xN[None]], axis=0)
+
+        p_modes = xfull[2:kmax + 2]
+        p = jnp.fft.irfft2(p_modes, s=rhs.shape[-2:], axes=(-2, -1))
+        return p.astype(rhs.dtype)
+
+    def output(self, ctx, t, p_full):
+        ks, ke = ctx.ks, ctx.ke
+        t = dict(t)
+        p = p_full
+        dp_x = (fd.cg0 * im(p, 2) + fd.cg1 * im(p) + fd.cg2 * p + fd.cg3 * ip(p))[ks:ke] * ctx.dxi
+        t["u"] = t["u"].at[ks:ke].add(-dp_x)
+        if ctx.jtot > 1:
+            dp_y = (fd.cg0 * jm(p, 2) + fd.cg1 * jm(p) + fd.cg2 * p + fd.cg3 * jp(p))[ks:ke] * ctx.dyi
+            t["v"] = t["v"].at[ks:ke].add(-dp_y)
+        dp_z = ((fd.cg0 * p[ks - 1:ke - 2] + fd.cg1 * p[ks:ke - 1]
+                 + fd.cg2 * p[ks + 1:ke] + fd.cg3 * p[ks + 2:ke + 1])
+                * ctx.dzhi4[ks + 1:ke][:, None, None])
+        t["w"] = t["w"].at[ks + 1:ke].add(-dp_z)
+        return t
+
+    def exec(self, ctx, s, t, aux, subdt):
+        if not self._built:
+            raise RuntimeError("Pres4.set_values() not called")
+        dti = 1. / subdt
+        rhs = self.input(ctx, s, t, dti)
+        p_int = self.solve(ctx, rhs)
+        ks, ke = ctx.ks, ctx.ke
+        p_full = jnp.zeros_like(s["u"])
+        p_full = p_full.at[ks:ke].set(p_int)
+        # Zero-gradient ghosts bottom/top, two levels (pres_4.cxx:497-521).
+        p_full = p_full.at[ks - 1].set(p_int[0])
+        p_full = p_full.at[ks - 2].set(p_int[1])
+        p_full = p_full.at[ke].set(p_int[-1])
+        p_full = p_full.at[ke + 1].set(p_int[-2])
+        t = self.output(ctx, t, p_full)
+        aux = dict(aux)
+        aux["p"] = p_full
+        return t, aux
+
+    def divergence_max(self, ctx, s):
+        ks, ke = ctx.ks, ctx.ke
+        u, v, w = s["u"], s["v"], s["w"]
+        div = (fd.cg0 * im(u) + fd.cg1 * u + fd.cg2 * ip(u) + fd.cg3 * ip(u, 2))[ks:ke] * ctx.dxi
+        if ctx.jtot > 1:
+            div = div + (fd.cg0 * jm(v) + fd.cg1 * v + fd.cg2 * jp(v) + fd.cg3 * jp(v, 2))[ks:ke] * ctx.dyi
+        div = div + (fd.cg0 * w[ks - 1:ke - 1] + fd.cg1 * w[ks:ke]
+                     + fd.cg2 * w[ks + 1:ke + 1] + fd.cg3 * w[ks + 2:ke + 2]) * ctx.dzi4[ks:ke][:, None, None]
+        return jnp.max(jnp.abs(div))

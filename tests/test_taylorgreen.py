@@ -18,7 +18,7 @@ ktot=%(ktot)d
 xsize=1.
 ysize=1.
 zsize=0.5
-swspatialorder=2
+swspatialorder=%(order)d
 
 [force]
 swlspres=0
@@ -55,10 +55,10 @@ dnmax=0.2
 """
 
 
-def run_tg(tmp_path, itot, ktot):
-    case_dir = tmp_path / ("tg%d" % itot)
+def run_tg(tmp_path, itot, ktot, order=2):
+    case_dir = tmp_path / ("tg%d_o%d" % (itot, order))
     case_dir.mkdir()
-    ini_text = INI_TMPL % {"itot": itot, "ktot": ktot, "visc": VISC}
+    ini_text = INI_TMPL % {"itot": itot, "ktot": ktot, "visc": VISC, "order": order}
     (case_dir / "taylorgreen.ini").write_text(ini_text)
 
     wd = str(case_dir)
@@ -116,7 +116,34 @@ def test_taylorgreen_single_step_stability(tmp_path):
     assert np.all(np.isfinite(np.asarray(s["u"])))
     div = float(m.pres.divergence_max(m.ctx, s))
     assert div < 1e-10
-    out = (tmp_path / "tg16" / "taylorgreen.out").read_text()
+    out = (tmp_path / "tg16_o2" / "taylorgreen.out").read_text()
     assert "ITER" in out
     # restart file written at savetime
-    assert (tmp_path / "tg16" / "u.0000001").exists()
+    assert (tmp_path / "tg16_o2" / "u.0000001").exists()
+
+
+@pytest.mark.slow
+def test_taylorgreen_convergence_4th(tmp_path):
+    """4th-order path (advec_4 + diff_4 + pres_4 heptadiagonal solve):
+    error must drop much faster than 2nd order (reference
+    taylorgreen_test.py checks ~4th-order slopes)."""
+    errs = {}
+    for itot, ktot in ((16, 8), (32, 16), (64, 32)):
+        m, s = run_tg(tmp_path, itot, ktot, order=4)
+        errs[itot] = error_uw(m, s)
+
+    assert errs[64][0] < 2e-5, errs
+    order_u = np.log(errs[16][0] / errs[64][0]) / np.log(4.)
+    order_w = np.log(errs[16][1] / errs[64][1]) / np.log(4.)
+    assert order_u > 3.0, (order_u, errs)
+    assert order_w > 3.0, (order_w, errs)
+
+
+def test_pres4_projection(tmp_path):
+    """After one 4th-order step the 4th-order divergence is ~machine zero."""
+    from microhh_tpu.ops.boundary import set_ghost_cells_w
+    m, s = run_tg(tmp_path, 16, 8, order=4)
+    s_g = m.boundary.set_ghost_cells(m.ctx, s, {})
+    s_g["w"] = set_ghost_cells_w(m.ctx, s_g["w"], conservation=True)
+    div = float(m.pres.divergence_max(m.ctx, s_g))
+    assert div < 1e-10, div
