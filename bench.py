@@ -40,14 +40,15 @@ def main():
 
     dt = jnp.asarray(2.0, dtype=model.dtype)
     step = model._step_fn
+    pp = model.pres_params
 
     # warmup/compile
-    s, t, sfc, aux = step(s, t, sfc, dt)
+    s, t, sfc, aux = step(s, t, sfc, pp, dt)
     jax.block_until_ready(s["u"])
 
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        s, t, sfc, aux = step(s, t, sfc, dt)
+        s, t, sfc, aux = step(s, t, sfc, pp, dt)
     jax.block_until_ready(s["u"])
     t1 = time.perf_counter()
 

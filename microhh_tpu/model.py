@@ -152,7 +152,12 @@ class Model:
 
         is_surface = getattr(self.boundary, "is_surface", False)
 
-        def substep(s, t, sfc, aux, dt, sub):
+        # Large precomputed solver arrays travel as jit ARGUMENTS (not
+        # closure constants) so they are not embedded as HLO literals —
+        # giant literals blow up compile payloads and duplicate HBM.
+        self.pres_params = self.pres.device_params()
+
+        def substep(s, t, sfc, aux, pp, dt, sub):
             s = self.boundary.set_ghost_cells(ctx, s, sfc)
             aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
             t = self.thermo.exec(ctx, s, t, aux)
@@ -173,7 +178,7 @@ class Model:
             aux["subdt"] = subdt
             t = self.buffer(ctx, s, t, aux)
             t = self.force(ctx, s, t, aux)
-            t, aux = self.pres.exec(ctx, s_cons, t, aux, subdt)
+            t, aux = self.pres.exec(ctx, s_cons, t, aux, subdt, pp)
             t = self.limiter(ctx, s, t, aux, subdt)
             # Low-storage RK update (timeloop.cxx:250-334).  Tendency ghost
             # levels are always zero, so whole-array updates are safe.
@@ -182,10 +187,10 @@ class Model:
             t = {n: t[n] * ctx.dtype(can) for n in names}
             return s, t, sfc, aux
 
-        def step(s, t, sfc, dt):
+        def step(s, t, sfc, pp, dt):
             aux = {}
             for sub in range(nsub):
-                s, t, sfc, aux = substep(s, t, sfc, aux, dt, sub)
+                s, t, sfc, aux = substep(s, t, sfc, aux, pp, dt, sub)
             return s, t, sfc, aux
 
         def limits(s, sfc):
@@ -318,7 +323,7 @@ class Model:
                 break
 
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
-            s, t, sfc, _aux = self._step_fn(s, t, sfc, dt_dev)
+            s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params, dt_dev)
             tl.step_time()
 
             if tl.do_save():

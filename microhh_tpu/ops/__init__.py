@@ -24,7 +24,10 @@ class PresDisabled(DisabledOp):
     def set_values(self):
         pass
 
-    def exec(self, ctx, s, t, aux, subdt):
+    def device_params(self):
+        return {}
+
+    def exec(self, ctx, s, t, aux, subdt, pp=None):
         return t, aux
 
     def divergence_max(self, ctx, s):

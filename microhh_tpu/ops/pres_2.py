@@ -83,9 +83,15 @@ class Pres2:
         dt_ = self.dtype
         self.a_k = jnp.asarray(a[:, None, None], dtype=dt_)
         self.c_k = jnp.asarray(c[:, None, None], dtype=dt_)
-        self.winv = jnp.asarray(1. / w, dtype=dt_)
         self.dz2 = jnp.asarray((dz ** 2)[:, None, None], dtype=dt_)
+        # The pivot array is O(kmax*jtot*ihalf) — passed into the jitted
+        # step as an argument (device_params), NOT closed over, so it is not
+        # embedded in the HLO as a giant literal.
+        self._winv_np = (1. / w).astype(dt_)
         self._built = True
+
+    def device_params(self):
+        return {"winv": jnp.asarray(self._winv_np)}
 
     def input(self, ctx, s, t, dti):
         """RHS = divergence of rho*(tend + field/dt) (pres_2.cxx:156-196)."""
@@ -105,18 +111,19 @@ class Pres2:
                + (rhoh[1:] * ww[1:] - rhoh[:-1] * ww[:-1]) * dzi)
         return rhs  # (kmax, jtot, itot)
 
-    def solve(self, ctx, rhs):
+    def solve(self, ctx, rhs, pp=None):
         """Return pressure interior (kmax, jtot, itot)."""
+        winv = pp["winv"] if pp is not None else jnp.asarray(self._winv_np)
         kmax = rhs.shape[0]
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
 
         d = p_hat * self.dz2
         # Forward substitution: y[k] = (d[k] - a[k]*y[k-1]) / w[k].
-        A_f = jnp.broadcast_to(-self.a_k * self.winv, d.shape).astype(d.dtype)
+        A_f = jnp.broadcast_to(-self.a_k * winv, d.shape).astype(d.dtype)
         A_f = A_f.at[0].set(0.)
-        y = _assoc_linear_scan(A_f, d * self.winv, reverse=False)
+        y = _assoc_linear_scan(A_f, d * winv, reverse=False)
         # Back substitution: x[k] = y[k] - (c[k]/w[k]) * x[k+1].
-        A_b = jnp.broadcast_to(-self.c_k * self.winv, d.shape).astype(d.dtype)
+        A_b = jnp.broadcast_to(-self.c_k * winv, d.shape).astype(d.dtype)
         A_b = A_b.at[kmax - 1].set(0.)
         x = _assoc_linear_scan(A_b, y, reverse=True)
 
@@ -135,12 +142,12 @@ class Pres2:
         t["w"] = t["w"].at[ks + 1:ke].add(-dp_z)
         return t
 
-    def exec(self, ctx, s, t, aux, subdt):
+    def exec(self, ctx, s, t, aux, subdt, pp=None):
         if not self._built:
             raise RuntimeError("Pres2.set_values() not called")
         dti = 1. / subdt
         rhs = self.input(ctx, s, t, dti)
-        p_int = self.solve(ctx, rhs)
+        p_int = self.solve(ctx, rhs, pp)
         # Store p with ghosts: zero-gradient bottom (pres_2.cxx:350-358).
         p_full = jnp.zeros_like(s["u"])
         p_full = p_full.at[ctx.ks:ctx.ke].set(p_int)

@@ -166,10 +166,12 @@ class Pres4:
         m[3, r] = 1.
 
         fac = _hdma_factorize(m)
-        dt_ = self.dtype
-        self.lu = tuple(jnp.asarray(fac[i], dtype=dt_) for i in range(7))
+        self._lu_np = fac.astype(self.dtype)
         self.kmax = kmax
         self._built = True
+
+    def device_params(self):
+        return {"lu": jnp.asarray(self._lu_np)}
 
     # ------------------------------------------------------------------
     def input(self, ctx, s, t, dti):
@@ -192,9 +194,10 @@ class Pres4:
                      + fd.cg2 * ww[ks + 1:ke + 1] + fd.cg3 * ww[ks + 2:ke + 2]) * ctx.dzi4[ks:ke][:, None, None]
         return rhs
 
-    def solve(self, ctx, rhs):
+    def solve(self, ctx, rhs, pp=None):
         kmax = self.kmax
-        m1, m2, m3, m4, m5, m6, m7 = self.lu
+        lu = pp["lu"] if pp is not None else jnp.asarray(self._lu_np)
+        m1, m2, m3, m4, m5, m6, m7 = (lu[i] for i in range(7))
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
 
         # RHS rows: 0,1 and kmax+2, kmax+3 are zero.
@@ -251,12 +254,12 @@ class Pres4:
         t["w"] = t["w"].at[ks + 1:ke].add(-dp_z)
         return t
 
-    def exec(self, ctx, s, t, aux, subdt):
+    def exec(self, ctx, s, t, aux, subdt, pp=None):
         if not self._built:
             raise RuntimeError("Pres4.set_values() not called")
         dti = 1. / subdt
         rhs = self.input(ctx, s, t, dti)
-        p_int = self.solve(ctx, rhs)
+        p_int = self.solve(ctx, rhs, pp)
         ks, ke = ctx.ks, ctx.ke
         p_full = jnp.zeros_like(s["u"])
         p_full = p_full.at[ks:ke].set(p_int)
