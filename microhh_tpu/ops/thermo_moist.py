@@ -1,0 +1,298 @@
+"""Moist thermodynamics: thl + qt with saturation adjustment.
+
+Reference: ``src/thermo_moist.cxx`` + ``include/thermo_moist_functions.h``.
+
+TPU re-design of the Newton saturation adjustment: the reference's
+tolerance-terminated per-point loop (thermo_moist_functions.h:191-290)
+becomes a fixed-count (10, the reference's nitermax) vectorized Newton over
+whole fields, using the unified warm/cold formulation — the Tomita (2008)
+water fraction alpha reduces exactly to the warm-only equations when
+T >= T0, so a single branch-free update covers both regimes.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as cst
+from .stencil import i2
+
+NITER_SAT_ADJUST = 10
+
+# Taylor-expansion coefficients of the Arden Buck (1981) esat_liq
+# (reference include/constants.h:73-83).
+_ESAT_C = (6.1121000000E+02, 4.4393067270E+01, 1.4279398448E+00,
+           2.6415206946E-02, 3.0291749160E-04, 2.1159987257E-06,
+           7.5015702516E-09, -1.5604873363E-12, -9.9726710231E-14,
+           -4.8165754883E-17, 1.3839187032E-18)
+
+
+def _np_mod(x):
+    return np if isinstance(x, (float, np.ndarray, np.floating)) else jnp
+
+
+def esat_liq(T):
+    m = _np_mod(T)
+    x = m.maximum(-75., T - cst.T0)
+    acc = _ESAT_C[-1]
+    for c in _ESAT_C[-2::-1]:
+        acc = c + x * acc
+    return acc
+
+
+def qsat_liq(p, T):
+    es = esat_liq(T)
+    return cst.ep * es / (p - (1. - cst.ep) * es)
+
+
+def esat_ice(T):
+    m = _np_mod(T)
+    x = m.maximum(-100., T - cst.T0)
+    return 611.15 * m.exp(22.452 * x / (272.55 + x))
+
+
+def qsat_ice(p, T):
+    es = esat_ice(T)
+    return cst.ep * es / (p - (1. - cst.ep) * es)
+
+
+def water_fraction(T):
+    m = _np_mod(T)
+    return m.clip((T - 233.15) / (cst.T0 - 233.15), 0., 1.)
+
+
+def qsat(p, T):
+    a = water_fraction(T)
+    return a * qsat_liq(p, T) + (1. - a) * qsat_ice(p, T)
+
+
+def dqsatdT_liq(p, T):
+    es = esat_liq(T)
+    den = p - es * (1. - cst.ep)
+    return ((cst.ep / den - (1. + cst.ep) * cst.ep * es / den ** 2)
+            * cst.Lv * es / (cst.Rv * T ** 2))
+
+
+def dqsatdT_ice(p, T):
+    es = esat_ice(T)
+    den = p - es * (1. - cst.ep)
+    return ((cst.ep / den + (1. - cst.ep) * cst.ep * es / den ** 2)
+            * cst.Ls * es / (cst.Rv * T ** 2))
+
+
+def exner(p):
+    return (p / cst.p0) ** (cst.Rd / cst.cp)
+
+
+def virtual_temperature(exn, thl, qt, ql, qi):
+    th = thl + cst.Lv * ql / (cst.cp * exn) + cst.Ls * qi / (cst.cp * exn)
+    return th * (1. - (1. - cst.Rv / cst.Rd) * qt - cst.Rv / cst.Rd * (ql + qi))
+
+
+def virtual_temperature_no_ql(thl, qt):
+    return thl * (1. - (1. - cst.Rv / cst.Rd) * qt)
+
+
+def buoyancy(exn, thl, qt, ql, qi, thvref):
+    return cst.grav * (virtual_temperature(exn, thl, qt, ql, qi) - thvref) / thvref
+
+
+def buoyancy_no_ql(thl, qt, thvref):
+    return cst.grav * (virtual_temperature_no_ql(thl, qt) - thvref) / thvref
+
+
+def buoyancy_flux_no_ql(thl, thlflux, qt, qtflux, thvref):
+    return cst.grav / thvref * (thlflux * (1. - (1. - cst.Rv / cst.Rd) * qt)
+                                - (1. - cst.Rv / cst.Rd) * thl * qtflux)
+
+
+def sat_adjust(thl, qt, p, exn, niter=NITER_SAT_ADJUST):
+    """Vectorized saturation adjustment; returns (ql, qi, T, qs).
+
+    Fixed-iteration Newton with the unified alpha-weighted formulation; the
+    unsaturated mask short-circuits to (0, 0, tl, qsat_liq(tl)) exactly like
+    the early return in the reference.
+    """
+    m = _np_mod(thl)
+    tl = thl * exn
+    qs0 = qsat_liq(p, tl)
+    unsat = (qt - qs0) <= 0.
+
+    t = tl
+    for _ in range(niter):
+        a_w = water_fraction(t)
+        a_i = 1. - a_w
+        dalphadT = m.where((a_w > 0.) & (a_w < 1.), 0.025, 0.)
+        qs_t = qsat(p, t)
+        dqw = dqsatdT_liq(p, t)
+        dqi = dqsatdT_ice(p, t)
+        f = (t - tl - a_w * cst.Lv / cst.cp * qt - a_i * cst.Ls / cst.cp * qt
+             + a_w * cst.Lv / cst.cp * qs_t + a_i * cst.Ls / cst.cp * qs_t)
+        fp = (1.
+              - dalphadT * cst.Lv / cst.cp * qt + dalphadT * cst.Ls / cst.cp * qt
+              + dalphadT * cst.Lv / cst.cp * qs_t - dalphadT * cst.Ls / cst.cp * qs_t
+              + a_w * cst.Lv / cst.cp * dqw + a_i * cst.Ls / cst.cp * dqi)
+        t = t - f / fp
+
+    a_w = water_fraction(t)
+    qs_t = qsat(p, t)
+    ql_qi = m.maximum(0., qt - qs_t)
+    ql = m.where(unsat, 0., a_w * ql_qi)
+    qi = m.where(unsat, 0., (1. - a_w) * ql_qi)
+    T = m.where(unsat, tl, t)
+    qs_out = m.where(unsat, qs0, qs_t)
+    return ql, qi, T, qs_out
+
+
+class ThermoMoist:
+    def __init__(self, ini, grid, fields):
+        self.grid = grid
+        self.fields = fields
+        fields.init_prognostic_field("thl", "Liquid water potential temperature", "K", "thermo")
+        fields.init_prognostic_field("qt", "Total water mixing ratio", "kg kg-1", "thermo")
+        fields.sp["thl"].visc = ini.get_float("fields", "svisc", subitem="thl")
+        fields.sp["qt"].visc = ini.get_float("fields", "svisc", subitem="qt")
+
+        sw = ini.get_str("thermo", "swbasestate", default="")
+        if sw not in ("boussinesq", "anelastic"):
+            raise ValueError('Invalid option for "swbasestate"')
+        self.swbasestate = sw
+        self.pbot = ini.get_float("thermo", "pbot")
+        if sw == "boussinesq":
+            self.thvref0 = ini.get_float("thermo", "thvref0")
+        if grid.spatial_order == 4 and sw == "anelastic":
+            raise ValueError("Anelastic mode is not supported for swspatialorder=4")
+
+    @property
+    def scalars(self):
+        return ("thl", "qt")
+
+    def create_basestate(self, input_nc):
+        """Moist hydrostatic base state (thermo_moist_functions.h:293-350)."""
+        g = self.grid
+        kc, ks, ke = g.kcells, g.kstart, g.kend
+        thvref = np.zeros(kc)
+        thvrefh = np.zeros(kc)
+        pref = np.zeros(kc)
+        prefh = np.zeros(kc)
+
+        if self.swbasestate == "boussinesq":
+            thvref[:] = self.thvref0
+            thvrefh[:] = self.thvref0
+            # hydrostatic pressure with constant thvref
+            prefh[ks] = self.pbot
+            pref[ks] = self.pbot * np.exp(-cst.grav * g.z[ks] / (cst.Rd * thvrefh[ks] * exner(prefh[ks])))
+            for k in range(ks + 1, ke + 1):
+                prefh[k] = prefh[k - 1] * np.exp(-cst.grav * g.dz[k - 1] / (cst.Rd * thvref[k - 1] * exner(pref[k - 1])))
+                pref[k] = pref[k - 1] * np.exp(-cst.grav * g.dzh[k] / (cst.Rd * thvrefh[k] * exner(prefh[k])))
+            pref[ks - 1] = 2. * prefh[ks] - pref[ks]
+        else:
+            init = input_nc.groups["init"]
+            thl = np.zeros(kc)
+            qt = np.zeros(kc)
+            thl[ks:ke] = np.asarray(init.variables["thl"][:g.ktot], dtype=np.float64)
+            qt[ks:ke] = np.asarray(init.variables["qt"][:g.ktot], dtype=np.float64)
+            thl[ks - 1] = thl[ks]
+            qt[ks - 1] = qt[ks]
+
+            rho = np.ones(kc)
+            rhoh = np.ones(kc)
+            thlsurf = 0.5 * (thl[ks - 1] + thl[ks])
+            qtsurf = 0.5 * (qt[ks - 1] + qt[ks])
+            prefh[ks] = self.pbot
+            exh = exner(prefh[ks])
+            ql, qi, _, _ = sat_adjust(np.float64(thlsurf), np.float64(qtsurf),
+                                      np.float64(self.pbot), np.float64(exh))
+            thvrefh[ks] = virtual_temperature(exh, thlsurf, qtsurf, ql, qi)
+            rhoh[ks] = self.pbot / (cst.Rd * exh * thvrefh[ks])
+            pref[ks] = prefh[ks] * np.exp(-cst.grav * g.z[ks] / (cst.Rd * exh * thvrefh[ks]))
+            for k in range(ks + 1, ke + 1):
+                ex = exner(pref[k - 1])
+                ql, qi, _, _ = sat_adjust(thl[k - 1], qt[k - 1], pref[k - 1], ex)
+                thvref[k - 1] = virtual_temperature(ex, thl[k - 1], qt[k - 1], ql, qi)
+                rho[k - 1] = pref[k - 1] / (cst.Rd * ex * thvref[k - 1])
+                prefh[k] = prefh[k - 1] * np.exp(-cst.grav * g.dz[k - 1] / (cst.Rd * ex * thvref[k - 1]))
+                exh = exner(prefh[k])
+                thli = 0.5 * (thl[k - 1] + thl[k]) if k < ke else thl[k - 1]
+                qti = 0.5 * (qt[k - 1] + qt[k]) if k < ke else qt[k - 1]
+                ql, qi, _, _ = sat_adjust(thli, qti, prefh[k], exh)
+                thvrefh[k] = virtual_temperature(exh, thli, qti, ql, qi)
+                rhoh[k] = prefh[k] / (cst.Rd * exh * thvrefh[k])
+                pref[k] = pref[k - 1] * np.exp(-cst.grav * g.dzh[k] / (cst.Rd * exh * thvrefh[k]))
+            pref[ks - 1] = 2. * prefh[ks] - pref[ks]
+            self.fields.rhoref = rho
+            self.fields.rhorefh = rhoh
+
+        self.thvref = thvref
+        self.thvrefh = thvrefh
+        self.pref = pref
+        self.prefh = prefh
+        self.exnref = exner(np.where(pref > 0., pref, cst.p0))
+        self.exnrefh = exner(np.where(prefh > 0., prefh, cst.p0))
+
+    def save_basestate(self, iotime, path="."):
+        g = self.grid
+        with open("%s/thermo_basestate.%07d" % (path, iotime), "wb") as f:
+            for arr in (self.thvref, self.thvrefh, self.pref, self.prefh):
+                arr[g.kstart:g.kend].tofile(f)
+
+    # ------------------------------------------------------------------
+    def exec(self, ctx, s, t, aux):
+        """wt += moist buoyancy with sat adjust at half levels
+        (thermo_moist.cxx:78-120)."""
+        ks, ke = ctx.ks, ctx.ke
+        thl, qt = s["thl"], s["qt"]
+        thlh = i2(thl[ks:ke - 1], thl[ks + 1:ke])
+        qth = i2(qt[ks:ke - 1], qt[ks + 1:ke])
+        ph = jnp.asarray(self.prefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
+        exnh = jnp.asarray(self.exnrefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
+        thvrefh = jnp.asarray(self.thvrefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
+        ql, qi, _, _ = sat_adjust(thlh, qth, ph, exnh)
+        t = dict(t)
+        t["w"] = t["w"].at[ks + 1:ke].add(buoyancy(exnh, thlh, qth, ql, qi, thvrefh))
+        return t
+
+    def get_buoyancy(self, ctx, s):
+        """Full-level buoyancy with condensation (calc_buoyancy)."""
+        ks, ke = ctx.ks, ctx.ke
+        thl, qt = s["thl"], s["qt"]
+        p = jnp.asarray(self.pref, dtype=ctx.dtype)[:, None, None]
+        exn = jnp.asarray(self.exnref, dtype=ctx.dtype)[:, None, None]
+        thvref = jnp.asarray(self.thvref, dtype=ctx.dtype)[:, None, None]
+        ql, qi, _, _ = sat_adjust(thl[ks:ke], qt[ks:ke], p[ks:ke], exn[ks:ke])
+        b = jnp.zeros_like(thl)
+        b = b.at[ks:ke].set(buoyancy(exn[ks:ke], thl[ks:ke], qt[ks:ke], ql, qi, thvref[ks:ke]))
+        return b
+
+    def get_ql(self, ctx, s):
+        ks, ke = ctx.ks, ctx.ke
+        p = jnp.asarray(self.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        exn = jnp.asarray(self.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
+        return ql
+
+    def get_n2(self, ctx, s):
+        """N2 from thl like the reference calc_N2 (thermo_moist.cxx:460-478)."""
+        ks, ke = ctx.ks, ctx.ke
+        thl = s["thl"]
+        thvref = jnp.asarray(self.thvref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        return (cst.grav / thvref * 0.5 * (thl[ks + 1:ke + 1] - thl[ks - 1:ke - 1])
+                * ctx.dzi[ks:ke][:, None, None])
+
+    def get_buoyancy_fluxbot(self, ctx, s, sfc):
+        ks = ctx.ks
+        return buoyancy_flux_no_ql(s["thl"][ks], sfc["thl_fluxbot"],
+                                   s["qt"][ks], sfc["qt_fluxbot"],
+                                   self.thvrefh[ks])
+
+    def get_buoyancy_surf(self, ctx, s, sfc):
+        ks = ctx.ks
+        b = buoyancy_no_ql(s["thl"][ks], s["qt"][ks], self.thvref[ks])
+        bbot = buoyancy_no_ql(sfc["thl_bot"], sfc["qt_bot"], self.thvrefh[ks])
+        return b, bbot
+
+    def get_db_ref(self):
+        ks = self.grid.kstart
+        return cst.grav / self.thvref[ks] * (self.thvref[ks] - self.thvrefh[ks])
+
+    def get_time_limit_rate(self, ctx, s):
+        return None
