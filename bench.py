@@ -22,29 +22,35 @@ def main():
     import jax.numpy as jnp
     import __graft_entry__ as ge
 
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    ktot = int(os.environ.get("BENCH_KTOT", str(min(size, 512))))
+    if "BENCH_SIZE" in os.environ:
+        sizes = [int(os.environ["BENCH_SIZE"])]
+    else:
+        # 512^3 needs ~17GB in f32 — beyond one 16GB v5e chip (the
+        # BASELINE.json target assumed a v5p-16); fall back until it fits.
+        sizes = [512, 384, 256]
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    try:
-        model = ge._build_model(size, size, ktot)
-        model.build_step()
-        s, t, sfc = ge._initial_state(model)
-    except Exception:
-        # fall back to a smaller grid (memory)
-        size = 256
-        ktot = 256
-        model = ge._build_model(size, size, ktot)
-        model.build_step()
-        s, t, sfc = ge._initial_state(model)
+    model = s = None
+    for size in sizes:
+        ktot = int(os.environ.get("BENCH_KTOT", str(min(size, 512))))
+        try:
+            model = ge._build_model(size, size, ktot)
+            model.build_step()
+            s, t, sfc = ge._initial_state(model)
+            dt0 = jnp.asarray(2.0, dtype=model.dtype)
+            out = model._step_fn(s, t, sfc, model.pres_params, dt0)
+            jax.block_until_ready(out[0]["u"])
+            s, t, sfc = out[0], out[1], out[2]
+            break
+        except Exception as e:
+            sys.stderr.write("size %d failed: %s\n" % (size, type(e).__name__))
+            model = None
+    if model is None:
+        raise RuntimeError("no bench size fit")
 
     dt = jnp.asarray(2.0, dtype=model.dtype)
     step = model._step_fn
     pp = model.pres_params
-
-    # warmup/compile
-    s, t, sfc, aux = step(s, t, sfc, pp, dt)
-    jax.block_until_ready(s["u"])
 
     t0 = time.perf_counter()
     for _ in range(nsteps):

@@ -43,13 +43,13 @@ def make_advec(ini, grid, fields):
         from .advec_2 import Advec2
         return Advec2(ini, grid)
     if sw == "2i4":
-        from .advec_2i4 import Advec2i4
+        from .advec_interp import Advec2i4
         return Advec2i4(ini, grid)
     if sw == "2i5":
-        from .advec_2i5 import Advec2i5
+        from .advec_interp import Advec2i5
         return Advec2i5(ini, grid)
     if sw == "2i62":
-        from .advec_2i62 import Advec2i62
+        from .advec_interp import Advec2i62
         return Advec2i62(ini, grid)
     if sw == "4":
         from .advec_4 import Advec4
