@@ -99,7 +99,14 @@ class Model:
         self.force = self._make_force()
         self.buffer = self._make_buffer()
         self.limiter = self._make_limiter()
-        self.stats = None  # attached later by build_stats()
+        from .ops.decay import make_decay
+        from .ops.source import make_source
+        self.decay = make_decay(ini, self.fields)
+        self.source = make_source(ini, self.grid, self.fields)
+        self.stats = None   # attached by run_case
+        self.cross = None
+        self.dump = None
+        self.column = None
 
         self.timeloop = Timeloop(ini, sim_mode)
 
@@ -177,6 +184,8 @@ class Model:
             aux = dict(aux)
             aux["subdt"] = subdt
             t = self.buffer(ctx, s, t, aux)
+            t = self.decay(ctx, s, t, aux)
+            t = self.source(ctx, s, t, aux)
             t = self.force(ctx, s, t, aux)
             t, aux = self.pres.exec(ctx, s_cons, t, aux, subdt, pp)
             t = self.limiter(ctx, s, t, aux, subdt)
@@ -303,6 +312,10 @@ class Model:
                 # Align steps with the sampling time (stats get_time_limit).
                 tl.set_time_step_limit(
                     self.stats.isampletime - tl.itime % self.stats.isampletime)
+            for comp in (self.cross, self.dump, self.column):
+                if comp is not None and getattr(comp, "sw", False):
+                    tl.set_time_step_limit(
+                        comp.isampletime - tl.itime % comp.isampletime)
             lim = {k: float(v) for k, v in self._limits_fn(s, sfc).items()}
             cfl = lim.get("cfl_rate", 0.) * tl.dt
             dn = lim.get("dn_rate", 0.) * tl.dt
@@ -316,14 +329,22 @@ class Model:
             if tl.do_check():
                 self.print_status(s, sfc, cfl, dn, status_file)
 
-            if self.stats is not None and tl.is_stats_step():
-                self.stats.maybe_exec(self, s, t, sfc)
+            if tl.is_stats_step():
+                if self.stats is not None:
+                    self.stats.maybe_exec(self, s, t, sfc)
+                if self.cross is not None and self.cross.do_cross(tl.itime):
+                    self.cross.exec(s, getattr(self, "_last_aux", None), tl.iotime)
+                if self.dump is not None and self.dump.do_dump(tl.itime):
+                    self.dump.exec(s, getattr(self, "_last_aux", None), tl.iotime)
+                if self.column is not None and self.column.do_column(tl.itime):
+                    self.column.exec(s, tl.time)
 
             if tl.is_finished():
                 break
 
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
             s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params, dt_dev)
+            self._last_aux = _aux
             tl.step_time()
 
             if tl.do_save():
@@ -337,6 +358,30 @@ class Model:
         self.final_sfc = sfc
         return s, t
 
+    # ------------------------------------------------------------------
+    #  post-processing mode (reference model.cxx:523-543): re-read restart
+    #  files and re-run the diagnostics blocks, no time integration.
+    # ------------------------------------------------------------------
+    def post(self):
+        tl = self.timeloop
+        self.build_step()
+        while True:
+            iotime = int(tl.iotime)
+            tl.load(iotime, self.workdir)
+            state_np = self.fields.load(iotime, self.workdir, dtype=self.dtype)
+            s, t, sfc = self.as_device_state(state_np)
+            if self.stats is not None and self.stats.do_statistics(tl.itime):
+                self.stats.maybe_exec(self, s, t, sfc)
+            if self.cross is not None and self.cross.do_cross(tl.itime):
+                self.cross.exec(s, None, iotime)
+            if self.dump is not None and self.dump.do_dump(tl.itime):
+                self.dump.exec(s, None, iotime)
+            if self.column is not None and self.column.do_column(tl.itime):
+                self.column.exec(s, tl.time)
+            tl.step_post_proc_time()
+            if tl.is_finished():
+                break
+
 
 def run_case(case_dir, casename, mode, dtype=None):
     """CLI entry: microhh {init,run} casename (reference main/microhh.cxx)."""
@@ -345,13 +390,22 @@ def run_case(case_dir, casename, mode, dtype=None):
     model.finish_setup()
     if mode == "init":
         model.save_initial_state()
-    elif mode == "run":
+    elif mode in ("run", "post"):
+        from .output import Cross, Dump, Column
         if model.ini.get_int("stats", "swstats", default=0):
             from .stats import Stats
             model.stats = Stats(model)
-        model.run()
+        model.cross = Cross(model)
+        model.dump = Dump(model)
+        model.column = Column(model)
+        if mode == "run":
+            model.run()
+        else:
+            model.post()
         if model.stats is not None:
             model.stats.close()
+        if model.column is not None:
+            model.column.close()
     else:
         raise ValueError("unknown mode %s" % mode)
     unused = model.ini.unused_items()

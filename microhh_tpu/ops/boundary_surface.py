@@ -63,14 +63,17 @@ class BoundarySurface:
         return self.bcs[self.thermo.scalars[0]].bcbot
 
     def _get_lut(self):
+        # Cache NUMPY arrays only — caching device arrays created inside a
+        # trace leaks tracers (jnp.asarray of numpy at use-site is a cheap
+        # compile-time constant).
         if self._lut is None:
             zsl = self.grid.z[self.grid.kstart]
             thermobc = self._thermobc()
-            zL, f = most.prepare_lut(self.z0m, self.z0h, zsl,
-                                     mbcbot_dirichlet=(self.mbcbot == DIRICHLET),
-                                     thermobc_flux=(thermobc == FLUX))
-            self._lut = (jnp.asarray(zL), jnp.asarray(f))
-        return self._lut
+            self._lut = most.prepare_lut(self.z0m, self.z0h, zsl,
+                                         mbcbot_dirichlet=(self.mbcbot == DIRICHLET),
+                                         thermobc_flux=(thermobc == FLUX))
+        zL, f = self._lut
+        return jnp.asarray(zL), jnp.asarray(f)
 
     # ------------------------------------------------------------------
     def init_surface_state(self, dtype=np.float64):
