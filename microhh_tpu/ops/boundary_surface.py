@@ -56,6 +56,11 @@ class BoundarySurface:
 
         self.thermo = None  # set by Model after construction
         self._lut = None
+        # The z/L lookup table maps to slow gathers on TPU; the vectorized
+        # warm-started Newton solve is the default (MICROHH_MOST_LUT=1 to
+        # force the reference's LUT interpolation).
+        import os
+        self.use_lut = os.environ.get("MICROHH_MOST_LUT", "0") == "1"
 
     def _thermobc(self):
         if self.thermo is None or not getattr(self.thermo, "scalars", ()):
@@ -146,17 +151,24 @@ class BoundarySurface:
                 ustar = sfc["ustar"]
                 obuk = -(ustar ** 3) / (cst.kappa * bfluxbot)
             elif self.mbcbot == DIRICHLET and thermobc == FLUX:
-                zL_lut, f_lut = self._get_lut()
                 Ri = -cst.kappa * bfluxbot * zsl / dutot ** 3
-                zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                if self.use_lut:
+                    zL_lut, f_lut = self._get_lut()
+                    zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                else:
+                    zL = most.solve_zL_flux(Ri, zsl / sfc["obuk"], zsl, self.z0m)
                 obuk = zsl / zL
                 ustar = dutot * most.fm(zsl, self.z0m, obuk)
             elif self.mbcbot == DIRICHLET and thermobc == DIRICHLET:
                 b, bbot = self.thermo.get_buoyancy_surf(ctx, s, sfc)
                 db = b - bbot + self.thermo.get_db_ref()
-                zL_lut, f_lut = self._get_lut()
                 Ri = cst.kappa * db * zsl / dutot ** 2
-                zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                if self.use_lut:
+                    zL_lut, f_lut = self._get_lut()
+                    zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
+                else:
+                    zL = most.solve_zL_dirichlet(Ri, zsl / sfc["obuk"], zsl,
+                                                 self.z0m, self.z0h)
                 obuk = zsl / zL
                 ustar = dutot * most.fm(zsl, self.z0m, obuk)
             else:

@@ -160,3 +160,85 @@ def lookup_zL(zL_sl, f_sl, Ri):
     interp = zL_sl[nm] + (Ri - f_sl[nm]) / (f_sl[n] - f_sl[nm] + 1e-30) * (zL_sl[n] - zL_sl[nm])
     edge = (n == 0) | (n == NZL_LUT - 1)
     return jnp.where(edge, zL_sl[n], interp)
+
+
+# --- direct Newton solvers (TPU-fast path) ---------------------------------
+#
+# The reference's per-point warm-started linear LUT search maps to gathers on
+# TPU, which are slow; these fixed-iteration vectorized Newton solvers invert
+# the same monotone relations (boundary_surface_kernels.h
+# calc_obuk_noslip_*_iterative) with elementwise VPU math only.  Warm-started
+# from the previous step's Obukhov length, 8 iterations reach float32
+# roundoff.
+
+_ZL_EPS = 1e-8
+
+
+def _seed_zL(zL0, Ri):
+    """Previous-step z/L if the stability regime matches, else a small seed
+    of the correct sign (the reference resets L on regime change too)."""
+    same_sign = jnp.sign(zL0) == jnp.sign(Ri)
+    seed = jnp.sign(Ri) * 0.05
+    zL = jnp.where(same_sign, zL0, seed)
+    mag = jnp.clip(jnp.abs(zL), _ZL_EPS, -cst.zL_min)
+    return jnp.sign(zL) * mag
+
+
+def _stable_peak(fn):
+    """Peak of the stable branch of fn(zL): beyond it the relation is not
+    invertible (computed in numpy at trace time; zsl/z0 are static)."""
+    zg = np.linspace(1e-3, cst.zL_max, 4000)
+    fv = fn(zg)
+    ipk = int(np.argmax(fv))
+    return float(zg[ipk]), float(fv[ipk])
+
+
+def solve_zL_flux(Ri, zL0, zsl, z0m, niter=8):
+    """Solve zL * fm(zL)^3 = Ri (flux thermal BC).  Beyond the stable-branch
+    peak the relation has no root; clamp to zL_max like the reference's LUT
+    walk-to-end behavior (find_zL returning the last table entry)."""
+    zL_pk, f_pk = _stable_peak(lambda z: z * _np_fm(zsl, z0m, zsl / z) ** 3)
+    no_solution = Ri >= f_pk
+    Ri = jnp.where(no_solution, 0.5 * f_pk, Ri)
+    Ri = jnp.where(jnp.abs(Ri) < 1e-12, jnp.sign(Ri) * 1e-12 + (Ri == 0.) * 1e-12, Ri)
+    zL = _seed_zL(zL0, Ri)
+    zL = jnp.minimum(zL, zL_pk)
+
+    def f(zL_):
+        return zL_ * fm(zsl, z0m, zsl / zL_) ** 3 - Ri
+
+    for _ in range(niter):
+        h = 0.001 * jnp.abs(zL) + 1e-10
+        fp = (f(zL + h) - f(zL - h)) / (2. * h)
+        step = f(zL) / jnp.where(jnp.abs(fp) < 1e-30, 1e-30, fp)
+        zL_new = zL - step
+        # keep the iterate on the correct branch
+        zL_new = jnp.where(jnp.sign(zL_new) == jnp.sign(Ri), zL_new,
+                           0.5 * zL)
+        zL = jnp.clip(zL_new, cst.zL_min, zL_pk)
+        zL = jnp.sign(zL) * jnp.clip(jnp.abs(zL), _ZL_EPS, -cst.zL_min)
+    return jnp.where(no_solution, cst.zL_max, zL)
+
+
+def solve_zL_dirichlet(Ri, zL0, zsl, z0m, z0h, niter=8):
+    """Solve zL * fm(zL)^2 / fh(zL) = Ri (Dirichlet thermal BC).  For
+    Ri > 0.13 the system has no solution; clamp to zL_max like the
+    reference (L_min_stable)."""
+    no_solution = Ri > 0.13
+    Ri_c = jnp.where(no_solution, 0.12, Ri)
+    Ri_c = jnp.where(jnp.abs(Ri_c) < 1e-12, 1e-12, Ri_c)
+    zL = _seed_zL(zL0, Ri_c)
+
+    def f(zL_):
+        L = zsl / zL_
+        return zL_ * fm(zsl, z0m, L) ** 2 / fh(zsl, z0h, L) - Ri_c
+
+    for _ in range(niter):
+        h = 0.001 * jnp.abs(zL) + 1e-10
+        fp = (f(zL + h) - f(zL - h)) / (2. * h)
+        step = f(zL) / jnp.where(jnp.abs(fp) < 1e-30, 1e-30, fp)
+        zL_new = zL - step
+        zL_new = jnp.where(jnp.sign(zL_new) == jnp.sign(Ri_c), zL_new, 0.5 * zL)
+        zL = jnp.clip(zL_new, cst.zL_min, cst.zL_max)
+        zL = jnp.sign(zL) * jnp.clip(jnp.abs(zL), _ZL_EPS, -cst.zL_min)
+    return jnp.where(no_solution, cst.zL_max, zL)

@@ -1,0 +1,115 @@
+"""Fused Pallas LES kernels vs the reference jnp op pipeline: the fused
+evisc and tendency passes must match advec_2 + diff_smag2 + thermo_dry
+exactly (same math, same order of operations up to fusion)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from microhh_tpu.config import Ini
+from microhh_tpu.model import Model
+from microhh_tpu.ops.pallas_fused import (FusedLES2, fused_exec_viscosity,
+                                          fused_tendencies)
+
+INI = """
+[grid]
+itot=16
+jtot=16
+ktot=16
+xsize=3200.
+ysize=3200.
+zsize=1200.
+swspatialorder=2
+
+[advec]
+swadvec=2
+cflmax=1.2
+
+[diff]
+swdiff=smag2
+dnmax=0.3
+
+[thermo]
+swthermo=dry
+swbasestate=boussinesq
+thref0=300.
+pbot=100000.
+
+[boundary]
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=flux
+sbctop=neumann
+sbot=0.1
+stop=0.003
+swboundary=surface
+z0m=0.1
+z0h=0.1
+
+[fields]
+visc=1.e-5
+svisc=1.e-5
+
+[time]
+starttime=0
+endtime=3600
+savetime=3600
+dt=6.
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = Model(Ini(INI), "run", "fused")
+    m.finish_setup()
+    g = m.grid
+    rng = np.random.RandomState(3)
+    s = {}
+    for name in m.fields.prognostic_names:
+        a = np.zeros((g.kcells, g.jtot, g.itot))
+        a[g.kstart:g.kend] = 0.3 * rng.randn(g.ktot, g.jtot, g.itot)
+        s[name] = a
+    s["th"][g.kstart:g.kend] += 300. + 0.003 * g.z[g.kstart:g.kend, None, None]
+    s["w"][g.kstart] = 0.
+    s["w"][g.kend] = 0.
+    s = {k: jnp.asarray(v) for k, v in s.items()}
+    sfc_np = m.boundary.init_surface_state()
+    sfc = {k: jnp.asarray(v) for k, v in sfc_np.items()}
+    ctx = m.ctx
+    s = m.boundary.set_ghost_cells(ctx, s, sfc)
+    sfc = m.boundary.exec(ctx, s, sfc, {})
+    s = m.boundary.set_ghost_cells(ctx, s, sfc)
+    fused = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True)
+    return m, ctx, s, sfc, fused
+
+
+def test_fused_evisc_matches(setup):
+    m, ctx, s, sfc, fused = setup
+    aux_ref = m.diff.exec_viscosity(ctx, s, sfc, {})
+    aux_fused = fused_exec_viscosity(fused, ctx, s, sfc, {})
+    a = np.asarray(aux_ref["evisc"])
+    b = np.asarray(aux_fused["evisc"])
+    ks, ke = ctx.ks, ctx.ke
+    assert np.allclose(a[ks:ke], b[ks:ke], rtol=1e-12, atol=1e-14), \
+        np.abs(a[ks:ke] - b[ks:ke]).max()
+
+
+def test_fused_tendencies_match(setup):
+    m, ctx, s, sfc, fused = setup
+    aux = m.diff.exec_viscosity(ctx, s, sfc, {})
+    t0 = {n: jnp.zeros_like(s[n]) for n in s}
+
+    # reference pipeline
+    t_ref = m.thermo.exec(ctx, s, dict(t0), aux)
+    t_ref = m.advec.exec(ctx, s, t_ref, aux)
+    t_ref = m.diff.exec(ctx, s, t_ref, aux, sfc)
+
+    # fused pipeline
+    t_f = fused_tendencies(fused, ctx, s, dict(t0), aux, sfc)
+
+    ks, ke = ctx.ks, ctx.ke
+    for name in ("u", "v", "w", "th"):
+        a = np.asarray(t_ref[name])[ks:ke]
+        b = np.asarray(t_f[name])[ks:ke]
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-12, (name, err)
