@@ -40,7 +40,8 @@ def main():
             model.build_step()
             s, t, sfc = ge._initial_state(model)
             dt0 = jnp.asarray(2.0, dtype=model.dtype)
-            out = model._step_fn(s, t, sfc, model.pres_params, dt0)
+            time0 = jnp.asarray(0.0, dtype=model.dtype)
+            out = model._step_fn(s, t, sfc, model.pres_params, dt0, time0)
             jax.block_until_ready(out[0]["u"])
             s, t, sfc = out[0], out[1], out[2]
             break
@@ -54,9 +55,10 @@ def main():
     step = model._step_fn
     pp = model.pres_params
 
+    time0 = jnp.asarray(0.0, dtype=model.dtype)
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        s, t, sfc, aux = step(s, t, sfc, pp, dt)
+        s, t, sfc, aux = step(s, t, sfc, pp, dt, time0)
     jax.block_until_ready(s["u"])
     t1 = time.perf_counter()
 

@@ -85,8 +85,14 @@ class Model:
             self.grid.set_z(np.linspace(0.5 * dz, self.grid.zsize - 0.5 * dz, self.grid.ktot))
 
         self.fields = Fields(ini, self.grid)
-        # Thermo registers its prognostic scalars before the BC table is built.
+        # Thermo and microphysics register their prognostic scalars before
+        # the BC table is built.
         self.thermo = ops.make_thermo(ini, self.grid, self.fields)
+        from .ops.microphys import make_microphys
+        self.micro = make_microphys(ini, self.grid, self.fields)
+        self.micro.thermo = self.thermo
+        from .ops.radiation import make_radiation
+        self.radiation = make_radiation(ini, self.grid)
         self.boundary = ops.make_boundary(ini, self.fields, self.grid)
         self.advec = ops.make_advec(ini, self.grid, self.fields)
         self.diff = ops.make_diff(ini, self.grid, self.fields, self.boundary)
@@ -169,7 +175,7 @@ class Model:
         # config when the (jtot, itot) plane set fits VMEM.
         fused = self._maybe_build_fused()
 
-        def substep(s, t, sfc, aux, pp, dt, sub):
+        def substep(s, t, sfc, aux, pp, dt, time_s, sub):
             s = self.boundary.set_ghost_cells(ctx, s, sfc)
             if fused is not None:
                 from .ops.pallas_fused import (fused_exec_viscosity,
@@ -178,6 +184,8 @@ class Model:
             else:
                 aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
                 t = self.thermo.exec(ctx, s, t, aux)
+            t, aux = self.micro.exec(ctx, s, t, aux, dt)
+            t = self.radiation.exec(ctx, s, t, aux, time_s, self.thermo)
             sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
@@ -209,10 +217,10 @@ class Model:
             t = {n: t[n] * ctx.dtype(can) for n in names}
             return s, t, sfc, aux
 
-        def step(s, t, sfc, pp, dt):
+        def step(s, t, sfc, pp, dt, time_s):
             aux = {}
             for sub in range(nsub):
-                s, t, sfc, aux = substep(s, t, sfc, aux, pp, dt, sub)
+                s, t, sfc, aux = substep(s, t, sfc, aux, pp, dt, time_s, sub)
             return s, t, sfc, aux
 
         def limits(s, sfc):
@@ -225,6 +233,9 @@ class Model:
             dn = self.diff.get_dn(ctx, s_g, aux)
             if dn is not None:
                 out["dn_rate"] = dn
+            mrate = self.micro.get_time_limit_rate(ctx, s)
+            if mrate is not None:
+                out["micro_rate"] = mrate
             return out
 
         def diagnostics(s, sfc):
@@ -366,6 +377,9 @@ class Model:
                 tl.set_time_step_limit(tl.idt * cflmax / cfl_eff)
             if dnmax is not None and dn > 0.:
                 tl.set_time_step_limit(tl.idt * dnmax / dn)
+            if "micro_rate" in lim:
+                micro_cfl = max(lim["micro_rate"] * tl.dt, 1e-5)
+                tl.set_time_step_limit(tl.idt * self.micro.cflmax / micro_cfl)
             tl.set_time_step()
 
             if tl.do_check():
@@ -385,7 +399,9 @@ class Model:
                 break
 
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
-            s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params, dt_dev)
+            time_dev = jnp.asarray(tl.time, dtype=self.dtype)
+            s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params,
+                                            dt_dev, time_dev)
             self._last_aux = _aux
             tl.step_time()
 

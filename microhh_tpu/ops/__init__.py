@@ -106,6 +106,9 @@ def make_thermo(ini, grid, fields):
     if sw == "moist":
         from .thermo_moist import ThermoMoist
         return ThermoMoist(ini, grid, fields)
+    if sw == "vapor":
+        from .thermo_vapor import ThermoVapor
+        return ThermoVapor(ini, grid, fields)
     raise ValueError("%s is an illegal value for swthermo" % sw)
 
 

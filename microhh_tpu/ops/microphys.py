@@ -1,0 +1,273 @@
+"""Seifert-Beheng two-moment warm-rain microphysics
+(reference ``src/microphys_2mom_warm.cxx``; SB06 = Seifert & Beheng 2006,
+SS08 = Stevens & Seifert 2008).
+
+Prognostic rain mass qr and number nr.  TPU re-design notes:
+
+* every conversion kernel is branch-free ``jnp.where`` masking over whole
+  fields instead of per-point ``if (ql > ql_min)``;
+* the SS08 sedimentation's data-dependent while-loop (flux accumulated over
+  the cells a drop crosses in one dt) becomes a FIXED unrolled sweep of
+  ``NSED`` shifted passes (the sedimentation CFL is capped at
+  ``[micro] cflmax`` (default 2) by its dt limit, so 4 cells suffice),
+  followed by a downward ``lax.scan`` applying the positivity flux limiter
+  (which couples levels sequentially).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as cst
+from .thermo_moist import esat_liq, qsat_liq
+
+# SB06 constants (reference include/microphys_2mom_warm.h:55-70)
+RHO_0 = 1.225
+QL_MIN = 1.e-6
+QR_MIN = 1.e-15
+X_STAR = 2.6e-10
+PIRHOW = np.pi * cst.rho_w / 6.
+MC_MAX = 1.3e-9   # not used directly; mr_min = mc_max
+MR_MIN = 1.3e-9
+MR_MAX = 3e-6
+D_V = 3.e-5       # diffusivity of water vapor [m2 s-1] (constants.h D_v)
+K_T = 2.5e-2      # thermal conductivity of air  (constants.h K_t)
+
+NSED = 4          # unrolled sedimentation sweep depth (cflmax<=2 -> 3 safe)
+
+
+def calc_rain_props(qr, nr, rho):
+    """mean mass, diameter, shape mu_r, slope lambda_r."""
+    mr = rho * qr / jnp.maximum(nr, 1.)
+    mr = jnp.clip(mr, MR_MIN, MR_MAX)
+    dr = (mr / PIRHOW) ** (1. / 3.)
+    mur = 10. * (1. + jnp.tanh(1200. * (dr - 0.0015)))
+    lamr = ((mur + 3.) * (mur + 2.) * (mur + 1.)) ** (1. / 3.) / dr
+    return mr, dr, mur, lamr
+
+
+class Microphys2momWarm:
+    sw = "2mom_warm"
+
+    def __init__(self, ini, grid, fields):
+        self.grid = grid
+        self.fields = fields
+        self.cflmax = ini.get_float("micro", "cflmax", default=2.)
+        self.Nc0 = ini.get_float("micro", "Nc0")
+        self.swmicrobudget = ini.get_bool("micro", "swmicrobudget", default=False)
+        fields.init_prognostic_field("qr", "Rain water mixing ratio", "kg kg-1", "micro")
+        fields.init_prognostic_field("nr", "Number density rain", "m-3", "micro")
+        fields.sp["qr"].visc = ini.get_float("fields", "svisc", subitem="qr")
+        fields.sp["nr"].visc = ini.get_float("fields", "svisc", subitem="nr")
+        self.thermo = None  # wired by Model
+
+    def exec(self, ctx, s, t, aux, dt):
+        ks, ke = ctx.ks, ctx.ke
+        thermo = self.thermo
+        ql = thermo.get_ql(ctx, s)                     # (ktot,...)
+        qr = s["qr"][ks:ke]
+        nr = s["nr"][ks:ke]
+        qt = s["qt"][ks:ke]
+        thl = s["thl"][ks:ke]
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        exner = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        p = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+
+        qrt = jnp.zeros_like(qr)
+        nrt = jnp.zeros_like(qr)
+        qtt = jnp.zeros_like(qr)
+        thlt = jnp.zeros_like(qr)
+
+        lv_cpe = cst.Lv / (cst.cp * exner)
+
+        # ---- autoconversion (SB06 eq 4; microphys_2mom_warm.cxx:93-128) ----
+        nu_c, k_cc = 1., 9.44e9
+        kccxs = k_cc / (20. * X_STAR) * (nu_c + 2.) * (nu_c + 4.) / (nu_c + 1.) ** 2
+        has_ql = ql > QL_MIN
+        xc = rho * ql / self.Nc0
+        tau = 1. - ql / (ql + qr + cst.dsmall)
+        tau_s = jnp.clip(tau, 1e-12, 1. - 1e-12)
+        phi_au = 600. * tau_s ** 0.68 * (1. - tau_s ** 0.68) ** 3
+        au = RHO_0 * kccxs * ql ** 2 * xc ** 2 * (1. + phi_au / (1. - tau_s) ** 2)
+        au = jnp.where(has_ql, au, 0.)
+        qrt += au
+        nrt += au * rho / X_STAR
+        qtt -= au
+        thlt += lv_cpe * au
+
+        # ---- accretion (SB06 eq 7) ----
+        has_both = has_ql & (qr > QR_MIN)
+        phi_ac = (tau_s / (tau_s + 5e-5)) ** 4
+        ac = 5.25 * ql * qr * phi_ac * jnp.sqrt(RHO_0 / rho)
+        ac = jnp.where(has_both, ac, 0.)
+        qrt += ac
+        qtt -= ac
+        thlt += lv_cpe * ac
+
+        # ---- rain properties ----
+        mr, dr, mur, lamr = calc_rain_props(qr, nr, rho)
+        has_qr = qr > QR_MIN
+
+        # ---- evaporation ----
+        T = thl * exner + cst.Lv * ql / (cst.cp * exner)
+        Glv = 1. / (cst.Rv * T / (esat_liq(T) * D_V)
+                    + (cst.Lv / (K_T * T)) * (cst.Lv / (cst.Rv * T) - 1.))
+        S = (qt - ql) / qsat_liq(p, T) - 1.
+        ev = 2. * np.pi * dr * Glv * S * nr / rho
+        ev = jnp.where(has_qr, ev, 0.)
+        qrt += ev
+        nrt += 1.0 * ev * rho / mr
+        qtt -= ev
+        thlt += lv_cpe * ev
+
+        # ---- selfcollection & breakup (SB06 p49-50) ----
+        k_rr, kappa_rr, D_eq = 7.12, 60.7, 0.9e-3
+        sc = (-k_rr * nr * qr * rho
+              / (1. + kappa_rr / lamr * PIRHOW ** (1. / 3.)) ** 9
+              * jnp.sqrt(RHO_0 / rho))
+        sc = jnp.where(has_qr, sc, 0.)
+        dDr = dr - D_eq
+        phi_br = jnp.where(dr <= D_eq, 1.0e3 * dDr, 2. * jnp.exp(2.3e3 * dDr) - 1.)
+        br = jnp.where(has_qr & (dr > 0.35e-3), -(phi_br + 1.) * sc, 0.)
+        nrt += sc + br
+
+        # ---- sedimentation (SS08) ----
+        qrt_s, nrt_s, rr_bot = self._sedimentation(ctx, qr, nr, mur, lamr, rho, dt)
+        qrt += qrt_s
+        nrt += nrt_s
+
+        t = dict(t)
+        t["qr"] = t["qr"].at[ks:ke].add(qrt)
+        t["nr"] = t["nr"].at[ks:ke].add(nrt)
+        t["qt"] = t["qt"].at[ks:ke].add(qtt)
+        t["thl"] = t["thl"].at[ks:ke].add(thlt)
+        aux = dict(aux)
+        aux["rr_bot"] = rr_bot
+        return t, aux
+
+    def _sedimentation(self, ctx, qr, nr, mur, lamr, rho, dt):
+        ks, ke = ctx.ks, ctx.ke
+        kt = ke - ks
+        w_max, a_R, c_R = 9.65, 9.65, 600.
+        b_R = a_R * np.exp(c_R * 25.0e-6)
+        rho_n = jnp.sqrt(1.2 / rho)
+        has_qr = qr > QR_MIN
+
+        w_qr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 4.)), 0.1, w_max), 0.)
+        w_nr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 1.)), 0.1, w_max), 0.)
+
+        dzi = ctx.dzi[ks:ke][:, None, None]
+        dz = ctx.dz[ks:ke][:, None, None]
+
+        def pad_w(w):
+            # ghost below = copy of bottom; above = zero
+            return jnp.concatenate([w[:1], w, jnp.zeros_like(w[:1])], axis=0)
+
+        def interp_c(wp):
+            return 0.25 * (wp[:-2] + 2. * wp[1:-1] + wp[2:]) * dzi * dt
+
+        c_qr = interp_c(pad_w(w_qr))
+        c_nr = interp_c(pad_w(w_nr))
+
+        def minmod(a, b):
+            return jnp.sign(a) * jnp.maximum(0., jnp.minimum(jnp.abs(a), jnp.sign(a) * b))
+
+        def slopes(a):
+            a_dn = jnp.concatenate([a[:1], a[:-1]], axis=0)
+            a_up = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            return minmod(a - a_dn, a_up - a)
+
+        def shift_up(x, m):
+            """Value at level k+m (zero-padded above the domain top)."""
+            if m == 0:
+                return x
+            return jnp.concatenate([x[m:], jnp.zeros((m,) + x.shape[1:], x.dtype)],
+                                   axis=0)
+
+        def raw_flux(a, c):
+            """Unrolled SS08 flux integral at the bottom face of each cell:
+            accumulate the mass swept past the face from the NSED cells a
+            drop can cross within one dt (while-loop in the reference)."""
+            sl = slopes(a)
+            rho_b = jnp.broadcast_to(rho, a.shape)
+            dz_b = jnp.broadcast_to(dz, a.shape)
+            dzi_b = jnp.broadcast_to(dzi, a.shape)
+            ftot = jnp.zeros_like(a)
+            dzz = jnp.zeros_like(a)
+            cc = jnp.minimum(1., c)
+            for m in range(NSED):
+                a_m = shift_up(a, m)
+                sl_m = shift_up(sl, m)
+                rho_m = shift_up(rho_b, m)
+                dz_m = shift_up(dz_b, m)
+                active = cc > 0.
+                ftot = ftot + jnp.where(active,
+                                        rho_m * (a_m + 0.5 * sl_m * (1. - cc)) * cc * dz_m,
+                                        0.)
+                dzz = dzz + jnp.where(active, dz_m, 0.)
+                c_n = shift_up(jnp.broadcast_to(c, a.shape), m + 1)
+                dzi_n = shift_up(dzi_b, m + 1)
+                cc = jnp.where(active, jnp.minimum(1., c_n - dzz * dzi_n), 0.)
+            return ftot
+
+        def limited_flux(a, c):
+            ftot_raw = raw_flux(a, c)
+            mass = jnp.broadcast_to(rho * dz, a.shape) * a
+
+            # downward scan applying the positivity limiter
+            def body(flux_above, xs):
+                fr, ms = xs
+                ftot = jnp.minimum(fr, ms - flux_above * dt)
+                flux = -ftot / dt
+                return flux, flux
+
+            _, flux_rev = jax.lax.scan(body, jnp.zeros_like(a[0]),
+                                       (ftot_raw[::-1], mass[::-1]))
+            flux = flux_rev[::-1]                       # flux at bottom face of cell k
+            flux_top = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], axis=0)
+            tend = -(flux_top - flux) / jnp.broadcast_to(rho, a.shape) * dzi
+            return tend, flux[0]
+
+        qrt_s, fq0 = limited_flux(qr, c_qr)
+        nrt_s, _ = limited_flux(nr, c_nr)
+        rr_bot = -fq0
+        return qrt_s, nrt_s, rr_bot
+
+    def get_time_limit_rate(self, ctx, s):
+        """Max sedimentation velocity * dzi; host multiplies by dt and
+        compares against cflmax (calc_max_sedimentation_cfl)."""
+        ks, ke = ctx.ks, ctx.ke
+        qr = s["qr"][ks:ke]
+        nr = s["nr"][ks:ke]
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        mr, dr, mur, lamr = calc_rain_props(qr, nr, rho)
+        w_max, a_R, c_R = 9.65, 9.65, 600.
+        b_R = a_R * np.exp(c_R * 25.0e-6)
+        w_qr = jnp.where(qr > QR_MIN,
+                         jnp.clip(a_R - b_R * (1. + c_R / lamr) ** (-(mur + 4.)), 0.1, w_max), 0.)
+        rate = jnp.max(w_qr * ctx.dzi[ks:ke][:, None, None])
+        return jnp.maximum(rate, 1e-5)
+
+
+class MicrophysDisabled:
+    sw = "0"
+
+    def __init__(self, *a, **k):
+        self.thermo = None
+
+    def exec(self, ctx, s, t, aux, dt):
+        return t, aux
+
+    def get_time_limit_rate(self, ctx, s):
+        return None
+
+
+def make_microphys(ini, grid, fields):
+    sw = ini.get_str("micro", "swmicro", default="0")
+    if sw in ("0", "false"):
+        return MicrophysDisabled()
+    if sw == "2mom_warm":
+        return Microphys2momWarm(ini, grid, fields)
+    if sw == "nsw6":
+        raise NotImplementedError("nsw6 ice microphysics is not yet implemented")
+    raise ValueError("%s is an illegal value for swmicro" % sw)

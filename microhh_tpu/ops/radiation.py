@@ -1,0 +1,182 @@
+"""Radiation schemes: disabled, prescribed, GCSS parameterized LW/SW
+(reference ``src/radiation.cxx`` factory, ``radiation_prescribed.cxx``,
+``radiation_gcss.cxx``).  The full RTE+RRTMGP scheme is a later milestone.
+
+The GCSS (DYCOMS) scheme's per-column cumulative liquid-water-path loops
+become ``cumsum`` scans over k — fully vectorized over the horizontal plane.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as cst
+
+
+class RadiationDisabled:
+    sw = "0"
+
+    def __init__(self, *a, **k):
+        pass
+
+    def exec(self, ctx, s, t, aux, time_s, thermo):
+        return t
+
+
+class RadiationPrescribed:
+    """Constant (optionally time-dependent) surface radiative fluxes
+    (radiation_prescribed.cxx): consumed by the land-surface scheme."""
+
+    sw = "prescribed"
+
+    def __init__(self, ini, grid):
+        self.swtimedep = ini.get_bool("radiation", "swtimedep_prescribed", default=False)
+        if not self.swtimedep:
+            self.sw_flux_dn = ini.get_float("radiation", "sw_flux_dn")
+            self.sw_flux_up = ini.get_float("radiation", "sw_flux_up")
+            self.lw_flux_dn = ini.get_float("radiation", "lw_flux_dn")
+            self.lw_flux_up = ini.get_float("radiation", "lw_flux_up")
+
+    def exec(self, ctx, s, t, aux, time_s, thermo):
+        return t
+
+    def get_surface_radiation(self):
+        return {"sw_flux_dn": self.sw_flux_dn, "sw_flux_up": self.sw_flux_up,
+                "lw_flux_dn": self.lw_flux_dn, "lw_flux_up": self.lw_flux_up}
+
+
+def calc_zenith(lat, lon, day_of_year):
+    """Cosine of the solar zenith angle (radiation_gcss.cxx:40-76)."""
+    pi = np.pi
+    z1, z2, z3, z4, z5, z6 = 279.934, 1.914827, 0.7952, 0.019938, 0.00162, 23.4439
+    time2sec = day_of_year + 1 + lon / 360.
+    day = jnp.floor(time2sec)
+    lam = lat * pi / 180.
+    d = 2. * pi * jnp.round(time2sec) / 365.
+    sig = d + pi / 180. * (z1 + z2 * jnp.sin(d) - z3 * jnp.cos(d)
+                           + z4 * jnp.sin(2. * d) - z5 * jnp.cos(2. * d))
+    delta = jnp.arcsin(jnp.sin(z6 * pi / 180.) * jnp.sin(sig))
+    h = 2. * pi * ((time2sec - day) - 0.5)
+    return (jnp.sin(lam) * jnp.sin(delta)
+            + jnp.cos(lam) * jnp.cos(delta) * jnp.cos(h))
+
+
+class RadiationGcss:
+    sw = "gcss"
+
+    def __init__(self, ini, grid):
+        self.grid = grid
+        self.xka = ini.get_float("radiation", "xka")
+        self.fr0 = ini.get_float("radiation", "fr0")
+        self.fr1 = ini.get_float("radiation", "fr1")
+        self.div = ini.get_float("radiation", "div")
+        self.mu_min = ini.get_float("radiation", "mu_min", default=0.035)
+        self.lat = grid.lat
+        self.lon = grid.lon
+
+    def exec(self, ctx, s, t, aux, time_s, thermo):
+        """LW always; SW gated on daytime zenith (exec_gcss_rad)."""
+        ks, ke = ctx.ks, ctx.ke
+        ql = thermo.get_ql(ctx, s)  # (ktot, j, i)
+        qt = s["qt"][ks:ke]
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        z = ctx.z
+        # dz as used by the reference: z[k]-z[max(1,k-1)] in ghost-indexing.
+        zc = z[ks:ke]
+        zm = jnp.concatenate([z[ks - 1:ks], z[ks:ke - 1]])
+        dlayer = (zc - zm)[:, None, None]
+
+        # ---- LW (calc_gcss_rad_LW) ----
+        dlwp = jnp.maximum(0., ql * rho * dlayer)
+        lwp = jnp.cumsum(dlwp, axis=0)          # lwp including layer k
+        lwp_tot = lwp[-1]
+        # NOTE: the reference adds the fr0 term with the FINAL (total) lwp at
+        # every level (the per-level decrement is commented out in
+        # calc_gcss_rad_LW) — mirror that behavior exactly.
+        flx = (self.fr1 * jnp.exp(-self.xka * lwp)
+               + self.fr0 * jnp.exp(-self.xka * lwp_tot)[None])
+
+        # PBL top index ki: last level where cloudy & moist
+        cond = (ql > 0.01e-3) & (qt >= 0.008)
+        kidx = jnp.arange(ql.shape[0])[:, None, None]
+        ki = jnp.max(jnp.where(cond, kidx, -1), axis=0)
+        has_pbl = ki >= 0
+        ki_c = jnp.clip(ki, 0, ql.shape[0] - 1)
+        z_int = jnp.asarray(zc)
+        z_ki = z_int[ki_c]
+        rho_ki = ctx.rhoref[ks:ke][ki_c]
+        fact = self.div * cst.cp * rho_ki
+        above = kidx > ki_c[None] if False else kidx > ki
+        dz_above = jnp.maximum(z_int[:, None, None] - z_ki[None], 0.)
+        cooling_top = fact[None] * (0.25 * dz_above ** (4. / 3.)
+                                    + z_ki[None] * dz_above ** (1. / 3.))
+        flx = flx + jnp.where(above & has_pbl[None] & (fact[None] > 0.), cooling_top, 0.)
+
+        # heating: tt -= d(flx)/dz / (rho cp), k from ks+1 (km1 clamped)
+        dflx = flx[1:] - flx[:-1]
+        dzi_c = ctx.dzi[ks + 1:ke][:, None, None]
+        heat = -dflx * dzi_c / (rho[1:] * cst.cp)
+
+        name = "thl" if "thl" in t else ("th" if "th" in t else None)
+        if name is None:
+            return t
+        t = dict(t)
+        t[name] = t[name].at[ks + 1:ke].add(heat)
+
+        # ---- SW (sunray), gated on daytime ----
+        day_of_year = time_s / 86400.
+        mu = calc_zenith(self.lat, self.lon, day_of_year)
+
+        reff, rho_l, sw0, gc_, alb = 1.e-5, 1000., 1100., 0.85, 0.05
+        tau = jnp.where(ql > 1.e-5, jnp.maximum(0., 1.5 * ql * rho * dlayer / reff / rho_l), 0.)
+        tauc = jnp.sum(tau, axis=0)
+        mu_eff = jnp.maximum(mu, self.mu_min + 1e-12)
+        omega = 1. - 1.e-3 * (0.9 + 2.75 * (mu_eff + 1.) * jnp.exp(-0.09 * tauc))
+        ff = gc_ * gc_
+        gcde = gc_ / (1. + gc_)
+        taucde = (1. - omega * ff) * tauc
+        taude = (1. - omega * ff) * tau
+        omegade = (1. - ff) * omega / (1. - omega * ff)
+        x1 = 1. - omegade * gcde
+        x2 = 1. - omegade
+        rk = jnp.sqrt(3. * x2 * x1)
+        mu2 = mu_eff * mu_eff
+        x3 = 4. * (1. - rk * rk * mu2)
+        rp = jnp.sqrt(3. * x2 / x1)
+        alpha = 3. * omegade * mu2 * (1. + gcde * x2) / x3
+        beta = 3. * omegade * mu_eff * (1. + 3. * gcde * mu2 * x2) / x3
+        rtt = 2. / 3.
+        exmu0 = jnp.exp(-taucde / mu_eff)
+        expk = jnp.exp(rk * taucde)
+        exmk = 1. / expk
+        xp23p = 1. + rtt * rp
+        xm23p = 1. - rtt * rp
+        ap23b = alpha + rtt * beta
+        t1 = 1. - alb - rtt * (1. + alb) * rp
+        t2 = 1. - alb + rtt * (1. + alb) * rp
+        t3 = (1. - alb) * alpha - rtt * (1. + alb) * beta + alb * mu_eff
+        c2 = (xp23p * t3 * exmu0 - t1 * ap23b * exmk) / (xp23p * t2 * expk - xm23p * t1 * exmk)
+        c1 = (ap23b - c2 * xm23p) / xp23p
+        # taupath accumulates from the top downward
+        taupath = jnp.cumsum(taude[::-1], axis=0)[::-1]
+        swn = (sw0 * (4. / 3.) * (rp * (c1 * jnp.exp(-rk * taupath)
+                                        - c2 * jnp.exp(rk * taupath))
+                                  - beta * jnp.exp(-taupath / mu_eff))
+               + mu_eff * sw0 * jnp.exp(-taupath / mu_eff))
+        dswn = swn[1:] - swn[:-1]
+        heat_sw = dswn * dzi_c / (rho[1:] * cst.cp)
+        do_sw = mu > self.mu_min
+        t[name] = t[name].at[ks + 1:ke].add(jnp.where(do_sw, heat_sw, 0.))
+        return t
+
+
+def make_radiation(ini, grid):
+    sw = ini.get_str("radiation", "swradiation", default="0")
+    if sw in ("0", "false"):
+        return RadiationDisabled()
+    if sw == "prescribed":
+        return RadiationPrescribed(ini, grid)
+    if sw == "gcss":
+        return RadiationGcss(ini, grid)
+    if sw == "rrtmgp":
+        raise NotImplementedError("rrtmgp radiation is not yet implemented")
+    raise ValueError("%s is an illegal value for swradiation" % sw)
