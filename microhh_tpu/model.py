@@ -115,6 +115,8 @@ class Model:
         self.column = None
 
         self.timeloop = Timeloop(ini, sim_mode)
+        from .timedep import BoundaryTimedep
+        self.btimedep = BoundaryTimedep(ini, self.fields, self.input_nc)
 
         self._step_fn = None
         self._limits_fn = None
@@ -359,6 +361,10 @@ class Model:
                              "DIV", "MOM", "TKE", "MASS"))
         niter = 0
         while True:
+            # Time-dependent BCs (model.cxx:339-343 update_time_dependent).
+            if self.btimedep.items:
+                sfc = self.btimedep.update(self, sfc, tl.itime)
+
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit()
             if self.stats is not None:

@@ -54,7 +54,10 @@ class Stats:
         self._idx = 0
         self._diag = None
 
+        from .budget import Budget
+        self.budget = Budget(model)
         self._register(model)
+        self.budget.register(self)
 
     def _group(self, name):
         if name not in self.groups:
@@ -114,7 +117,7 @@ class Stats:
         def hmean(a):
             return jnp.mean(a, axis=(1, 2))
 
-        def diag(s, t, sfc):
+        def diag(s, t, sfc, p):
             out = {}
             s = model.boundary.set_ghost_cells(ctx, s, sfc)
             aux = model.diff.exec_viscosity(ctx, s, sfc, {})
@@ -195,6 +198,10 @@ class Stats:
                 kinv = jnp.argmax(grad) + 1
                 z_int = ctx.z[ks:ke]
                 out["zi"] = z_int[kinv]
+
+            if self.budget.sw:
+                aux_b = {"p": p} if p is not None else None
+                out.update(self.budget.profiles(ctx, s, aux_b))
             return out
 
         return jax.jit(diag)
@@ -209,7 +216,9 @@ class Stats:
             return
         if self._diag is None:
             self._diag = self._build_diag(model)
-        out = {k: np.asarray(v) for k, v in self._diag(s, t, sfc).items()}
+        aux = getattr(model, "_last_aux", None)
+        p = aux.get("p") if aux else None
+        out = {k: np.asarray(v) for k, v in self._diag(s, t, sfc, p).items()}
         i = self._idx
         self.v_time[i] = tl.time
         self.v_iter[i] = tl.iteration
