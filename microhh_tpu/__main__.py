@@ -16,8 +16,15 @@ def main(argv=None):
     p.add_argument("--dir", default=".")
     args = p.parse_args(argv)
 
+    import jax
+    # MICROHH_PLATFORM=cpu forces the CPU backend (the axon harness
+    # force-prepends its TPU platform to JAX_PLATFORMS, so an env var at the
+    # jax level is not enough).
+    platform = os.environ.get("MICROHH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     if args.precision == "double":
-        import jax
         jax.config.update("jax_enable_x64", True)
         dtype = np.float64
     else:
