@@ -147,3 +147,49 @@ def test_pres4_projection(tmp_path):
     s_g["w"] = set_ghost_cells_w(m.ctx, s_g["w"], conservation=True)
     div = float(m.pres.divergence_max(m.ctx, s_g))
     assert div < 1e-10, div
+
+
+@pytest.mark.slow
+def test_moser_channel_smoke(tmp_path):
+    """Short 4th-order channel run (moser180 config, shrunk): uflux forcing
+    holds the mean flow, noslip walls, no NaNs."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    case = os.path.join(os.path.dirname(__file__), "..", "cases", "moser180")
+    wd = str(tmp_path)
+    for f in os.listdir(case):
+        shutil.copy(os.path.join(case, f), wd)
+    from microhh_tpu.config import Ini
+    ini = Ini(os.path.join(wd, "moser180.ini"))
+    ini.items["grid"]["itot"][""] = "32"
+    ini.items["grid"]["jtot"][""] = "16"
+    ini.items["grid"]["ktot"][""] = "32"
+    ini.items["time"]["endtime"][""] = "200."
+    ini.items["time"]["savetime"][""] = "200."
+    ini.items["stats"]["swstats"][""] = "0"
+    ini_text = "\n".join("[%s]\n" % sec + "\n".join(
+        ("%s=%s" % (k, v) if not sub else "%s[%s]=%s" % (k, sub, v))
+        for k, subs in items.items() for sub, v in subs.items())
+        for sec, items in ini.items.items())
+    with open(os.path.join(wd, "moser180.ini"), "w") as f:
+        f.write(ini_text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.abspath(os.path.join(case, "..", "..")) + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.check_call([sys.executable, "moser180_input.py"], cwd=wd, env=env)
+
+    from microhh_tpu.model import Model
+    m = Model(Ini(ini_text), "init", "moser180", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    m = Model(Ini(ini_text), "run", "moser180", workdir=wd)
+    m.finish_setup()
+    s, t = m.run()
+    ks, ke = m.grid.kstart, m.grid.kend
+    u = np.asarray(s["u"])
+    assert np.all(np.isfinite(u))
+    # uflux forcing keeps the volume-weighted mean close to the target
+    dz = m.grid.dz[ks:ke][:, None, None]
+    umean = (u[ks:ke] * dz).sum() / (m.grid.itot * m.grid.jtot * m.grid.zsize)
+    assert abs(umean - 0.0282) < 0.003, umean
