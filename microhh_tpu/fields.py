@@ -154,13 +154,14 @@ class Fields:
         g = self.grid
         fname = "%s/%s.%07d" % (path, name, iotime)
         interior = np.asarray(data[g.kstart:g.kend])
-        if name == "w":
-            interior = np.asarray(data[g.kstart:g.kend])  # same range as others
         if dtype is not None:
             interior = interior.astype(dtype)
-        interior.tofile(fname)
+        from .utils import fastio
+        fastio.write_array(fname, interior)
 
     def load_field(self, name, iotime, path=".", dtype=np.float64):
+        from .utils import fastio
+        fastio.flush()  # pending async writes must land before reads
         g = self.grid
         fname = "%s/%s.%07d" % (path, name, iotime)
         raw = np.fromfile(fname, dtype=dtype)

@@ -419,6 +419,8 @@ class Model:
                 break
 
         status_file.close()
+        from .utils import fastio
+        fastio.flush()  # all async restart writes must land before we return
         self.final_sfc = sfc
         return s, t
 
