@@ -117,11 +117,19 @@ class Model:
         self.timeloop = Timeloop(ini, sim_mode)
         from .timedep import BoundaryTimedep
         self.btimedep = BoundaryTimedep(ini, self.fields, self.input_nc)
+        # [master] wallclocklimit in hours (reference master.cxx:80-89):
+        # within 10 minutes of it, steer to an io time, save and stop.
+        self.wallclocklimit = ini.get_float("master", "wallclocklimit",
+                                            default=1.e8)
+        self._wall_start = _time.time()
 
         self._step_fn = None
         self._limits_fn = None
         self._diag_fn = None
         self._last_wallclock = _time.time()
+
+    def at_wall_clock_limit(self):
+        return (_time.time() - self._wall_start) > self.wallclocklimit * 3600. - 600.
 
     def _make_force(self):
         from .ops.force import make_force
@@ -366,7 +374,7 @@ class Model:
                 sfc = self.btimedep.update(self, sfc, tl.itime)
 
             # Adaptive time step (model.cxx:730-751).
-            tl.reset_time_step_limit()
+            tl.reset_time_step_limit(self.at_wall_clock_limit())
             if self.stats is not None:
                 # Align steps with the sampling time (stats get_time_limit).
                 tl.set_time_step_limit(
@@ -411,7 +419,7 @@ class Model:
             self._last_aux = _aux
             tl.step_time()
 
-            if tl.do_save():
+            if tl.do_save(self.at_wall_clock_limit()):
                 self.save_restart(s)
 
             niter += 1

@@ -53,11 +53,15 @@ class Stats:
         self.vars = {}
         self._idx = 0
         self._diag = None
+        self._tend_diag = None
 
         from .budget import Budget
         self.budget = Budget(model)
         self._register(model)
         self.budget.register(self)
+
+        masklist = ini.get_list(str, "stats", "masklist", default=[])
+        self.maskstats = MaskStats(model, masklist) if masklist else None
 
     def _group(self, name):
         if name not in self.groups:
@@ -105,6 +109,13 @@ class Stats:
             self.add_time_series(name + "_bot", "Surface " + name, "-")
         if getattr(model.thermo, "scalars", ()):
             self.add_time_series("zi", "Boundary Layer Depth", "m", "thermo")
+        if self.swtendency:
+            for fld in fields.prognostic_names:
+                zdim = "zh" if fld == "w" else "z"
+                for op in TEND_OPS:
+                    name = "%s_%s" % (fld, op)
+                    self.add_prof(name, "%s tendency of %s" % (op, fld),
+                                  "-", "z", group="tend")
 
     # ------------------------------------------------------------------
     def _build_diag(self, model):
@@ -219,14 +230,197 @@ class Stats:
         aux = getattr(model, "_last_aux", None)
         p = aux.get("p") if aux else None
         out = {k: np.asarray(v) for k, v in self._diag(s, t, sfc, p).items()}
+        if self.swtendency:
+            if self._tend_diag is None:
+                self._tend_diag = build_tendency_diag(model)
+            tl_ = model.timeloop
+            tvals = self._tend_diag(
+                s, t, sfc, model.pres_params,
+                jnp.asarray(tl_.dt, dtype=model.dtype),
+                jnp.asarray(tl_.time, dtype=model.dtype))
+            out.update({k: np.asarray(v) for k, v in tvals.items()})
         i = self._idx
         self.v_time[i] = tl.time
         self.v_iter[i] = tl.iteration
         for name, v in out.items():
             if name in self.vars:
                 self.vars[name][i] = v
+        if self.maskstats is not None:
+            self.maskstats.exec(s, sfc, tl.time)
         self._idx += 1
         self.file.sync()
 
     def close(self):
         self.file.close()
+        if self.maskstats is not None:
+            self.maskstats.close()
+
+
+def build_tendency_diag(model):
+    """Per-op tendency profiles (the reference threads stats.calc_tend
+    through every op's exec, stats.h:160).  Replays the op sequence of one
+    RK substep on the given state and records the horizontal-mean tendency
+    added by each op into the 'tend' group."""
+    ctx = model.ctx
+    ks, ke = ctx.ks, ctx.ke
+    names = model.fields.prognostic_names
+    is_surface = getattr(model.boundary, "is_surface", False)
+
+    def hprof(a):
+        return jnp.mean(a, axis=(1, 2))
+
+    def diag(s, t0, sfc, pp, dt, time_s):
+        out = {}
+        t = {n: jnp.zeros_like(s[n]) for n in names}
+        s = model.boundary.set_ghost_cells(ctx, s, sfc)
+        aux = model.diff.exec_viscosity(ctx, s, sfc, {})
+        aux["subdt"] = dt
+
+        def record(op, t_new, t_old):
+            for n in names:
+                out["%s_%s" % (n, op)] = hprof((t_new[n] - t_old[n])[ks:ke])
+            return t_new
+
+        t = record("thermo", model.thermo.exec(ctx, s, dict(t), aux), t)
+        t2, aux = model.micro.exec(ctx, s, dict(t), aux, dt)
+        t = record("micro", t2, t)
+        t = record("rad", model.radiation.exec(ctx, s, dict(t), aux, time_s,
+                                               model.thermo), t)
+        t = record("advec", model.advec.exec(ctx, s, dict(t), aux), t)
+        t = record("diff", model.diff.exec(ctx, s, dict(t), aux, sfc), t)
+        t = record("buffer", model.buffer(ctx, s, dict(t), aux), t)
+        t = record("decay", model.decay(ctx, s, dict(t), aux), t)
+        t = record("source", model.source(ctx, s, dict(t), aux), t)
+        t = record("force", model.force(ctx, s, dict(t), aux), t)
+        t3, aux = model.pres.exec(ctx, s, dict(t), aux, dt, pp)
+        t = record("pres", t3, t)
+        t = record("limiter", model.limiter(ctx, s, dict(t), aux, dt), t)
+        for n in names:
+            out["%s_total" % n] = hprof(t[n][ks:ke])
+        return out
+
+    return jax.jit(diag)
+
+
+TEND_OPS = ("thermo", "micro", "rad", "advec", "diff", "buffer", "decay",
+            "source", "force", "pres", "limiter", "total")
+
+
+class MaskStats:
+    """Conditional-sampling statistics (reference bit-flag masks,
+    stats.cxx:65-230): one extra NetCDF file per mask with masked means,
+    variances, resolved w-fluxes and the area/areah fraction profiles.
+
+    Masks: wplus/wmin (updraft/downdraft, fields.cxx mask provider),
+    ql/qlcore (cloud / buoyant cloud core, thermo_moist)."""
+
+    KNOWN = ("wplus", "wmin", "ql", "qlcore")
+
+    def __init__(self, model, masklist):
+        from .utils import nc
+        self.model = model
+        self.masks = [m for m in masklist if m in self.KNOWN]
+        g = model.grid
+        tl = model.timeloop
+        self.files = {}
+        self.vars = {}
+        names = model.fields.prognostic_names
+        for mask in self.masks:
+            fname = os.path.join(model.workdir, "%s.%s.%07d.nc"
+                                 % (model.casename or "run", mask, tl.iotime))
+            f = nc.Dataset(fname, "w")
+            f.createDimension("z", g.ktot)
+            f.createDimension("zh", g.ktot + 1)
+            f.createDimension("time", None)
+            f.createVariable("z", "f8", ("z",))[:] = g.z[g.kstart:g.kend]
+            f.createVariable("zh", "f8", ("zh",))[:] = g.zh[g.kstart:g.kend + 1]
+            vt = f.createVariable("time", "f8", ("time",))
+            grp = f.createGroup("default")
+            vv = {"time": vt}
+            vv["area"] = grp.createVariable("area", "f8", ("time", "z"))
+            vv["areah"] = grp.createVariable("areah", "f8", ("time", "zh"))
+            for n in names:
+                zdim = "zh" if n == "w" else "z"
+                vv[n] = grp.createVariable(n, "f8", ("time", zdim))
+                vv[n + "_2"] = grp.createVariable(n + "_2", "f8", ("time", zdim))
+                if n != "w":
+                    vv[n + "_w"] = grp.createVariable(n + "_w", "f8", ("time", "zh"))
+            self.files[mask] = f
+            self.vars[mask] = vv
+        self._idx = 0
+        self._diag = None
+
+    def _build_diag(self):
+        model = self.model
+        ctx = model.ctx
+        ks, ke = ctx.ks, ctx.ke
+        names = model.fields.prognostic_names
+
+        def masked_mean(a, m):
+            n = jnp.sum(m, axis=(1, 2))
+            return jnp.sum(a * m, axis=(1, 2)) / jnp.maximum(n, 1.), n
+
+        def diag(s, sfc):
+            s = model.boundary.set_ghost_cells(ctx, s, sfc)
+            w = s["w"]
+            wc = i2(w[ks:ke], w[ks + 1:ke + 1])
+            out = {}
+            for mask in self.masks:
+                if mask == "wplus":
+                    mc = (wc > 0.).astype(w.dtype)
+                    mh = (w[ks:ke + 1] > 0.).astype(w.dtype)
+                elif mask == "wmin":
+                    mc = (wc < 0.).astype(w.dtype)
+                    mh = (w[ks:ke + 1] < 0.).astype(w.dtype)
+                elif mask in ("ql", "qlcore"):
+                    ql = model.thermo.get_ql(ctx, s)
+                    mc = (ql > 0.).astype(w.dtype)
+                    if mask == "qlcore":
+                        b = model.thermo.get_buoyancy(ctx, s)[ks:ke]
+                        bm = jnp.mean(b, axis=(1, 2), keepdims=True)
+                        mc = mc * (b > bm).astype(w.dtype)
+                    # half-level mask: both adjacent centers in the mask
+                    mh = jnp.concatenate([mc[:1], jnp.minimum(mc[:-1], mc[1:]),
+                                          mc[-1:]], axis=0)
+                o = {}
+                npts = ctx.itot * ctx.jtot
+                o["area"] = jnp.mean(mc, axis=(1, 2))
+                o["areah"] = jnp.mean(mh, axis=(1, 2))
+                for n in names:
+                    if n == "w":
+                        mean, _ = masked_mean(w[ks:ke + 1], mh)
+                        var, _ = masked_mean(w[ks:ke + 1] ** 2, mh)
+                    else:
+                        a = s[n][ks:ke]
+                        mean, _ = masked_mean(a, mc)
+                        var, _ = masked_mean(a ** 2, mc)
+                        wflux = jnp.zeros(ke - ks + 1, dtype=ctx.dtype)
+                        ah = i2(a[:-1], a[1:])
+                        fx, _ = masked_mean(w[ks + 1:ke] * ah, mh[1:-1])
+                        o[n + "_w"] = wflux.at[1:-1].set(fx)
+                    o[n] = mean
+                    o[n + "_2"] = var - mean ** 2
+                out[mask] = o
+            return out
+
+        return jax.jit(diag)
+
+    def exec(self, s, sfc, time):
+        if not self.masks:
+            return
+        if self._diag is None:
+            self._diag = self._build_diag()
+        out = self._diag(s, sfc)
+        i = self._idx
+        for mask in self.masks:
+            vv = self.vars[mask]
+            vv["time"][i] = time
+            for name, val in out[mask].items():
+                if name in vv:
+                    vv[name][i] = np.asarray(val)
+            self.files[mask].sync()
+        self._idx += 1
+
+    def close(self):
+        for f in self.files.values():
+            f.close()

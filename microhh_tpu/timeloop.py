@@ -80,9 +80,14 @@ class Timeloop:
     def rk_cb(self):
         return RK3_CB if self.rkorder == 3 else RK4_CB
 
-    def reset_time_step_limit(self):
+    def reset_time_step_limit(self, at_wall_clock_limit=False):
         """Start-of-iteration limit from io triggers (timeloop.cxx:138-152)."""
         self.idtlim = self.idtmax
+        if at_wall_clock_limit:
+            # Steer dt onto an io-aligned time so a restart can be written
+            # before the scheduler kills the job (timeloop.cxx:142-151).
+            self.idtlim = min(self.idtlim,
+                              self.iiotimeprec - self.itime % self.iiotimeprec)
         self.idtlim = min(self.idtlim, self.isavetime - self.itime % self.isavetime)
         if self.itime < self.iendtime:
             self.idtlim = min(self.idtlim, self.iendtime - self.itime)
@@ -111,7 +116,12 @@ class Timeloop:
             return True
         return (self.iteration % self.outputiter == 0) or not self.loop
 
-    def do_save(self):
+    def do_save(self, at_wall_clock_limit=False):
+        # Wall-clock shutdown: save at any io-aligned time and stop looping
+        # (timeloop.cxx:189-208).
+        if at_wall_clock_limit and self.itime % self.iiotimeprec == 0:
+            self.loop = False
+            return True
         return (self.itime % self.isavetime == 0) and self.iteration != 0
 
     def is_stats_step(self):

@@ -1,0 +1,45 @@
+"""Conditional-sampling mask statistics (wplus/wmin)."""
+
+import os
+import numpy as np
+
+from microhh_tpu.config import Ini
+from microhh_tpu.model import Model
+from microhh_tpu.stats import Stats
+from microhh_tpu.utils import nc as ncmod
+
+from test_drycblles import setup_case
+
+
+def test_updraft_downdraft_masks(tmp_path):
+    wd = setup_case(tmp_path, itot=16, jtot=16, ktot=16, endtime=600.)
+    ini = Ini(os.path.join(wd, "drycblles.ini"))
+    m = Model(ini, "init", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+
+    ini = Ini(os.path.join(wd, "drycblles.ini"))
+    ini.items["stats"]["sampletime"] = {"": "300"}
+    ini.items["stats"]["masklist"] = {"": "wplus,wmin"}
+    m = Model(ini, "run", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.stats = Stats(m)
+    m.run()
+    m.stats.close()
+
+    fp = ncmod.Dataset(os.path.join(wd, "drycblles.wplus.0000000.nc"), "r")
+    fm = ncmod.Dataset(os.path.join(wd, "drycblles.wmin.0000000.nc"), "r")
+    a_p = fp.groups["default"].variables["area"][:]
+    a_m = fm.groups["default"].variables["area"][:]
+    # complementary areas (w==0 measure ~ 0 in turbulence)
+    assert np.allclose(a_p[-1] + a_m[-1], 1.0, atol=1e-6)
+    # updrafts carry a positive heat flux in the CBL interior
+    thw_p = fp.groups["default"].variables["th_w"][-1]
+    assert thw_p[2:8].mean() > 0.
+    # updraft w positive, downdraft negative
+    w_p = fp.groups["default"].variables["w"][-1]
+    w_m = fm.groups["default"].variables["w"][-1]
+    assert w_p[2:10].min() >= 0.
+    assert w_m[2:10].max() <= 0.
+    fp.close()
+    fm.close()
