@@ -117,6 +117,11 @@ class Model:
         self.timeloop = Timeloop(ini, sim_mode)
         from .timedep import BoundaryTimedep
         self.btimedep = BoundaryTimedep(ini, self.fields, self.input_nc)
+        from .ops.boundary_outflow import BoundaryOutflow
+        self.outflow = BoundaryOutflow(
+            ini, self.grid, ini.get_int("grid", "swspatialorder", default=2))
+        if self.outflow.active and self.input_nc is not None:
+            self.outflow.create(self.input_nc)
         # [master] wallclocklimit in hours (reference master.cxx:80-89):
         # within 10 minutes of it, steer to an io time, save and stop.
         self.wallclocklimit = ini.get_float("master", "wallclocklimit",
@@ -161,6 +166,8 @@ class Model:
         tl.save(0, self.workdir)
         if hasattr(self.thermo, "save_basestate"):
             self.thermo.save_basestate(0, self.workdir)
+        from .utils import fastio
+        fastio.flush()  # init files must be on disk when we return
         return state
 
     # ------------------------------------------------------------------
@@ -211,6 +218,11 @@ class Model:
             else:
                 t = self.advec.exec(ctx, s_cons, t, aux)
                 t = self.diff.exec(ctx, s, t, aux, sfc)
+            if self.outflow.active:
+                t = self.outflow.correct(
+                    ctx, s, t, aux,
+                    tPr=getattr(self.diff, "tPr", 1.),
+                    sviscs=getattr(self.diff, "viscs", None))
             subdt = cB[sub] * dt
             aux = dict(aux)
             aux["subdt"] = subdt
@@ -300,13 +312,26 @@ class Model:
         interpret = jax.default_backend() != "tpu"
         if interpret and not getattr(self, "force_fused", False):
             return None  # CPU: keep the jnp path (tests use force_fused)
-        # VMEM budget: ~19 operand planes double-buffered.
+        # VMEM budget: ~19 operand planes double-buffered in the full-plane
+        # variant.  Larger planes switch to the j-tiled manual-DMA variant.
         plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
-        if plane * 40 > 14 * 1024 * 1024:
+        from .ops.pallas_fused import FusedLES2, HALO_J
+        if plane * 40 <= 14 * 1024 * 1024:
+            return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
+                             interpret=interpret)
+        # pick the largest tile height <= 128 that divides jtot
+        tj = None
+        for cand in (128, 64, 32, 16, 8):
+            if cand >= HALO_J and ctx.jtot % cand == 0:
+                tj = cand
+                break
+        if tj is None:
             return None
-        from .ops.pallas_fused import FusedLES2
+        row = ctx.itot * np.dtype(self.dtype).itemsize
+        if 13 * (tj + 2 * HALO_J) * row + 2 * tj * row > 12 * 1024 * 1024:
+            return None
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
-                         interpret=interpret)
+                         interpret=interpret, tiled=True, tj=tj)
 
     # ------------------------------------------------------------------
     #  run mode

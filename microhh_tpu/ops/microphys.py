@@ -36,6 +36,76 @@ K_T = 2.5e-2      # thermal conductivity of air  (constants.h K_t)
 NSED = 4          # unrolled sedimentation sweep depth (cflmax<=2 -> 3 safe)
 
 
+# ==========================================================================
+#  Stevens & Seifert (2008) slope-limited sedimentation, shared by the
+#  2-moment warm scheme and the NSW6 ice scheme (microphys_nsw6.cxx:687-825).
+# ==========================================================================
+
+def ss08_cfl(ctx, w_qc, dt):
+    """Half-weights-interpolated sedimentation CFL per cell from the
+    cell-center fall velocity w_qc (ktot, j, i)."""
+    ks, ke = ctx.ks, ctx.ke
+    dzi = ctx.dzi[ks:ke][:, None, None]
+    wp = jnp.concatenate([w_qc[:1], w_qc, jnp.zeros_like(w_qc[:1])], axis=0)
+    return 0.25 * (wp[:-2] + 2. * wp[1:-1] + wp[2:]) * dzi * dt
+
+
+def ss08_flux_tendency(ctx, a, c, rho, dt):
+    """Limited SS08 flux divergence: returns (tendency, surface_flux>0).
+
+    The reference's data-dependent while loop over the cells a particle
+    crosses in one dt (microphys_nsw6.cxx:786-797) is a fixed NSED-deep
+    unrolled sweep of shifted adds; the downward positivity limiter (which
+    couples levels sequentially) is a lax.scan."""
+    ks, ke = ctx.ks, ctx.ke
+    dzi = ctx.dzi[ks:ke][:, None, None]
+    dz = ctx.dz[ks:ke][:, None, None]
+
+    def minmod(x, y):
+        return jnp.sign(x) * jnp.maximum(0., jnp.minimum(jnp.abs(x), jnp.sign(x) * y))
+
+    a_dn = jnp.concatenate([a[:1], a[:-1]], axis=0)
+    a_up = jnp.concatenate([a[1:], a[-1:]], axis=0)
+    sl = minmod(a - a_dn, a_up - a)
+
+    def shift_up(x, m):
+        if m == 0:
+            return x
+        return jnp.concatenate([x[m:], jnp.zeros((m,) + x.shape[1:], x.dtype)],
+                               axis=0)
+
+    rho_b = jnp.broadcast_to(rho, a.shape)
+    dz_b = jnp.broadcast_to(dz, a.shape)
+    dzi_b = jnp.broadcast_to(dzi, a.shape)
+    ftot = jnp.zeros_like(a)
+    dzz = jnp.zeros_like(a)
+    cc = jnp.minimum(1., c)
+    for m in range(NSED):
+        active = cc > 0.
+        ftot = ftot + jnp.where(
+            active,
+            shift_up(rho_b, m) * (shift_up(a, m) + 0.5 * shift_up(sl, m) * (1. - cc))
+            * cc * shift_up(dz_b, m), 0.)
+        dzz = dzz + jnp.where(active, shift_up(dz_b, m), 0.)
+        cn = shift_up(jnp.broadcast_to(c, a.shape), m + 1)
+        cc = jnp.where(active, jnp.minimum(1., cn - dzz * shift_up(dzi_b, m + 1)), 0.)
+
+    mass = rho_b * dz_b * a
+
+    def body(flux_above, xs):
+        fr, ms = xs
+        ft = jnp.minimum(fr, ms - flux_above * dt)
+        flux = -ft / dt
+        return flux, flux
+
+    _, flux_rev = jax.lax.scan(body, jnp.zeros_like(a[0]),
+                               (ftot[::-1], mass[::-1]))
+    flux = flux_rev[::-1]
+    flux_top = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], axis=0)
+    tend = -(flux_top - flux) / rho_b * dzi
+    return tend, -flux[0]
+
+
 def calc_rain_props(qr, nr, rho):
     """mean mass, diameter, shape mu_r, slope lambda_r."""
     mr = rho * qr / jnp.maximum(nr, 1.)
@@ -156,81 +226,10 @@ class Microphys2momWarm:
         w_qr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 4.)), 0.1, w_max), 0.)
         w_nr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 1.)), 0.1, w_max), 0.)
 
-        dzi = ctx.dzi[ks:ke][:, None, None]
-        dz = ctx.dz[ks:ke][:, None, None]
-
-        def pad_w(w):
-            # ghost below = copy of bottom; above = zero
-            return jnp.concatenate([w[:1], w, jnp.zeros_like(w[:1])], axis=0)
-
-        def interp_c(wp):
-            return 0.25 * (wp[:-2] + 2. * wp[1:-1] + wp[2:]) * dzi * dt
-
-        c_qr = interp_c(pad_w(w_qr))
-        c_nr = interp_c(pad_w(w_nr))
-
-        def minmod(a, b):
-            return jnp.sign(a) * jnp.maximum(0., jnp.minimum(jnp.abs(a), jnp.sign(a) * b))
-
-        def slopes(a):
-            a_dn = jnp.concatenate([a[:1], a[:-1]], axis=0)
-            a_up = jnp.concatenate([a[1:], a[-1:]], axis=0)
-            return minmod(a - a_dn, a_up - a)
-
-        def shift_up(x, m):
-            """Value at level k+m (zero-padded above the domain top)."""
-            if m == 0:
-                return x
-            return jnp.concatenate([x[m:], jnp.zeros((m,) + x.shape[1:], x.dtype)],
-                                   axis=0)
-
-        def raw_flux(a, c):
-            """Unrolled SS08 flux integral at the bottom face of each cell:
-            accumulate the mass swept past the face from the NSED cells a
-            drop can cross within one dt (while-loop in the reference)."""
-            sl = slopes(a)
-            rho_b = jnp.broadcast_to(rho, a.shape)
-            dz_b = jnp.broadcast_to(dz, a.shape)
-            dzi_b = jnp.broadcast_to(dzi, a.shape)
-            ftot = jnp.zeros_like(a)
-            dzz = jnp.zeros_like(a)
-            cc = jnp.minimum(1., c)
-            for m in range(NSED):
-                a_m = shift_up(a, m)
-                sl_m = shift_up(sl, m)
-                rho_m = shift_up(rho_b, m)
-                dz_m = shift_up(dz_b, m)
-                active = cc > 0.
-                ftot = ftot + jnp.where(active,
-                                        rho_m * (a_m + 0.5 * sl_m * (1. - cc)) * cc * dz_m,
-                                        0.)
-                dzz = dzz + jnp.where(active, dz_m, 0.)
-                c_n = shift_up(jnp.broadcast_to(c, a.shape), m + 1)
-                dzi_n = shift_up(dzi_b, m + 1)
-                cc = jnp.where(active, jnp.minimum(1., c_n - dzz * dzi_n), 0.)
-            return ftot
-
-        def limited_flux(a, c):
-            ftot_raw = raw_flux(a, c)
-            mass = jnp.broadcast_to(rho * dz, a.shape) * a
-
-            # downward scan applying the positivity limiter
-            def body(flux_above, xs):
-                fr, ms = xs
-                ftot = jnp.minimum(fr, ms - flux_above * dt)
-                flux = -ftot / dt
-                return flux, flux
-
-            _, flux_rev = jax.lax.scan(body, jnp.zeros_like(a[0]),
-                                       (ftot_raw[::-1], mass[::-1]))
-            flux = flux_rev[::-1]                       # flux at bottom face of cell k
-            flux_top = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], axis=0)
-            tend = -(flux_top - flux) / jnp.broadcast_to(rho, a.shape) * dzi
-            return tend, flux[0]
-
-        qrt_s, fq0 = limited_flux(qr, c_qr)
-        nrt_s, _ = limited_flux(nr, c_nr)
-        rr_bot = -fq0
+        c_qr = ss08_cfl(ctx, w_qr, dt)
+        c_nr = ss08_cfl(ctx, w_nr, dt)
+        qrt_s, rr_bot = ss08_flux_tendency(ctx, qr, c_qr, rho, dt)
+        nrt_s, _ = ss08_flux_tendency(ctx, nr, c_nr, rho, dt)
         return qrt_s, nrt_s, rr_bot
 
     def get_time_limit_rate(self, ctx, s):
@@ -269,5 +268,6 @@ def make_microphys(ini, grid, fields):
     if sw == "2mom_warm":
         return Microphys2momWarm(ini, grid, fields)
     if sw == "nsw6":
-        raise NotImplementedError("nsw6 ice microphysics is not yet implemented")
+        from .microphys_nsw6 import MicrophysNsw6
+        return MicrophysNsw6(ini, grid, fields)
     raise ValueError("%s is an illegal value for swmicro" % sw)

@@ -5,21 +5,30 @@ The jnp op pipeline (advec_2 + diff_smag2 + buoyancy, each with its own
 everything that reads the same 3x3x3 neighborhoods into ONE pass over the
 fields per RK substep:
 
-* ``evisc_kernel``     — strain^2 + stability-corrected Smagorinsky eddy
-                         viscosity (diff_smag2.cxx calc_strain2 + calc_evisc).
-* ``tendency_kernel``  — advec_2 (advec_2.cxx) + diff_smag2 flux divergence
-                         (diff_smag2.cxx diff_u/v/w/c) + dry buoyancy
-                         (thermo_dry.cxx calc_buoyancy_tend_2nd) for u,v,w,th.
+* evisc kernel       — strain^2 + stability-corrected Smagorinsky eddy
+                       viscosity (diff_smag2.cxx calc_strain2 + calc_evisc).
+* uv / wth kernels   — advec_2 (advec_2.cxx) + diff_smag2 flux divergence
+                       (diff_smag2.cxx diff_u/v/w/c) + dry buoyancy
+                       (thermo_dry.cxx calc_buoyancy_tend_2nd), split in two
+                       passes to fit VMEM.
 
-Layout: (k, j, i) with i on the 128 lanes.  The grid is over k; each program
-reads (1, jtot, itot) planes at k-1/k/k+1 (the same HBM array is passed once
-per vertical offset — overlapping windows via three index maps).  Horizontal
-periodicity is jnp.roll on the in-VMEM plane.  Wall rows (the MO surface
-layer, k = ks and ke-1 flux replacements) are patched afterwards in XLA as
-cheap 2-D fixups; the kernels compute the pure interior formula everywhere.
+Layout: (k, j, i) with i on the 128 lanes.  Two variants share the same
+stencil math:
 
-Per-level column constants (dzi, dzhi, rho ratios, thref...) ride along as
-an (ktot, NCONST) SMEM block.
+* **full-plane** (plane set fits VMEM): grid over k; each program reads
+  (1, jtot, itot) planes at k-1/k/k+1 via three index maps per field and
+  rolls in VMEM for the horizontal stencil.
+* **j-tiled** (large planes): grid over (k, j-tiles); operands stay in HBM
+  (memory_space=ANY) and each program DMAs (TJ+4, itot) windows — TJ body
+  rows plus a 2-row periodic halo on each side, fetched with three
+  contiguous DMAs (top-halo/body/bottom-halo, wrap-aware).  The in-tile
+  rolls are exact for the TJ body rows because the deepest j-shift chain in
+  the math is 2.
+
+Wall rows (the MO surface layer, k = ks and ke-1 flux replacements) are
+patched afterwards in XLA as cheap 2-D fixups; the kernels compute the pure
+interior formula everywhere.  Per-level column constants ride along as an
+(ktot, NCONST) SMEM operand.
 """
 
 import functools
@@ -35,6 +44,11 @@ from .. import constants as cst
 # column-constant slots
 (C_DZI, C_DZHI, C_DZHI1, C_RHO, C_RHOH, C_RHOH1, C_MLEN2, C_Z,
  C_THREFH, C_DZI_M1, N_CONST) = range(11)
+
+# The deepest j-shift chain in the stencil math is 2 rows, but Mosaic
+# requires HBM slices to be 8-aligned along the sublane dim, so halos are
+# fetched as one 8-row tile block per side.
+HALO_J = 8
 
 
 def _im(a):
@@ -57,27 +71,20 @@ def _i2(a, b):
     return 0.5 * (a + b)
 
 
+def _cc(cc_ref, slot):
+    return cc_ref[pl.program_id(0), slot]
+
+
 # ==========================================================================
-#  eddy viscosity kernel
+#  shared stencil math (operates on 2-D planes or padded tiles)
 # ==========================================================================
 
-def _evisc_body(tPr, dxi, dyi, has_thermo,
-                cc_ref, um, uc, up, vm, vc, vp, wm, wc, wp, thm, thc, thp,
-                out_ref):
-    u = uc[0]
-    v = vc[0]
-    w = wc[0]
-    w1 = wp[0]
-    u_dn = um[0]
-    u_up = up[0]
-    v_dn = vm[0]
-    v_up = vp[0]
-
-    dzi = cc_ref[pl.program_id(0), C_DZI]
-    dzhi = cc_ref[pl.program_id(0), C_DZHI]
-    dzhi1 = cc_ref[pl.program_id(0), C_DZHI1]
-    dzi_m1 = cc_ref[pl.program_id(0), C_DZI_M1]
-    mlen2 = cc_ref[pl.program_id(0), C_MLEN2]
+def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
+                u_dn, u, u_up, v_dn, v, v_up, w, w1, th_dn, th_up):
+    dzi = _cc(cc_ref, C_DZI)
+    dzhi = _cc(cc_ref, C_DZHI)
+    dzhi1 = _cc(cc_ref, C_DZHI1)
+    mlen2 = _cc(cc_ref, C_MLEN2)
 
     dudx = (_ip(u) - u) * dxi
     dvdy = (_jp(v) - v) * dyi
@@ -97,50 +104,29 @@ def _evisc_body(tPr, dxi, dyi, has_thermo,
     strain2 = 2. * (dudx ** 2 + dvdy ** 2 + dwdz ** 2 + horiz + vert_x + vert_y) + cst.dsmall
 
     if has_thermo:
-        th_dn = thm[0]
-        th_up = thp[0]
-        thref = cc_ref[pl.program_id(0), C_THREFH]  # thref at full level stored here for evisc
-        n2 = cst.grav / thref * 0.5 * (th_up - th_dn) * dzi  # NOTE dzi(c) slot
-        # the reference uses dzi[k]; C_DZI is exactly that
-        rit = n2 / strain2 / tPr
-        rit = jnp.minimum(rit, 1. - cst.dsmall)
-        out_ref[0] = mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
-    else:
-        out_ref[0] = mlen2 * jnp.sqrt(strain2)
+        thref = _cc(cc_ref, C_THREFH)  # full-level thref in the evisc table
+        n2 = cst.grav / thref * 0.5 * (th_up - th_dn) * dzi
+        rit = jnp.minimum(n2 / strain2 / tPr, 1. - cst.dsmall)
+        return mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
+    return mlen2 * jnp.sqrt(strain2)
 
 
-# ==========================================================================
-#  fused advec_2 + diff_smag2 + buoyancy tendency kernel
-# ==========================================================================
+def _uv_math(tPr, dxi, dyi, visc, cc_ref,
+             u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up):
+    dzi = _cc(cc_ref, C_DZI)
+    dzhi = _cc(cc_ref, C_DZHI)
+    dzhi1 = _cc(cc_ref, C_DZHI1)
+    rho = _cc(cc_ref, C_RHO)
+    rhoh = _cc(cc_ref, C_RHOH)
+    rhoh1 = _cc(cc_ref, C_RHOH1)
 
-def _tend_uv_body(tPr, dxi, dyi, visc, has_thermo,
-                  cc_ref,
-                  um, uc, up, vm, vc, vp, wc, wp,
-                  em, ec, ep,
-                  ut_ref, vt_ref):
-    u_dn, u, u_up = um[0], uc[0], up[0]
-    v_dn, v, v_up = vm[0], vc[0], vp[0]
-    w, w_up = wc[0], wp[0]
-    e_dn, e, e_up = em[0], ec[0], ep[0]
-
-    dzi = cc_ref[pl.program_id(0), C_DZI]
-    dzhi = cc_ref[pl.program_id(0), C_DZHI]     # at half level k
-    dzhi1 = cc_ref[pl.program_id(0), C_DZHI1]   # at half level k+1
-    dzi_m1 = cc_ref[pl.program_id(0), C_DZI_M1]
-    rho = cc_ref[pl.program_id(0), C_RHO]
-    rhoh = cc_ref[pl.program_id(0), C_RHOH]
-    rhoh1 = cc_ref[pl.program_id(0), C_RHOH1]
-    threfh = cc_ref[pl.program_id(0), C_THREFH]
-
-    # ---------------- u tendency ----------------
-    # advection (advec_2.cxx:80-109)
+    # ---- u (advec_2.cxx:80-109 + diff_smag2.cxx diff_u) ----
     adv_u = -((_i2(u, _ip(u)) ** 2 - _i2(_im(u), u) ** 2) * dxi
               + (_i2(_im(_jp(v)), _jp(v)) * _i2(u, _jp(u))
                  - _i2(_im(v), v) * _i2(_jm(u), u)) * dyi
               + (rhoh1 * _i2(_im(w_up), w_up) * _i2(u, u_up)
                  - rhoh * _i2(_im(w), w) * _i2(u_dn, u)) / rho * dzi)
 
-    # diffusion (diff_smag2.cxx diff_u)
     ev_e = e + visc
     ev_w = _im(e) + visc
     ev_n = 0.25 * (_im(e) + e + _im(_jp(e)) + _jp(e)) + visc
@@ -152,9 +138,8 @@ def _tend_uv_body(tPr, dxi, dyi, visc, has_thermo,
                 - ev_s * ((u - _jm(u)) * dyi + (v - _im(v)) * dxi)) * dyi
              + (rhoh1 * ev_t * ((u_up - u) * dzhi1 + (w_up - _im(w_up)) * dxi)
                 - rhoh * ev_b * ((u - u_dn) * dzhi + (w - _im(w)) * dxi)) / rho * dzi)
-    ut_ref[0] = adv_u + dif_u
 
-    # ---------------- v tendency ----------------
+    # ---- v ----
     adv_v = -((_i2(_jm(_ip(u)), _ip(u)) * _i2(v, _ip(v))
                - _i2(_jm(u), u) * _i2(_im(v), v)) * dxi
               + (_i2(v, _jp(v)) ** 2 - _i2(_jm(v), v) ** 2) * dyi
@@ -172,57 +157,43 @@ def _tend_uv_body(tPr, dxi, dyi, visc, has_thermo,
              + (ev_n2 * (_jp(v) - v) - ev_s2 * (v - _jm(v))) * 2. * dyi * dyi
              + (rhoh1 * ev_t2 * ((v_up - v) * dzhi1 + (w_up - _jm(w_up)) * dyi)
                 - rhoh * ev_b2 * ((v - v_dn) * dzhi + (w - _jm(w)) * dyi)) / rho * dzi)
-    vt_ref[0] = adv_v + dif_v
+    return adv_u + dif_u, adv_v + dif_v
 
 
-def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo,
-                   cc_ref,
-                   um, uc, vm, vc, wm, wc, wp, thm, thc, thp,
-                   em, ec, ep,
-                   wt_ref, tht_ref):
-    u_dn, u = um[0], uc[0]
-    v_dn, v = vm[0], vc[0]
-    w_dn, w, w_up = wm[0], wc[0], wp[0]
-    e_dn, e, e_up = em[0], ec[0], ep[0]
+def _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+              u_dn, u, v_dn, v, w_dn, w, w_up, a_dn, a, a_up, e_dn, e, e_up):
+    dzi = _cc(cc_ref, C_DZI)
+    dzhi = _cc(cc_ref, C_DZHI)
+    dzhi1 = _cc(cc_ref, C_DZHI1)
+    dzi_m1 = _cc(cc_ref, C_DZI_M1)
+    rho = _cc(cc_ref, C_RHO)
+    rhoh = _cc(cc_ref, C_RHOH)
+    rhoh1 = _cc(cc_ref, C_RHOH1)
+    threfh = _cc(cc_ref, C_THREFH)
+    rho_m1 = _cc(cc_ref, C_Z)  # slot reused for rho[k-1]
 
-    dzi = cc_ref[pl.program_id(0), C_DZI]
-    dzhi = cc_ref[pl.program_id(0), C_DZHI]
-    dzhi1 = cc_ref[pl.program_id(0), C_DZHI1]
-    dzi_m1 = cc_ref[pl.program_id(0), C_DZI_M1]
-    rho = cc_ref[pl.program_id(0), C_RHO]
-    rhoh = cc_ref[pl.program_id(0), C_RHOH]
-    rhoh1 = cc_ref[pl.program_id(0), C_RHOH1]
-    threfh = cc_ref[pl.program_id(0), C_THREFH]
-
-    # ---------------- w tendency (half level k) ----------------
+    # ---- w (half level k) ----
     adv_w = -((_i2(_ip(u_dn), _ip(u)) * _i2(w, _ip(w))
                - _i2(u_dn, u) * _i2(_im(w), w)) * dxi
               + (_i2(_jp(v_dn), _jp(v)) * _i2(w, _jp(w))
                  - _i2(v_dn, v) * _i2(_jm(w), w)) * dyi
-              + (rho * _i2(w, w_up) ** 2
-                 - cc_ref[pl.program_id(0), C_Z] * _i2(w_dn, w) ** 2) / rhoh * dzhi)
-    # C_Z slot reused for rho[k-1] in the tendency kernel.
+              + (rho * _i2(w, w_up) ** 2 - rho_m1 * _i2(w_dn, w) ** 2)
+              / rhoh * dzhi)
 
     ev_xw = 0.25 * (_im(e_dn) + _im(e) + e_dn + e) + visc
     ev_yw = 0.25 * (_jm(e_dn) + _jm(e) + e_dn + e) + visc
-    ev_tw = e + visc
-    ev_bw = e_dn + visc
     dif_w = ((_ip(ev_xw) * ((_ip(w) - w) * dxi + (_ip(u) - _ip(u_dn)) * dzhi)
               - ev_xw * ((w - _im(w)) * dxi + (u - u_dn) * dzhi)) * dxi
              + (_jp(ev_yw) * ((_jp(w) - w) * dyi + (_jp(v) - _jp(v_dn)) * dzhi)
                 - ev_yw * ((w - _jm(w)) * dyi + (v - v_dn) * dzhi)) * dyi
-             + (rho * ev_tw * (w_up - w) * dzi
-                - cc_ref[pl.program_id(0), C_Z] * ev_bw * (w - w_dn) * dzi_m1) / rhoh * 2. * dzhi)
+             + (rho * (e + visc) * (w_up - w) * dzi
+                - rho_m1 * (e_dn + visc) * (w - w_dn) * dzi_m1) / rhoh * 2. * dzhi)
     wt = adv_w + dif_w
     if has_thermo:
-        th_dn, th = thm[0], thc[0]
-        wt = wt + cst.grav / threfh * (_i2(th_dn, th) - threfh)
-    wt_ref[0] = wt
+        wt = wt + cst.grav / threfh * (_i2(a_dn, a) - threfh)
 
-    # ---------------- scalar (th) tendency ----------------
+    # ---- scalar (th) ----
     if has_thermo:
-        a = thc[0]
-        a_dn, a_up = thm[0], thp[0]
         adv_s = -((_ip(u) * _i2(a, _ip(a)) - u * _i2(_im(a), a)) * dxi
                   + (_jp(v) * _i2(a, _jp(a)) - v * _i2(_jm(a), a)) * dyi
                   + (rhoh1 * w_up * _i2(a, a_up) - rhoh * w * _i2(a_dn, a)) / rho * dzi)
@@ -236,23 +207,135 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo,
                  + (sn * (_jp(a) - a) - ss * (a - _jm(a))) * dyi * dyi
                  + (rhoh1 * st_ * (a_up - a) * dzhi1
                     - rhoh * sb * (a - a_dn) * dzhi) / rho * dzi)
-        tht_ref[0] = adv_s + dif_s
+        tht = adv_s + dif_s
     else:
-        tht_ref[0] = jnp.zeros_like(u)
+        tht = jnp.zeros_like(u)
+    return wt, tht
+
+
+# ==========================================================================
+#  full-plane kernel bodies
+# ==========================================================================
+
+def _evisc_body(tPr, dxi, dyi, has_thermo, cc_ref,
+                um, uc, up, vm, vc, vp, wm, wc, wp, thm, thc, thp, out_ref):
+    out_ref[0] = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
+                             um[0], uc[0], up[0], vm[0], vc[0], vp[0],
+                             wc[0], wp[0], thm[0], thp[0])
+
+
+def _tend_uv_body(tPr, dxi, dyi, visc, has_thermo, cc_ref,
+                  um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
+                  ut_ref, vt_ref):
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+                      um[0], uc[0], up[0], vm[0], vc[0], vp[0],
+                      wc[0], wp[0], em[0], ec[0], ep[0])
+    ut_ref[0] = ut
+    vt_ref[0] = vt
+
+
+def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                   um, uc, vm, vc, wm, wc, wp, thm, thc, thp, em, ec, ep,
+                   wt_ref, tht_ref):
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                        um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
+                        thm[0], thc[0], thp[0], em[0], ec[0], ep[0])
+    wt_ref[0] = wt
+    tht_ref[0] = tht
+
+
+# ==========================================================================
+#  j-tiled kernel bodies (manual DMA with wrap-aware halos)
+# ==========================================================================
+
+def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
+    """Start DMAs for each (field, k-offset) window: TJ body rows at this
+    j-tile plus HALO_J-row periodic halos, as three contiguous copies."""
+    jt = pl.program_id(1)
+    j0 = pl.multiple_of(jt * TJ, 8)
+    # wrap-around offsets are 8-aligned by construction (TJ, jtot mult. of 8)
+    top = pl.multiple_of(
+        jax.lax.rem(jnp.int32(j0 - HALO_J + jtot), jnp.int32(jtot)), 8)
+    bot = pl.multiple_of(jax.lax.rem(jnp.int32(j0 + TJ), jnp.int32(jtot)), 8)
+    copies = []
+    for wdx, (ref, koff) in enumerate(zip(hbm_refs, koffs)):
+        k_abs = pl.program_id(0) + ks + koff
+        c1 = pltpu.make_async_copy(
+            ref.at[k_abs, pl.ds(top, HALO_J)],
+            scratch.at[wdx, pl.ds(0, HALO_J)], sems.at[wdx, 0])
+        c2 = pltpu.make_async_copy(
+            ref.at[k_abs, pl.ds(j0, TJ)],
+            scratch.at[wdx, pl.ds(HALO_J, TJ)], sems.at[wdx, 1])
+        c3 = pltpu.make_async_copy(
+            ref.at[k_abs, pl.ds(bot, HALO_J)],
+            scratch.at[wdx, pl.ds(HALO_J + TJ, HALO_J)], sems.at[wdx, 2])
+        for c in (c1, c2, c3):
+            c.start()
+        copies.extend((c1, c2, c3))
+    for c in copies:
+        c.wait()
+
+
+def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, ks, TJ, jtot, cc_ref,
+                      u_ref, v_ref, w_ref, th_ref, out_ref, scratch, sems):
+    refs = [u_ref, u_ref, u_ref, v_ref, v_ref, v_ref, w_ref, w_ref,
+            th_ref, th_ref]
+    koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 1]
+    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch
+    ev = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
+                     s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
+                     s[8], s[9])
+    out_ref[0] = ev[HALO_J:HALO_J + TJ]
+
+
+def _uv_tiled_body(tPr, dxi, dyi, visc, has_thermo, ks, TJ, jtot, cc_ref,
+                   u_ref, v_ref, w_ref, e_ref, ut_ref, vt_ref, scratch, sems):
+    refs = [u_ref] * 3 + [v_ref] * 3 + [w_ref] * 2 + [e_ref] * 3
+    koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1]
+    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+                      s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
+                      s[8], s[9], s[10])
+    ut_ref[0] = ut[HALO_J:HALO_J + TJ]
+    vt_ref[0] = vt[HALO_J:HALO_J + TJ]
+
+
+def _wth_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
+                    cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
+                    wt_ref, tht_ref, scratch, sems):
+    refs = ([u_ref] * 2 + [v_ref] * 2 + [w_ref] * 3 + [th_ref] * 3
+            + [e_ref] * 3)
+    koffs = [-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1]
+    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                        s[0], s[1], s[2], s[3], s[4], s[5], s[6],
+                        s[7], s[8], s[9], s[10], s[11], s[12])
+    wt_ref[0] = wt[HALO_J:HALO_J + TJ]
+    tht_ref[0] = tht[HALO_J:HALO_J + TJ]
 
 
 class FusedLES2:
-    """Builder for the fused 2nd-order LES kernels on ghost-padded fields."""
+    """Builder for the fused 2nd-order LES kernels on ghost-padded fields.
 
-    def __init__(self, ctx, smag, thermo, has_thermo, interpret=False):
+    ``tiled=False``: full-plane blocked variant; ``tiled=True``: j-tiled
+    manual-DMA variant with tile height ``tj``."""
+
+    def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
+                 tiled=False, tj=64):
         self.ctx = ctx
         self.interpret = interpret
         self.smag = smag
         self.thermo = thermo
         self.has_thermo = has_thermo
+        self.tiled = tiled
+        self.tj = tj
+        if tiled and ctx.jtot % tj != 0:
+            raise ValueError("jtot must be divisible by the tile height")
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
 
-        # column constants, float32 arrays (ktot, N_CONST)
         cc_e = np.zeros((kt, N_CONST), dtype=np.float64)
         cc_t = np.zeros((kt, N_CONST), dtype=np.float64)
         g_dzi = np.asarray(ctx.dzi)
@@ -260,6 +343,8 @@ class FusedLES2:
         rho = np.asarray(ctx.rhoref)
         rhoh = np.asarray(ctx.rhorefh)
         z = np.asarray(ctx.z)
+        thref = np.asarray(thermo.thref) if hasattr(thermo, "thref") else None
+        threfh = np.asarray(thermo.threfh) if hasattr(thermo, "threfh") else None
         for k in range(kt):
             ka = ks + k
             for cc in (cc_e, cc_t):
@@ -273,90 +358,126 @@ class FusedLES2:
                 cc[k, C_MLEN2] = smag.mlen2[k] if hasattr(smag, "mlen2") else 0.
             cc_e[k, C_Z] = z[ka]
             cc_t[k, C_Z] = rho[ka - 1]  # reused slot: rho[k-1]
-            if has_thermo:
-                thref = np.asarray(thermo.thref) if hasattr(thermo, "thref") else None
-                threfh = np.asarray(thermo.threfh) if hasattr(thermo, "threfh") else None
-                if thref is not None:
-                    cc_e[k, C_THREFH] = thref[ka]   # evisc N2 uses full-level thref
-                    cc_t[k, C_THREFH] = threfh[ka]  # buoyancy uses half-level
+            if has_thermo and thref is not None:
+                cc_e[k, C_THREFH] = thref[ka]   # evisc N2 uses full-level thref
+                cc_t[k, C_THREFH] = threfh[ka]  # buoyancy uses half-level
         self.cc_evisc = cc_e
         self.cc_tend = cc_t
 
-    def _specs(self, n_fields, ks):
-        """3 vertically-shifted (1, jtot, itot) views per field."""
-        specs = []
-        for _ in range(n_fields):
-            for off in (-1, 0, 1):
-                specs.append(pl.BlockSpec(
-                    (1, self.ctx.jtot, self.ctx.itot),
-                    functools.partial(lambda k, o: (k + ks + o, 0, 0), o=off),
-                    memory_space=pltpu.VMEM))
-        return specs
-
-    def evisc(self, u, v, w, th):
-        ctx = self.ctx
-        ks, kt = ctx.ks, ctx.ktot
-        body = functools.partial(_evisc_body, self.smag.tPr,
-                                 float(ctx.dxi), float(ctx.dyi), self.has_thermo)
-        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        in_specs = [cc_spec] + self._specs(4, ks)
-        th_in = th if th is not None else u
-        out = pl.pallas_call(
-            body,
-            grid=(kt,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, ctx.jtot, ctx.itot), lambda k: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype),
-            interpret=self.interpret,
-        )(jnp.asarray(self.cc_evisc, dtype=u.dtype),
-          u, u, u, v, v, v, w, w, w, th_in, th_in, th_in)
-        return out  # interior levels only (ktot, jtot, itot)
-
+    # -- spec helpers -------------------------------------------------------
     def _spec_at(self, off, ks):
         return pl.BlockSpec((1, self.ctx.jtot, self.ctx.itot),
                             functools.partial(lambda k, o: (k + ks + o, 0, 0), o=off),
                             memory_space=pltpu.VMEM)
 
+    def _out_spec_full(self):
+        return pl.BlockSpec((1, self.ctx.jtot, self.ctx.itot),
+                            lambda k: (k, 0, 0), memory_space=pltpu.VMEM)
+
+    def _out_spec_tiled(self):
+        TJ = self.tj
+        return pl.BlockSpec((1, TJ, self.ctx.itot),
+                            lambda k, jt: (k, jt, 0), memory_space=pltpu.VMEM)
+
+    def _tiled_scratch(self, nwin, dtype):
+        TJ = self.tj
+        return [pltpu.VMEM((nwin, TJ + 2 * HALO_J, self.ctx.itot), dtype),
+                pltpu.SemaphoreType.DMA((nwin, 3))]
+
+    # -- public entry points ------------------------------------------------
+    def evisc(self, u, v, w, th):
+        ctx = self.ctx
+        ks, kt = ctx.ks, ctx.ktot
+        cc = jnp.asarray(self.cc_evisc, dtype=u.dtype)
+        th_in = th if th is not None else u
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        if not self.tiled:
+            body = functools.partial(_evisc_body, self.smag.tPr,
+                                     float(ctx.dxi), float(ctx.dyi),
+                                     self.has_thermo)
+            in_specs = [cc_spec] + [self._spec_at(o, ks) for o in
+                                    (-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
+            return pl.pallas_call(
+                body, grid=(kt,), in_specs=in_specs,
+                out_specs=self._out_spec_full(), out_shape=shape,
+                interpret=self.interpret,
+            )(cc, u, u, u, v, v, v, w, w, w, th_in, th_in, th_in)
+
+        body = functools.partial(_evisc_tiled_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 self.has_thermo, ks, self.tj, ctx.jtot)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        return pl.pallas_call(
+            body, grid=(kt, ctx.jtot // self.tj),
+            in_specs=[cc_spec] + [any_spec] * 4,
+            out_specs=self._out_spec_tiled(), out_shape=shape,
+            scratch_shapes=self._tiled_scratch(10, u.dtype),
+            interpret=self.interpret,
+        )(cc, u, v, w, th_in)
+
     def tendencies(self, u, v, w, th, evisc_full):
-        """Two passes (u,v) and (w,th) to stay inside the VMEM budget."""
         ctx = self.ctx
         ks, kt = ctx.ks, ctx.ktot
         svisc = self.smag.viscs.get("th", self.smag.visc) if self.has_thermo else self.smag.visc
-        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        th_in = th if th is not None else u
-        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
-        out_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot), lambda k: (k, 0, 0),
-                                memory_space=pltpu.VMEM)
         cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        th_in = th if th is not None else u
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
 
-        body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
+        if not self.tiled:
+            body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
+                                        float(ctx.dxi), float(ctx.dyi),
+                                        self.smag.visc, self.has_thermo)
+            specs_uv = [cc_spec] + [self._spec_at(o, ks) for o in
+                                    (-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1)]
+            ut, vt = pl.pallas_call(
+                body_uv, grid=(kt,), in_specs=specs_uv,
+                out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+                interpret=self.interpret,
+            )(cc, u, u, u, v, v, v, w, w, evisc_full, evisc_full, evisc_full)
+
+            body_wth = functools.partial(_tend_wth_body, self.smag.tPr,
+                                         float(ctx.dxi), float(ctx.dyi),
+                                         self.smag.visc, svisc, self.has_thermo)
+            specs_wth = [cc_spec] + [self._spec_at(o, ks) for o in
+                                     (-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
+            wt, tht = pl.pallas_call(
+                body_wth, grid=(kt,), in_specs=specs_wth,
+                out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+                interpret=self.interpret,
+            )(cc, u, u, v, v, w, w, w, th_in, th_in, th_in,
+              evisc_full, evisc_full, evisc_full)
+            return ut, vt, wt, tht
+
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid = (kt, ctx.jtot // self.tj)
+        body_uv = functools.partial(_uv_tiled_body, self.smag.tPr,
                                     float(ctx.dxi), float(ctx.dyi),
-                                    self.smag.visc, self.has_thermo)
-        specs_uv = [cc_spec] + [self._spec_at(o, ks) for o in
-                                (-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1)]
+                                    self.smag.visc, self.has_thermo,
+                                    ks, self.tj, ctx.jtot)
         ut, vt = pl.pallas_call(
-            body_uv, grid=(kt,), in_specs=specs_uv,
-            out_specs=[out_spec] * 2, out_shape=[shape] * 2,
+            body_uv, grid=grid, in_specs=[cc_spec] + [any_spec] * 4,
+            out_specs=[self._out_spec_tiled()] * 2, out_shape=[shape] * 2,
+            scratch_shapes=self._tiled_scratch(11, u.dtype),
             interpret=self.interpret,
-        )(cc, u, u, u, v, v, v, w, w, evisc_full, evisc_full, evisc_full)
+        )(cc, u, v, w, evisc_full)
 
-        body_wth = functools.partial(_tend_wth_body, self.smag.tPr,
+        body_wth = functools.partial(_wth_tiled_body, self.smag.tPr,
                                      float(ctx.dxi), float(ctx.dyi),
-                                     self.smag.visc, svisc, self.has_thermo)
-        specs_wth = [cc_spec] + [self._spec_at(o, ks) for o in
-                                 (-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
+                                     self.smag.visc, svisc, self.has_thermo,
+                                     ks, self.tj, ctx.jtot)
         wt, tht = pl.pallas_call(
-            body_wth, grid=(kt,), in_specs=specs_wth,
-            out_specs=[out_spec] * 2, out_shape=[shape] * 2,
+            body_wth, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
+            out_specs=[self._out_spec_tiled()] * 2, out_shape=[shape] * 2,
+            scratch_shapes=self._tiled_scratch(13, u.dtype),
             interpret=self.interpret,
-        )(cc, u, u, v, v, w, w, w, th_in, th_in, th_in,
-          evisc_full, evisc_full, evisc_full)
+        )(cc, u, v, w, th_in, evisc_full)
         return ut, vt, wt, tht
 
 
 # ==========================================================================
-#  Integration: fused substep tendencies with XLA row patches
+#  integration with the model step (XLA wall-row patches)
 # ==========================================================================
 
 def _pad_k(ctx, interior):

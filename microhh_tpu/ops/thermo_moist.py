@@ -270,6 +270,15 @@ class ThermoMoist:
         ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
         return ql
 
+    def get_ql_qi(self, ctx, s):
+        """(ql, qi) interior fields (thermo_moist.cxx get_thermo_field
+        "ql"/"qi" dispatch)."""
+        ks, ke = ctx.ks, ctx.ke
+        p = jnp.asarray(self.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        exn = jnp.asarray(self.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
+        return ql, qi
+
     def get_n2(self, ctx, s):
         """N2 from thl like the reference calc_N2 (thermo_moist.cxx:460-478)."""
         ks, ke = ctx.ks, ctx.ke

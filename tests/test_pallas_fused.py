@@ -94,6 +94,40 @@ def test_fused_evisc_matches(setup):
         np.abs(a[ks:ke] - b[ks:ke]).max()
 
 
+def test_tiled_evisc_matches(setup):
+    m, ctx, s, sfc, fused = setup
+    tiled = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                      tiled=True, tj=8)
+    aux_ref = m.diff.exec_viscosity(ctx, s, sfc, {})
+    aux_t = fused_exec_viscosity(tiled, ctx, s, sfc, {})
+    a = np.asarray(aux_ref["evisc"])
+    b = np.asarray(aux_t["evisc"])
+    ks, ke = ctx.ks, ctx.ke
+    assert np.allclose(a[ks:ke], b[ks:ke], rtol=1e-12, atol=1e-14), \
+        np.abs(a[ks:ke] - b[ks:ke]).max()
+
+
+def test_tiled_tendencies_match(setup):
+    m, ctx, s, sfc, fused = setup
+    tiled = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                      tiled=True, tj=8)
+    aux = m.diff.exec_viscosity(ctx, s, sfc, {})
+    t0 = {n: jnp.zeros_like(s[n]) for n in s}
+
+    t_ref = m.thermo.exec(ctx, s, dict(t0), aux)
+    t_ref = m.advec.exec(ctx, s, t_ref, aux)
+    t_ref = m.diff.exec(ctx, s, t_ref, aux, sfc)
+
+    t_t = fused_tendencies(tiled, ctx, s, dict(t0), aux, sfc)
+
+    ks, ke = ctx.ks, ctx.ke
+    for name in ("u", "v", "w", "th"):
+        a = np.asarray(t_ref[name])[ks:ke]
+        b = np.asarray(t_t[name])[ks:ke]
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-12, (name, err)
+
+
 def test_fused_tendencies_match(setup):
     m, ctx, s, sfc, fused = setup
     aux = m.diff.exec_viscosity(ctx, s, sfc, {})
