@@ -51,6 +51,9 @@ def make_advec(ini, grid, fields):
     if sw == "2i62":
         from .advec_interp import Advec2i62
         return Advec2i62(ini, grid)
+    if sw == "2i53":
+        from .advec_interp import Advec2i53
+        return Advec2i53(ini, grid)
     if sw == "4":
         from .advec_4 import Advec4
         return Advec4(ini, grid)

@@ -11,6 +11,9 @@ higher-order interpolation:
          interp5_ws) horizontal and vertical, vertical ladder
          2nd/4th/6th from the walls inward.
 * 2i62 — 6th+5th-upwind horizontal, plain 2nd-order vertical.
+* 2i53 — 6th+5th-upwind horizontal, 4th-order WS + 3rd-order upwind
+         vertical (interp4_ws/interp3_ws, ``src/advec_2i53.cxx:155-530``),
+         2nd order at the first half-level off each wall.
 """
 
 import jax.numpy as jnp
@@ -85,8 +88,22 @@ def _zh_ladder(scheme, q, ks, ke):
                 - (5. / 60.) * (q[lo + 1:hi + 1] - q[lo - 2:hi - 2])
                 + (1. / 60.) * (q[lo + 2:hi + 2] - q[lo - 3:hi - 3]))
 
+    def i4z_ws(lo, hi):  # WS 4-point centered (finite_difference.h:111-116)
+        return ((7. / 12.) * (q[lo - 1:hi - 1] + q[lo:hi])
+                - (1. / 12.) * (q[lo - 2:hi - 2] + q[lo + 1:hi + 1]))
+
+    def i3z_ws(lo, hi):  # WS 3rd-order upwind part (finite_difference.h:119-124)
+        return ((3. / 12.) * (q[lo:hi] - q[lo - 1:hi - 1])
+                - (1. / 12.) * (q[lo + 1:hi + 1] - q[lo - 2:hi - 2]))
+
     if scheme == "2i62":
         X = X.at[1:kt].set(0.5 * (q[ks:ke - 1] + q[ks + 1:ke]))
+    elif scheme == "2i53":
+        X = X.at[1].set(i2z(ks + 1))
+        X = X.at[kt - 1].set(i2z(ke - 1))
+        if kt > 3:
+            X = X.at[2:kt - 1].set(i4z_ws(ks + 2, ke - 1))
+            U = U.at[2:kt - 1].set(i3z_ws(ks + 2, ke - 1))
     elif scheme == "2i4":
         X = X.at[1].set(i2z(ks + 1))
         X = X.at[kt - 1].set(i2z(ke - 1))
@@ -107,7 +124,7 @@ def _zh_ladder(scheme, q, ks, ke):
 
 
 class AdvecInterp:
-    """Shared implementation; scheme in {'2i4', '2i5', '2i62'}."""
+    """Shared implementation; scheme in {'2i4', '2i5', '2i62', '2i53'}."""
 
     scheme = None
 
@@ -155,7 +172,7 @@ class AdvecInterp:
         rhh = ctx.rhorefh[ks:ke + 1][:, None, None]
         F = rhh * velw_h * X
         out = -(F[1:] - F[:-1]) / ctx.rhoref[ks:ke][:, None, None] * ctx.dzi[ks:ke][:, None, None]
-        if self.scheme == "2i5":
+        if self.scheme in ("2i5", "2i53"):
             G = rhh * jnp.abs(velw_h) * U
             out = out + (G[1:] - G[:-1]) / ctx.rhoref[ks:ke][:, None, None] * ctx.dzi[ks:ke][:, None, None]
         return out
@@ -205,6 +222,14 @@ class AdvecInterp:
         Xc = Xc.at[kt - 1].set(i2(w[ke - 1], w[ke]))
         if self.scheme == "2i62":
             Xc = Xc.at[1:kt - 1].set(i2(w[ks + 1:ke - 1], w[ks + 2:ke]))
+        elif self.scheme == "2i53":
+            if kt > 2:
+                Xc = Xc.at[1:kt - 1].set(
+                    (7. / 12.) * (w[ks + 1:ke - 1] + w[ks + 2:ke])
+                    - (1. / 12.) * (w[ks:ke - 2] + w[ks + 3:ke + 1]))
+                Uc = Uc.at[1:kt - 1].set(
+                    (3. / 12.) * (w[ks + 2:ke] - w[ks + 1:ke - 1])
+                    - (1. / 12.) * (w[ks + 3:ke + 1] - w[ks:ke - 2]))
         elif self.scheme == "2i4":
             if kt > 2:
                 Xc = Xc.at[1:kt - 1].set(fd.ci0 * w[ks:ke - 2] + fd.ci1 * w[ks + 1:ke - 1]
@@ -226,7 +251,7 @@ class AdvecInterp:
         Fc = rho_c * velw_c * Xc
         rhh = ctx.rhorefh[lo:hi][:, None, None]
         tw = tw - (Fc[1:] - Fc[:-1]) / rhh * ctx.dzhi[lo:hi][:, None, None]
-        if self.scheme == "2i5":
+        if self.scheme in ("2i5", "2i53"):
             Gc = rho_c * jnp.abs(velw_c) * Uc
             tw = tw + (Gc[1:] - Gc[:-1]) / rhh * ctx.dzhi[lo:hi][:, None, None]
         t["w"] = t["w"].at[lo:hi].add(tw)
@@ -264,3 +289,7 @@ class Advec2i5(AdvecInterp):
 
 class Advec2i62(AdvecInterp):
     scheme = "2i62"
+
+
+class Advec2i53(AdvecInterp):
+    scheme = "2i53"

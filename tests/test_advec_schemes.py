@@ -73,7 +73,7 @@ def random_state(m, seed=0):
 
 
 @pytest.mark.parametrize("swadvec,order", [
-    ("2", 2), ("2i4", 2), ("2i5", 2), ("2i62", 2), ("4", 4), ("4m", 4)])
+    ("2", 2), ("2i4", 2), ("2i5", 2), ("2i62", 2), ("2i53", 2), ("4", 4), ("4m", 4)])
 def test_scalar_conservation(swadvec, order):
     if swadvec == "4m":
         pytest.importorskip("microhh_tpu.ops.advec_4m")
@@ -106,7 +106,7 @@ def test_scalar_conservation(swadvec, order):
         assert abs(tot) < tol * max(scale, 1.), (nm, tot)
 
 
-@pytest.mark.parametrize("swadvec", ["2i4", "2i5", "2i62"])
+@pytest.mark.parametrize("swadvec", ["2i4", "2i5", "2i62", "2i53"])
 def test_uniform_flow_no_tendency(swadvec):
     """A uniform velocity field advecting a uniform scalar produces zero
     tendency in any consistent scheme."""
@@ -122,7 +122,7 @@ def test_uniform_flow_no_tendency(swadvec):
         assert float(jnp.abs(t[nm][ks:ke]).max()) < 1e-12, nm
 
 
-@pytest.mark.parametrize("swadvec", ["2", "2i4", "2i5", "2i62"])
+@pytest.mark.parametrize("swadvec", ["2", "2i4", "2i5", "2i62", "2i53"])
 def test_cfl_positive(swadvec):
     m = build(swadvec)
     s = random_state(m)
