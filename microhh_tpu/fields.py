@@ -44,6 +44,12 @@ class Fields:
             self.init_prognostic_field(name, name, "-")
         # Diagnostic fields (p is always registered, like the reference).
         self.sd = {"p": Field("p", "Pressure", "Pa", (0, 0, 0))}
+        # Prognostic soil fields (ktot_soil, jtot, itot; no ghosts) and 2-D
+        # surface fields, registered by the land-surface scheme
+        # (reference fields.sps / fields.ap2d).
+        self.sps = {}
+        self.sp2d = {}
+        self.soil_ktot = 0
 
         # Reference profiles, filled by thermo's base state; default Boussinesq
         # rho == 1 (reference Fields::create_basestate defaults).
@@ -62,9 +68,21 @@ class Fields:
     def init_diagnostic_field(self, name, longname, unit, group=""):
         self.sd[name] = Field(name, longname, unit, (0, 0, 0))
 
+    def init_prognostic_soil_field(self, name, longname, unit):
+        self.sps[name] = Field(name, longname, unit, (0, 0, 0))
+
+    def init_prognostic_2d_field(self, name, longname="", unit=""):
+        self.sp2d[name] = Field(name, longname, unit, (0, 0, 0))
+
     @property
     def prognostic_names(self):
         return ["u", "v", "w"] + list(self.sp.keys())
+
+    @property
+    def all_prognostic_names(self):
+        """Atmospheric + soil + 2-D prognostics (drives the RK update/io)."""
+        return (self.prognostic_names + list(self.sps.keys())
+                + list(self.sp2d.keys()))
 
     def zeros(self, dtype=np.float64):
         g = self.grid
@@ -153,7 +171,10 @@ class Fields:
     def save_field(self, data, name, iotime, path=".", dtype=None):
         g = self.grid
         fname = "%s/%s.%07d" % (path, name, iotime)
-        interior = np.asarray(data[g.kstart:g.kend])
+        if name in self.sps or name in self.sp2d:
+            interior = np.asarray(data)  # soil/2-D fields carry no ghosts
+        else:
+            interior = np.asarray(data[g.kstart:g.kend])
         if dtype is not None:
             interior = interior.astype(dtype)
         from .utils import fastio
@@ -165,6 +186,10 @@ class Fields:
         g = self.grid
         fname = "%s/%s.%07d" % (path, name, iotime)
         raw = np.fromfile(fname, dtype=dtype)
+        if name in self.sp2d:
+            return raw.reshape(g.jtot, g.itot)
+        if name in self.sps:
+            return raw.reshape(self.soil_ktot, g.jtot, g.itot)
         if raw.size != g.ktot * g.jtot * g.itot:
             raise ValueError("size mismatch loading %s" % fname)
         data = self.zeros(dtype)
@@ -172,9 +197,9 @@ class Fields:
         return data
 
     def save(self, state, iotime, path=".", dtype=None):
-        for name in self.prognostic_names:
+        for name in self.all_prognostic_names:
             self.save_field(np.asarray(state[name]), name, iotime, path, dtype)
 
     def load(self, iotime, path=".", dtype=np.float64):
         return {name: self.load_field(name, iotime, path, dtype)
-                for name in self.prognostic_names}
+                for name in self.all_prognostic_names}

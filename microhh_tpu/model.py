@@ -93,7 +93,18 @@ class Model:
         self.micro.thermo = self.thermo
         from .ops.radiation import make_radiation
         self.radiation = make_radiation(ini, self.grid)
-        self.boundary = ops.make_boundary(ini, self.fields, self.grid)
+        if ini.get_str("boundary", "swboundary", default="default") == "surface_lsm":
+            from .soil import SoilGrid
+            from .ops.boundary_surface_lsm import BoundarySurfaceLSM
+            self.soil_grid = SoilGrid(ini)
+            self.fields.soil_ktot = self.soil_grid.ktot
+            self.boundary = BoundarySurfaceLSM(ini, self.fields, self.grid,
+                                               self.soil_grid)
+            self.boundary.radiation = self.radiation
+            self.boundary.micro = self.micro
+        else:
+            self.soil_grid = None
+            self.boundary = ops.make_boundary(ini, self.fields, self.grid)
         self.advec = ops.make_advec(ini, self.grid, self.fields)
         self.diff = ops.make_diff(ini, self.grid, self.fields, self.boundary)
         # Cross-wiring (the reference passes Thermo& into these at exec time).
@@ -131,6 +142,7 @@ class Model:
         self._step_fn = None
         self._limits_fn = None
         self._diag_fn = None
+        self._last_sfc = None
         self._last_wallclock = _time.time()
 
     def at_wall_clock_limit(self):
@@ -152,6 +164,9 @@ class Model:
     def finish_setup(self):
         """Base state + solver precomputation; call before init/run."""
         self.thermo.create_basestate(self.input_nc)
+        if self.soil_grid is not None:
+            self.soil_grid.create(self.input_nc)
+            self.boundary.create(self.input_nc, self.workdir)
         self.ctx = Context(self.grid, self.fields, self.dtype)
         self.pres.set_values()
 
@@ -161,6 +176,11 @@ class Model:
     def save_initial_state(self):
         tl = self.timeloop
         state = self.fields.create(self.input_nc, dtype=self.dtype)
+        if getattr(self.boundary, "is_lsm", False):
+            sfc0 = self.boundary.init_surface_state(dtype=self.dtype)
+            state, sfc0 = self.boundary.create_cold_start(
+                self.input_nc, state, sfc0, dtype=self.dtype)
+            self.boundary.save(sfc0, 0, self.workdir)
         self.grid.save(os.path.join(self.workdir, "grid.%07d" % 0))
         self.fields.save(state, 0, self.workdir)
         tl.save(0, self.workdir)
@@ -178,7 +198,7 @@ class Model:
         tl = self.timeloop
         cA, cB = tl.rk_ca, tl.rk_cb
         nsub = tl.n_substeps
-        names = self.fields.prognostic_names
+        names = self.fields.all_prognostic_names
 
         is_surface = getattr(self.boundary, "is_surface", False)
 
@@ -203,7 +223,11 @@ class Model:
                 t = self.thermo.exec(ctx, s, t, aux)
             t, aux = self.micro.exec(ctx, s, t, aux, dt)
             t = self.radiation.exec(ctx, s, t, aux, time_s, self.thermo)
-            sfc = self.boundary.exec(ctx, s, sfc, aux)
+            if getattr(self.boundary, "is_lsm", False):
+                sfc, t = self.boundary.exec_lsm(ctx, s, t, sfc, aux,
+                                                cB[sub] * dt)
+            else:
+                sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
             # Conservation-type w ghosts around advec and pres; normal
@@ -344,10 +368,16 @@ class Model:
         return state_np
 
     def as_device_state(self, state_np):
-        s = {n: jnp.asarray(state_np[n], dtype=self.dtype) for n in self.fields.prognostic_names}
-        t = {n: jnp.zeros_like(s[n]) for n in self.fields.prognostic_names}
+        s = {n: jnp.asarray(state_np[n], dtype=self.dtype)
+             for n in self.fields.all_prognostic_names}
+        t = {n: jnp.zeros_like(s[n]) for n in self.fields.all_prognostic_names}
         if getattr(self.boundary, "is_surface", False):
             sfc_np = self.boundary.init_surface_state(dtype=self.dtype)
+            if getattr(self.boundary, "is_lsm", False) and self.sim_mode != "init":
+                tl = self.timeloop
+                iotime = int(tl.itime // tl.iiotimeprec)
+                sfc_np = self.boundary.load(sfc_np, iotime, self.workdir,
+                                            dtype=self.dtype)
             sfc = {k: jnp.asarray(v, dtype=self.dtype) for k, v in sfc_np.items()}
         else:
             sfc = {}
@@ -356,8 +386,11 @@ class Model:
     def save_restart(self, s):
         tl = self.timeloop
         iotime = int(tl.iotime)
-        state_np = {n: np.asarray(s[n]) for n in self.fields.prognostic_names}
+        state_np = {n: np.asarray(s[n]) for n in self.fields.all_prognostic_names}
         self.fields.save(state_np, iotime, self.workdir)
+        if getattr(self.boundary, "is_lsm", False) and self._last_sfc is not None:
+            self.boundary.save({k: np.asarray(v) for k, v in self._last_sfc.items()},
+                               iotime, self.workdir)
         tl.save(iotime, self.workdir)
 
     def _status_path(self):
@@ -442,6 +475,7 @@ class Model:
             s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params,
                                             dt_dev, time_dev)
             self._last_aux = _aux
+            self._last_sfc = sfc
             tl.step_time()
 
             if tl.do_save(self.at_wall_clock_limit()):

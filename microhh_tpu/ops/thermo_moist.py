@@ -79,6 +79,12 @@ def dqsatdT_ice(p, T):
             * cst.Ls * es / (cst.Rv * T ** 2))
 
 
+def dqsatdT(p, T):
+    """Mixed-phase dqsat/dT (thermo_moist_functions.h:165-169)."""
+    a = water_fraction(T)
+    return a * dqsatdT_liq(p, T) + (1. - a) * dqsatdT_ice(p, T)
+
+
 def exner(p):
     return (p / cst.p0) ** (cst.Rd / cst.cp)
 
