@@ -131,6 +131,8 @@ class Model:
         from .ops.boundary_outflow import BoundaryOutflow
         self.outflow = BoundaryOutflow(
             ini, self.grid, ini.get_int("grid", "swspatialorder", default=2))
+        from .ops.immersed_boundary import ImmersedBoundary
+        self.ib = ImmersedBoundary(ini, self.grid, self.fields)
         if self.outflow.active and self.input_nc is not None:
             self.outflow.create(self.input_nc)
         # [master] wallclocklimit in hours (reference master.cxx:80-89):
@@ -167,6 +169,8 @@ class Model:
         if self.soil_grid is not None:
             self.soil_grid.create(self.input_nc)
             self.boundary.create(self.input_nc, self.workdir)
+        if self.ib.active:
+            self.ib.create(self.workdir)
         self.ctx = Context(self.grid, self.fields, self.dtype)
         self.pres.set_values()
 
@@ -230,6 +234,8 @@ class Model:
                 sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
+            if self.ib.active:
+                s = self.ib.exec_scalars(ctx, s)
             # Conservation-type w ghosts around advec and pres; normal
             # ghosts for diff (model.cxx:387-412).  No-op at 2nd order.
             if ctx.spatial_order == 4:
@@ -254,6 +260,10 @@ class Model:
             t = self.decay(ctx, s, t, aux)
             t = self.source(ctx, s, t, aux)
             t = self.force(ctx, s, t, aux)
+            if self.ib.active:
+                s = self.ib.exec_momentum(ctx, s)
+                s_cons = s if ctx.spatial_order != 4 else dict(
+                    s, w=set_ghost_cells_w(ctx, s["w"], conservation=True))
             t, aux = self.pres.exec(ctx, s_cons, t, aux, subdt, pp)
             t = self.limiter(ctx, s, t, aux, subdt)
             # Low-storage RK update (timeloop.cxx:250-334).  Tendency ghost
