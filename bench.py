@@ -26,9 +26,10 @@ def main():
         sizes = [int(os.environ["BENCH_SIZE"])]
     else:
         # 512^3 needs ~17GB in f32 — beyond one 16GB v5e chip (the
-        # BASELINE.json target assumed a v5p-16 with 95GB/chip).  256^3 is
-        # the largest size the Pallas-fused hot path currently covers
-        # (full-plane VMEM residency); report it as the headline.
+        # BASELINE.json target assumed a v5p-16 with 95GB/chip); 512x512x128
+        # runs at ~2.0e8 pts/s.  256^3 uses the full-plane fused kernels
+        # (58 ms/step), 384^3 the j-tiled double-buffered-DMA variant
+        # (0.32 s/step).  Report 256^3 as the headline.
         sizes = [256, 384]
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
 

@@ -171,6 +171,9 @@ class Model:
             self.boundary.create(self.input_nc, self.workdir)
         if self.ib.active:
             self.ib.create(self.workdir)
+        if hasattr(self.boundary, "load_z0") and not getattr(
+                self.boundary, "sw_constant_z0", True):
+            self.boundary.load_z0(self.workdir)
         self.ctx = Context(self.grid, self.fields, self.dtype)
         self.pres.set_values()
 
@@ -362,7 +365,11 @@ class Model:
         if tj is None:
             return None
         row = ctx.itot * np.dtype(self.dtype).itemsize
-        if 13 * (tj + 2 * HALO_J) * row + 2 * tj * row > 12 * 1024 * 1024:
+        # 13 windows, double-buffered, plus two output blocks
+        while tj >= 8 and (26 * (tj + 2 * HALO_J) * row + 2 * tj * row
+                           > 12 * 1024 * 1024):
+            tj //= 2
+        if tj < 8 or ctx.jtot % tj != 0:
             return None
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
                          interpret=interpret, tiled=True, tj=tj)

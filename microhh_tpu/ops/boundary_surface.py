@@ -37,10 +37,23 @@ class BoundarySurface:
         self.offsets = {"u": grid.utrans, "v": grid.vtrans}
 
         self.sw_constant_z0 = ini.get_bool("boundary", "swconstantz0", default=True)
-        if not self.sw_constant_z0:
-            raise NotImplementedError("swconstantz0=false not yet supported")
-        self.z0m = ini.get_float("boundary", "z0m")
-        self.z0h = ini.get_float("boundary", "z0h")
+        self.sw_charnock = ini.get_bool("boundary", "swcharnock", default=False)
+        if self.sw_charnock and self.sw_constant_z0:
+            raise ValueError("swcharnock=true requires swconstantz0=false")
+        if self.sw_charnock:
+            self.alpha_m = ini.get_float("boundary", "alpha_m")
+            self.alpha_ch = ini.get_float("boundary", "alpha_ch")
+            self.alpha_h = ini.get_float("boundary", "alpha_h")
+        if self.sw_constant_z0:
+            self.z0m = ini.get_float("boundary", "z0m")
+            self.z0h = ini.get_float("boundary", "z0h")
+        else:
+            # heterogeneous z0: maps come from z0m/z0h.0000000 (or Charnock
+            # each substep); scalar ini values only seed the first step.
+            self.z0m = ini.get_float("boundary", "z0m", default=0.1)
+            self.z0h = ini.get_float("boundary", "z0h", default=0.01)
+        self._z0m_2d = None   # set by load_z0() for heterogeneous z0
+        self._z0h_2d = None
 
         mbcbot = self.bcs["u"].bcbot
         if mbcbot == NEUMANN:
@@ -55,6 +68,7 @@ class BoundarySurface:
                 raise ValueError("Fixed ustar + Dirichlet scalar bc not supported")
 
         self.thermo = None  # set by Model after construction
+
         self._lut = None
         # The z/L lookup table maps to slow gathers on TPU; the vectorized
         # warm-started Newton solve is the default (MICROHH_MOST_LUT=1 to
@@ -80,6 +94,18 @@ class BoundarySurface:
         zL, f = self._lut
         return jnp.asarray(zL), jnp.asarray(f)
 
+    def load_z0(self, workdir="."):
+        """2-D roughness maps z0m.0000000/z0h.0000000 (boundary_surface.cxx
+        load(): constant-z0 runs skip this; Charnock starts from the scalar
+        ini values until the first ustar is available)."""
+        import os
+        g = self.grid
+        for attr, name in (("_z0m_2d", "z0m"), ("_z0h_2d", "z0h")):
+            path = os.path.join(workdir, "%s.%07d" % (name, 0))
+            if os.path.exists(path):
+                setattr(self, attr, np.fromfile(path, dtype=np.float64)
+                        .reshape(g.jtot, g.itot))
+
     # ------------------------------------------------------------------
     def init_surface_state(self, dtype=np.float64):
         """Initial sfc dict (reference init_surface: obuk=-dbig etc.)."""
@@ -91,6 +117,11 @@ class BoundarySurface:
                "dudz_mo": z(), "dvdz_mo": z(), "dbdz_mo": z()}
         if self.mbcbot == USTAR:
             sfc["ustar"][:] = self.ustarin
+        if not self.sw_constant_z0:
+            sfc["z0m"] = (self._z0m_2d.astype(dtype) if self._z0m_2d is not None
+                          else np.full(shape, self.z0m, dtype=dtype))
+            sfc["z0h"] = (self._z0h_2d.astype(dtype) if self._z0h_2d is not None
+                          else np.full(shape, self.z0h, dtype=dtype))
         for name in ("u", "v"):
             bc = self.bcs[name]
             sfc[name + "_bot"] = np.full(shape, bc.bot - self.offsets[name], dtype=dtype)
@@ -134,6 +165,19 @@ class BoundarySurface:
         zsl = float(g.z[ks])
         sfc = dict(sfc)
 
+        if self.sw_constant_z0:
+            z0m, z0h = self.z0m, self.z0h
+        else:
+            z0m, z0h = sfc["z0m"], sfc["z0h"]
+            if self.sw_charnock:
+                # IFS-style sea-surface roughness from the previous ustar
+                # (boundary_surface.cxx:342-368).
+                visc_a, gi = 1.5e-5, 1. / cst.grav
+                us = jnp.maximum(sfc["ustar"], 1e-8)
+                z0m = self.alpha_m * visc_a / us + self.alpha_ch * us ** 2 * gi
+                z0h = self.alpha_h * visc_a / us
+                sfc["z0m"], sfc["z0h"] = z0m, z0h
+
         dutot = self._calc_dutot(ctx, s, sfc)
 
         thermo_on = self.thermo is not None and getattr(self.thermo, "scalars", ())
@@ -143,7 +187,7 @@ class BoundarySurface:
             if self.mbcbot == USTAR:
                 ustar = sfc["ustar"]
             else:
-                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+                ustar = dutot * most.fm(zsl, z0m, obuk)
         else:
             bfluxbot = self.thermo.get_buoyancy_fluxbot(ctx, s, sfc)
             thermobc = self._thermobc()
@@ -152,25 +196,25 @@ class BoundarySurface:
                 obuk = -(ustar ** 3) / (cst.kappa * bfluxbot)
             elif self.mbcbot == DIRICHLET and thermobc == FLUX:
                 Ri = -cst.kappa * bfluxbot * zsl / dutot ** 3
-                if self.use_lut:
+                if self.use_lut and self.sw_constant_z0:
                     zL_lut, f_lut = self._get_lut()
                     zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
                 else:
-                    zL = most.solve_zL_flux(Ri, zsl / sfc["obuk"], zsl, self.z0m)
+                    zL = most.solve_zL_flux(Ri, zsl / sfc["obuk"], zsl, z0m)
                 obuk = zsl / zL
-                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+                ustar = dutot * most.fm(zsl, z0m, obuk)
             elif self.mbcbot == DIRICHLET and thermobc == DIRICHLET:
                 b, bbot = self.thermo.get_buoyancy_surf(ctx, s, sfc)
                 db = b - bbot + self.thermo.get_db_ref()
                 Ri = cst.kappa * db * zsl / dutot ** 2
-                if self.use_lut:
+                if self.use_lut and self.sw_constant_z0:
                     zL_lut, f_lut = self._get_lut()
                     zL = most.lookup_zL(zL_lut, f_lut, Ri).astype(ctx.dtype)
                 else:
                     zL = most.solve_zL_dirichlet(Ri, zsl / sfc["obuk"], zsl,
-                                                 self.z0m, self.z0h)
+                                                 z0m, z0h)
                 obuk = zsl / zL
-                ustar = dutot * most.fm(zsl, self.z0m, obuk)
+                ustar = dutot * most.fm(zsl, z0m, obuk)
             else:
                 raise ValueError("unsupported mbcbot/thermobc combination")
 
@@ -180,7 +224,7 @@ class BoundarySurface:
         # surfm (boundary_surface.cxx:188-320)
         u, v = s["u"][ks], s["v"][ks]
         ubot, vbot = sfc["u_bot"], sfc["v_bot"]
-        ufm = ustar * most.fm(zsl, self.z0m, obuk)
+        ufm = ustar * most.fm(zsl, z0m, obuk)
         if self.mbcbot == DIRICHLET:
             sfc["u_fluxbot"] = -(u - ubot) * 0.5 * (im(ufm) + ufm)
             sfc["v_fluxbot"] = -(v - vbot) * 0.5 * (jm(ufm) + ufm)
@@ -199,7 +243,7 @@ class BoundarySurface:
         sfc["v_gradbot"] = (v - vbot) / zsl
 
         # surfs per scalar (boundary_surface.cxx:322-380)
-        fh2d = ustar * most.fh(zsl, self.z0h, obuk)
+        fh2d = ustar * most.fh(zsl, z0h, obuk)
         for name in self.fields.sp:
             bc = self.bcs[name]
             var = s[name][ks]
@@ -218,7 +262,7 @@ class BoundarySurface:
         # -du_c*ustar*fm -> dudz = du_c*fm*phim/(kappa*zsl).
         du_c = 0.5 * ((u - ubot) + (ip(u) - ip(ubot)))
         dv_c = 0.5 * ((v - vbot) + (jp(v) - jp(vbot)))
-        fac = most.fm(zsl, self.z0m, obuk) * most.phim(zsl / obuk) / (cst.kappa * zsl)
+        fac = most.fm(zsl, z0m, obuk) * most.phim(zsl / obuk) / (cst.kappa * zsl)
         sfc["dudz_mo"] = du_c * fac
         sfc["dvdz_mo"] = dv_c * fac
         if thermo_on:

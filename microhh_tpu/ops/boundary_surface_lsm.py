@@ -71,6 +71,9 @@ class BoundarySurfaceLSM(BoundarySurface):
         if ini.get_str("boundary", "mbcbot") != "noslip":
             raise ValueError("swboundary=surface_lsm requires mbcbot=noslip")
         super().__init__(ini, fields, grid)
+        if not self.sw_constant_z0:
+            raise NotImplementedError("surface_lsm currently requires "
+                                      "swconstantz0=true")
         self.sgrid = soil_grid
         for name in ("thl", "qt"):
             if name in fields.sp and self.bcs[name].bcbot != DIRICHLET:

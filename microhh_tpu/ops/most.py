@@ -193,11 +193,25 @@ def _stable_peak(fn):
     return float(zg[ipk]), float(fv[ipk])
 
 
+def _stable_peak_plane(zsl, z0m):
+    """Pointwise stable-branch peak of zL*fm^3 for a heterogeneous 2-D z0m
+    plane (jnp evaluation on a fixed zL grid at trace time)."""
+    zg = jnp.linspace(1e-3, cst.zL_max, 128)[:, None, None]
+    fv = zg * fm(zsl, z0m[None], zsl / zg) ** 3
+    ipk = jnp.argmax(fv, axis=0)
+    zL_pk = jnp.squeeze(zg, (1, 2))[ipk]
+    f_pk = jnp.max(fv, axis=0)
+    return zL_pk, f_pk
+
+
 def solve_zL_flux(Ri, zL0, zsl, z0m, niter=8):
     """Solve zL * fm(zL)^3 = Ri (flux thermal BC).  Beyond the stable-branch
     peak the relation has no root; clamp to zL_max like the reference's LUT
     walk-to-end behavior (find_zL returning the last table entry)."""
-    zL_pk, f_pk = _stable_peak(lambda z: z * _np_fm(zsl, z0m, zsl / z) ** 3)
+    if getattr(z0m, "ndim", 0) == 2:
+        zL_pk, f_pk = _stable_peak_plane(zsl, z0m)
+    else:
+        zL_pk, f_pk = _stable_peak(lambda z: z * _np_fm(zsl, z0m, zsl / z) ** 3)
     no_solution = Ri >= f_pk
     Ri = jnp.where(no_solution, 0.5 * f_pk, Ri)
     Ri = jnp.where(jnp.abs(Ri) < 1e-12, jnp.sign(Ri) * 1e-12 + (Ri == 0.) * 1e-12, Ri)

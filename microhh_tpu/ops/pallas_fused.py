@@ -245,35 +245,70 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
 
 
 # ==========================================================================
-#  j-tiled kernel bodies (manual DMA with wrap-aware halos)
+#  j-tiled kernel bodies (manual double-buffered DMA with wrap-aware halos)
 # ==========================================================================
 
-def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
-    """Start DMAs for each (field, k-offset) window: TJ body rows at this
-    j-tile plus HALO_J-row periodic halos, as three contiguous copies."""
-    jt = pl.program_id(1)
-    j0 = pl.multiple_of(jt * TJ, 8)
-    # wrap-around offsets are 8-aligned by construction (TJ, jtot mult. of 8)
+def _window_copies(hbm_refs, koffs, scratch, sems, ks, TJ, jtot,
+                   slot, k_idx, jt_idx):
+    """The DMA descriptors for one grid step's windows into buffer `slot`:
+    per (field, k-offset), TJ body rows of j-tile `jt_idx` at level
+    ``ks + k_idx + koff`` plus HALO_J-row periodic halos, as three
+    contiguous copies (offsets 8-aligned by construction)."""
+    j0 = pl.multiple_of(jt_idx * TJ, 8)
     top = pl.multiple_of(
         jax.lax.rem(jnp.int32(j0 - HALO_J + jtot), jnp.int32(jtot)), 8)
     bot = pl.multiple_of(jax.lax.rem(jnp.int32(j0 + TJ), jnp.int32(jtot)), 8)
     copies = []
     for wdx, (ref, koff) in enumerate(zip(hbm_refs, koffs)):
-        k_abs = pl.program_id(0) + ks + koff
-        c1 = pltpu.make_async_copy(
+        k_abs = k_idx + ks + koff
+        copies.append(pltpu.make_async_copy(
             ref.at[k_abs, pl.ds(top, HALO_J)],
-            scratch.at[wdx, pl.ds(0, HALO_J)], sems.at[wdx, 0])
-        c2 = pltpu.make_async_copy(
+            scratch.at[slot, wdx, pl.ds(0, HALO_J)], sems.at[slot, wdx, 0]))
+        copies.append(pltpu.make_async_copy(
             ref.at[k_abs, pl.ds(j0, TJ)],
-            scratch.at[wdx, pl.ds(HALO_J, TJ)], sems.at[wdx, 1])
-        c3 = pltpu.make_async_copy(
+            scratch.at[slot, wdx, pl.ds(HALO_J, TJ)], sems.at[slot, wdx, 1]))
+        copies.append(pltpu.make_async_copy(
             ref.at[k_abs, pl.ds(bot, HALO_J)],
-            scratch.at[wdx, pl.ds(HALO_J + TJ, HALO_J)], sems.at[wdx, 2])
-        for c in (c1, c2, c3):
+            scratch.at[slot, wdx, pl.ds(HALO_J + TJ, HALO_J)],
+            sems.at[slot, wdx, 2]))
+    return copies
+
+
+def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
+    """Double-buffered window fetch over the sequential (k, jt) grid:
+    wait for this step's windows (prefetched by the previous step), then
+    start the NEXT step's windows into the other buffer — overlapping HBM
+    transfers with this step's compute.  Returns the ready buffer."""
+    k = pl.program_id(0)
+    jt = pl.program_id(1)
+    njt = pl.num_programs(1)
+    nk = pl.num_programs(0)
+    n = jnp.int32(k * njt + jt)
+    slot = jax.lax.rem(n, jnp.int32(2))
+    nslot = jax.lax.rem(n + 1, jnp.int32(2))
+
+    def start(s_, ki, ji):
+        for c in _window_copies(hbm_refs, koffs, scratch, sems,
+                                ks, TJ, jtot, s_, ki, ji):
             c.start()
-        copies.extend((c1, c2, c3))
-    for c in copies:
+
+    @pl.when(n == 0)
+    def _prime():
+        start(slot, k, jt)
+
+    # prefetch the next step's windows (wraps from (k, njt-1) to (k+1, 0))
+    nn = n + 1
+    k_n = nn // jnp.int32(njt)
+    jt_n = jax.lax.rem(nn, jnp.int32(njt))
+
+    @pl.when(nn < nk * njt)
+    def _prefetch():
+        start(nslot, k_n, jt_n)
+
+    for c in _window_copies(hbm_refs, koffs, scratch, sems,
+                            ks, TJ, jtot, slot, k, jt):
         c.wait()
+    return slot
 
 
 def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, ks, TJ, jtot, cc_ref,
@@ -281,8 +316,8 @@ def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, ks, TJ, jtot, cc_ref,
     refs = [u_ref, u_ref, u_ref, v_ref, v_ref, v_ref, w_ref, w_ref,
             th_ref, th_ref]
     koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 1]
-    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
-    s = scratch
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch[slot]
     ev = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
                      s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
                      s[8], s[9])
@@ -293,8 +328,8 @@ def _uv_tiled_body(tPr, dxi, dyi, visc, has_thermo, ks, TJ, jtot, cc_ref,
                    u_ref, v_ref, w_ref, e_ref, ut_ref, vt_ref, scratch, sems):
     refs = [u_ref] * 3 + [v_ref] * 3 + [w_ref] * 2 + [e_ref] * 3
     koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1]
-    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
-    s = scratch
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch[slot]
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
                       s[8], s[9], s[10])
@@ -308,8 +343,8 @@ def _wth_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
     refs = ([u_ref] * 2 + [v_ref] * 2 + [w_ref] * 3 + [th_ref] * 3
             + [e_ref] * 3)
     koffs = [-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1]
-    _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
-    s = scratch
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch[slot]
     wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
                         s[0], s[1], s[2], s[3], s[4], s[5], s[6],
                         s[7], s[8], s[9], s[10], s[11], s[12])
@@ -381,8 +416,8 @@ class FusedLES2:
 
     def _tiled_scratch(self, nwin, dtype):
         TJ = self.tj
-        return [pltpu.VMEM((nwin, TJ + 2 * HALO_J, self.ctx.itot), dtype),
-                pltpu.SemaphoreType.DMA((nwin, 3))]
+        return [pltpu.VMEM((2, nwin, TJ + 2 * HALO_J, self.ctx.itot), dtype),
+                pltpu.SemaphoreType.DMA((2, nwin, 3))]
 
     # -- public entry points ------------------------------------------------
     def evisc(self, u, v, w, th):
