@@ -174,6 +174,8 @@ class Model:
         if hasattr(self.boundary, "load_z0") and not getattr(
                 self.boundary, "sw_constant_z0", True):
             self.boundary.load_z0(self.workdir)
+        if hasattr(self.radiation, "create"):
+            self.radiation.create(self.input_nc, self.thermo)
         self.ctx = Context(self.grid, self.fields, self.dtype)
         self.pres.set_values()
 

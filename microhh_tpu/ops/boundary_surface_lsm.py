@@ -229,8 +229,10 @@ class BoundarySurfaceLSM(BoundarySurface):
         dutot = self._calc_dutot(ctx, s, sfc)
 
         rad = self.radiation.get_surface_radiation()
-        sw_dn, sw_up = rad["sw_flux_dn"], rad["sw_flux_up"]
-        lw_dn, lw_up = rad["lw_flux_dn"], rad["lw_flux_up"]
+        sw_dn = aux.get("sw_flux_dn_sfc", rad["sw_flux_dn"])
+        sw_up = aux.get("sw_flux_up_sfc", rad["sw_flux_up"])
+        lw_dn = aux.get("lw_flux_dn_sfc", rad["lw_flux_dn"])
+        lw_up = aux.get("lw_flux_up_sfc", rad["lw_flux_up"])
 
         # thermo land-surface fields (thermo_moist.cxx:948-988)
         exnh = float(thermo.exnrefh[ks])

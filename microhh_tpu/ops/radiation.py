@@ -178,5 +178,6 @@ def make_radiation(ini, grid):
     if sw == "gcss":
         return RadiationGcss(ini, grid)
     if sw == "rrtmgp":
-        raise NotImplementedError("rrtmgp radiation is not yet implemented")
+        from .radiation_rrtmgp import RadiationRrtmgp
+        return RadiationRrtmgp(ini, grid)
     raise ValueError("%s is an illegal value for swradiation" % sw)
