@@ -312,9 +312,10 @@ class MaskStats:
     variances, resolved w-fluxes and the area/areah fraction profiles.
 
     Masks: wplus/wmin (updraft/downdraft, fields.cxx mask provider),
-    ql/qlcore (cloud / buoyant cloud core, thermo_moist)."""
+    ql/qlcore (cloud / buoyant cloud core, thermo_moist), ib (atmosphere
+    above the immersed boundary, immersed_boundary.cxx calc_mask)."""
 
-    KNOWN = ("wplus", "wmin", "ql", "qlcore")
+    KNOWN = ("wplus", "wmin", "ql", "qlcore", "ib")
 
     def __init__(self, model, masklist):
         from .utils import nc
@@ -372,6 +373,13 @@ class MaskStats:
                 elif mask == "wmin":
                     mc = (wc < 0.).astype(w.dtype)
                     mh = (w[ks:ke + 1] < 0.).astype(w.dtype)
+                elif mask == "ib":
+                    # static DEM mask: cell centers/half levels above terrain
+                    dem = jnp.asarray(model.ib.dem, dtype=w.dtype)
+                    zc = ctx.z[ks:ke][:, None, None]
+                    zhc = ctx.zh[ks:ke + 1][:, None, None]
+                    mc = (zc > dem[None]).astype(w.dtype)
+                    mh = (zhc > dem[None]).astype(w.dtype)
                 elif mask in ("ql", "qlcore"):
                     ql = model.thermo.get_ql(ctx, s)
                     mc = (ql > 0.).astype(w.dtype)

@@ -151,3 +151,27 @@ def test_flow_over_hill(model):
     w_lee = w[kq, :, 18:22].mean()    # leeward
     assert w_wind > 0.005, ("windward updraft expected", w_wind)
     assert w_lee < -0.005, ("leeward downdraft expected", w_lee)
+
+
+def test_ib_mask_stats(model, tmp_path):
+    """masklist=ib produces area fractions matching the terrain volume."""
+    from microhh_tpu.stats import MaskStats
+    import jax.numpy as jnp
+    m = model
+    m.workdir = str(tmp_path)
+    ms = MaskStats(m, ["ib"])
+    g = m.grid
+    s = {n: jnp.zeros((g.kcells, g.jtot, g.itot))
+         for n in m.fields.prognostic_names}
+    sfc_np = m.boundary.init_surface_state()
+    sfc = {k: jnp.asarray(v) for k, v in sfc_np.items()}
+    ms.exec(s, sfc, 0.)
+    ms.close()
+    from microhh_tpu.utils import nc
+    f = nc.Dataset(str(tmp_path) + "/ib.ib.0000000.nc", "r")
+    area = np.asarray(f.groups["default"].variables["area"][0])
+    # bottom level partly inside the hill, top level fully outside
+    assert area[0] < 1.0
+    assert area[-1] == 1.0
+    # area fraction increases with height (hill narrows upward)
+    assert (np.diff(area) >= -1e-12).all()
