@@ -264,7 +264,7 @@ class Model:
             t = self.buffer(ctx, s, t, aux)
             t = self.decay(ctx, s, t, aux)
             t = self.source(ctx, s, t, aux)
-            t = self.force(ctx, s, t, aux)
+            t = self.force(ctx, s, t, aux, sfc)
             if self.ib.active:
                 s = self.ib.exec_momentum(ctx, s)
                 s_cons = s if ctx.spatial_order != 4 else dict(
@@ -446,9 +446,11 @@ class Model:
                              "DIV", "MOM", "TKE", "MASS"))
         niter = 0
         while True:
-            # Time-dependent BCs (model.cxx:339-343 update_time_dependent).
+            # Time-dependent BCs/forcings (model.cxx:339-343).
             if self.btimedep.items:
                 sfc = self.btimedep.update(self, sfc, tl.itime)
+            if getattr(self.force, "tdep_ls", None):
+                sfc = self.force.update_timedep(sfc, tl.itime)
 
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit(self.at_wall_clock_limit())

@@ -44,7 +44,17 @@ class Force:
 
         if self.swls == "1":
             self.lslist = ini.get_list(str, "force", "lslist", default=[])
-            self.ls_profs = {n: _prof(input_nc, n + "_ls", kt)[:, None, None]
+            # time-dependent LS profiles (force.cxx swtimedep_ls): entries in
+            # timedeplist_ls come from the `timedep` group and are
+            # interpolated host-side each iteration (carried via sfc).
+            self.swtimedep_ls = ini.get_bool("force", "swtimedep_ls", default=False)
+            self.tdep_ls = {}
+            if self.swtimedep_ls:
+                from ..timedep import Timedep
+                for n in ini.get_list(str, "force", "timedeplist_ls", default=[]):
+                    self.tdep_ls[n] = Timedep(input_nc, n + "_ls", "time_ls")
+            self.ls_profs = {n: (np.zeros((kt, 1, 1)) if n in self.tdep_ls
+                                 else _prof(input_nc, n + "_ls", kt)[:, None, None])
                              for n in self.lslist}
         if self.swwls == "1":
             self.swwls = "mean"  # legacy alias
@@ -61,7 +71,18 @@ class Force:
             self.nudge_profs = {n: _prof(input_nc, n + "_nudge", kt)[:, None, None]
                                 for n in self.nudgelist}
 
-    def __call__(self, ctx, s, t, aux):
+    def update_timedep(self, sfc, itime):
+        """Host-side per-iteration interpolation of the time-dependent LS
+        profiles into the carried surface state (no recompiles)."""
+        if self.swls != "1" or not self.tdep_ls:
+            return sfc
+        import jax.numpy as jnp
+        sfc = dict(sfc)
+        for n, td in self.tdep_ls.items():
+            sfc["__ls_" + n] = jnp.asarray(td.interpolate(itime))
+        return sfc
+
+    def __call__(self, ctx, s, t, aux, sfc=None):
         ks, ke = ctx.ks, ctx.ke
         t = dict(t)
 
@@ -100,7 +121,11 @@ class Force:
 
         if self.swls == "1":
             for name in self.lslist:
-                t[name] = t[name].at[ks:ke].add(jnp.asarray(self.ls_profs[name], dtype=ctx.dtype))
+                if sfc is not None and ("__ls_" + name) in sfc:
+                    prof = sfc["__ls_" + name][:, None, None].astype(ctx.dtype)
+                else:
+                    prof = jnp.asarray(self.ls_profs[name], dtype=ctx.dtype)
+                t[name] = t[name].at[ks:ke].add(prof)
 
         if self.swwls in ("mean", "local"):
             wls = jnp.asarray(self.wls[:, None, None], dtype=ctx.dtype)
@@ -132,7 +157,7 @@ class Force:
 
 
 class _NoForce:
-    def __call__(self, ctx, s, t, aux):
+    def __call__(self, ctx, s, t, aux, sfc=None):
         return t
 
 
