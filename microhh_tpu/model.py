@@ -223,6 +223,8 @@ class Model:
 
         def substep(s, t, sfc, aux, pp, dt, time_s, sub):
             s = self.boundary.set_ghost_cells(ctx, s, sfc)
+            if getattr(self.thermo, "swupdatebasestate", False):
+                aux = self.thermo.update_basestate(ctx, s, dict(aux))
             if fused is not None:
                 from .ops.pallas_fused import (fused_exec_viscosity,
                                                fused_tendencies)

@@ -134,14 +134,15 @@ class Microphys2momWarm:
     def exec(self, ctx, s, t, aux, dt):
         ks, ke = ctx.ks, ctx.ke
         thermo = self.thermo
-        ql = thermo.get_ql(ctx, s)                     # (ktot,...)
+        ql = thermo.get_ql(ctx, s, aux)                # (ktot,...)
         qr = s["qr"][ks:ke]
         nr = s["nr"][ks:ke]
         qt = s["qt"][ks:ke]
         thl = s["thl"][ks:ke]
         rho = ctx.rhoref[ks:ke][:, None, None]
-        exner = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
-        p = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        pref_a, exnref_a, _, _ = thermo._p_profiles(ctx, aux)
+        exner = exnref_a[ks:ke][:, None, None]
+        p = pref_a[ks:ke][:, None, None]
 
         qrt = jnp.zeros_like(qr)
         nrt = jnp.zeros_like(qr)

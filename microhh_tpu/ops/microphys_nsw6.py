@@ -87,15 +87,16 @@ class MicrophysNsw6:
         self.thermo = None  # wired by Model
 
     # -- conversion terms ---------------------------------------------------
-    def _conversion(self, ctx, s, dt):
+    def _conversion(self, ctx, s, dt, aux=None):
         ks, ke = ctx.ks, ctx.ke
         thermo = self.thermo
-        ql, qi = thermo.get_ql_qi(ctx, s)
+        ql, qi = thermo.get_ql_qi(ctx, s, aux)
         qr, qs_, qg = s["qr"][ks:ke], s["qs"][ks:ke], s["qg"][ks:ke]
         qt, thl = s["qt"][ks:ke], s["thl"][ks:ke]
         rho = ctx.rhoref[ks:ke][:, None, None]
-        exn = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
-        p = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        pref_a, exnref_a, _, _ = thermo._p_profiles(ctx, aux)
+        exn = exnref_a[ks:ke][:, None, None]
+        p = pref_a[ks:ke][:, None, None]
         rr = jnp.sqrt(ctx.rhoref[ks] / rho)  # sqrt(rho0/rho), column
 
         Nc0 = self.Nc0
@@ -353,7 +354,7 @@ class MicrophysNsw6:
 
     def exec(self, ctx, s, t, aux, dt):
         ks, ke = ctx.ks, ctx.ke
-        qtt, thlt, qrt, qst, qgt = self._conversion(ctx, s, dt)
+        qtt, thlt, qrt, qst, qgt = self._conversion(ctx, s, dt, aux)
 
         rho = ctx.rhoref[ks:ke][:, None, None]
         sed = {}

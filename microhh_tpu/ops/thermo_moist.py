@@ -11,6 +11,7 @@ T >= T0, so a single branch-free update covers both regimes.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import constants as cst
@@ -163,6 +164,12 @@ class ThermoMoist:
             raise ValueError('Invalid option for "swbasestate"')
         self.swbasestate = sw
         self.pbot = ini.get_float("thermo", "pbot")
+        # reference default: hydrostatic pressure/exner follow the evolving
+        # mean state every substep (thermo_moist.cxx:1279-1290).  The
+        # density and thv references stay at their create() values (the
+        # anelastic constraint; "pass dummy as thvref" comment upstream).
+        self.swupdatebasestate = ini.get_bool("thermo", "swupdatebasestate",
+                                              default=True)
         if sw == "boussinesq":
             self.thvref0 = ini.get_float("thermo", "thvref0")
         if grid.spatial_order == 4 and sw == "anelastic":
@@ -242,6 +249,67 @@ class ThermoMoist:
                 arr[g.kstart:g.kend].tofile(f)
 
     # ------------------------------------------------------------------
+    def update_basestate(self, ctx, s, aux):
+        """Traced hydrostatic base-state update from the horizontal-mean
+        thl/qt (thermo_moist_functions.h calc_base_state, sequential
+        recurrence as a lax.scan).  Updated pref/prefh/exner profiles ride
+        in aux for this substep's moist ops."""
+        if not self.swupdatebasestate:
+            return aux
+        ks, ke = ctx.ks, ctx.ke
+        thlm = jnp.mean(s["thl"], axis=(1, 2))
+        qtm = jnp.mean(s["qt"], axis=(1, 2))
+        dt_ = ctx.dtype
+        pbot = dt_(self.pbot)
+
+        thlsurf = 0.5 * (thlm[ks - 1] + thlm[ks])
+        qtsurf = 0.5 * (qtm[ks - 1] + qtm[ks])
+        exh_s = exner(pbot)
+        ql, qi, _, _ = sat_adjust(thlsurf, qtsurf, pbot, exh_s)
+        thvh_s = virtual_temperature(exh_s, thlsurf, qtsurf, ql, qi)
+        pref_ks = pbot * jnp.exp(-cst.grav * ctx.z[ks] / (cst.Rd * exh_s * thvh_s))
+
+        thl_i = 0.5 * (thlm[ks:ke] + thlm[ks + 1:ke + 1])
+        qt_i = 0.5 * (qtm[ks:ke] + qtm[ks + 1:ke + 1])
+
+        def step(carry, xs):
+            p_km1, ph_km1 = carry
+            thl_km1, qt_km1, thli, qti, dz_km1, dzh_k = xs
+            ex = exner(p_km1)
+            ql_, qi_, _, _ = sat_adjust(thl_km1, qt_km1, p_km1, ex)
+            thv = virtual_temperature(ex, thl_km1, qt_km1, ql_, qi_)
+            ph_k = ph_km1 * jnp.exp(-cst.grav * dz_km1 / (cst.Rd * ex * thv))
+            exh_k = exner(ph_k)
+            qlh, qih, _, _ = sat_adjust(thli, qti, ph_k, exh_k)
+            thvh = virtual_temperature(exh_k, thli, qti, qlh, qih)
+            p_k = p_km1 * jnp.exp(-cst.grav * dzh_k / (cst.Rd * exh_k * thvh))
+            return (p_k, ph_k), (p_k, ph_k)
+
+        xs = (thlm[ks:ke], qtm[ks:ke], thl_i, qt_i,
+              ctx.dz[ks:ke], ctx.dzh[ks + 1:ke + 1])
+        _, (pref_seq, prefh_seq) = jax.lax.scan(step, (pref_ks, pbot), xs)
+
+        pref = jnp.asarray(self.pref, dtype=dt_)
+        prefh = jnp.asarray(self.prefh, dtype=dt_)
+        pref = pref.at[ks].set(pref_ks).at[ks + 1:ke + 1].set(pref_seq)
+        prefh = prefh.at[ks].set(pbot).at[ks + 1:ke + 1].set(prefh_seq)
+        pref = pref.at[ks - 1].set(2. * prefh[ks] - pref[ks])
+        aux["pref"] = pref
+        aux["prefh"] = prefh
+        aux["exnref"] = exner(pref)
+        aux["exnrefh"] = exner(prefh)
+        return aux
+
+    def _p_profiles(self, ctx, aux):
+        """(pref, exnref, prefh, exnrefh) — updated profiles from aux when
+        swupdatebasestate is active, else the static create() base state."""
+        if aux is not None and "pref" in aux:
+            return aux["pref"], aux["exnref"], aux["prefh"], aux["exnrefh"]
+        return (jnp.asarray(self.pref, dtype=ctx.dtype),
+                jnp.asarray(self.exnref, dtype=ctx.dtype),
+                jnp.asarray(self.prefh, dtype=ctx.dtype),
+                jnp.asarray(self.exnrefh, dtype=ctx.dtype))
+
     def exec(self, ctx, s, t, aux):
         """wt += moist buoyancy with sat adjust at half levels
         (thermo_moist.cxx:78-120)."""
@@ -249,8 +317,9 @@ class ThermoMoist:
         thl, qt = s["thl"], s["qt"]
         thlh = i2(thl[ks:ke - 1], thl[ks + 1:ke])
         qth = i2(qt[ks:ke - 1], qt[ks + 1:ke])
-        ph = jnp.asarray(self.prefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
-        exnh = jnp.asarray(self.exnrefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
+        _, _, prefh_a, exnrefh_a = self._p_profiles(ctx, aux)
+        ph = prefh_a[ks + 1:ke][:, None, None]
+        exnh = exnrefh_a[ks + 1:ke][:, None, None]
         thvrefh = jnp.asarray(self.thvrefh, dtype=ctx.dtype)[ks + 1:ke][:, None, None]
         ql, qi, _, _ = sat_adjust(thlh, qth, ph, exnh)
         t = dict(t)
@@ -269,19 +338,21 @@ class ThermoMoist:
         b = b.at[ks:ke].set(buoyancy(exn[ks:ke], thl[ks:ke], qt[ks:ke], ql, qi, thvref[ks:ke]))
         return b
 
-    def get_ql(self, ctx, s):
+    def get_ql(self, ctx, s, aux=None):
         ks, ke = ctx.ks, ctx.ke
-        p = jnp.asarray(self.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
-        exn = jnp.asarray(self.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        pref_a, exnref_a, _, _ = self._p_profiles(ctx, aux)
+        p = pref_a[ks:ke][:, None, None]
+        exn = exnref_a[ks:ke][:, None, None]
         ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
         return ql
 
-    def get_ql_qi(self, ctx, s):
+    def get_ql_qi(self, ctx, s, aux=None):
         """(ql, qi) interior fields (thermo_moist.cxx get_thermo_field
         "ql"/"qi" dispatch)."""
         ks, ke = ctx.ks, ctx.ke
-        p = jnp.asarray(self.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
-        exn = jnp.asarray(self.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        pref_a, exnref_a, _, _ = self._p_profiles(ctx, aux)
+        p = pref_a[ks:ke][:, None, None]
+        exn = exnref_a[ks:ke][:, None, None]
         ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
         return ql, qi
 

@@ -105,6 +105,21 @@ class Stats:
         if getattr(model.boundary, "is_surface", False):
             self.add_time_series("ustar", "Surface friction velocity", "m s-1")
             self.add_time_series("obuk", "Obukhov length", "m")
+        if getattr(model.boundary, "sw_charnock", False):
+            self.add_time_series("z0m", "Roughness length momentum", "m")
+            self.add_time_series("z0h", "Roughness length heat", "m")
+        if getattr(model.boundary, "is_lsm", False):
+            for name, ln, unit in (("H", "Sensible heat flux", "W m-2"),
+                                   ("LE", "Latent heat flux", "W m-2"),
+                                   ("G", "Soil heat flux", "W m-2"),
+                                   ("wl", "Liquid water reservoir", "m")):
+                self.add_time_series(name, ln, unit, "land_surface")
+        for name, ln in (("rr", "Mean surface rain rate"),
+                         ("rs", "Mean surface snow rate"),
+                         ("rg", "Mean surface graupel rate")):
+            if getattr(model.micro, "sw", None) == "nsw6" or \
+               (name == "rr" and getattr(model.micro, "sw", None) == "2mom_warm"):
+                self.add_time_series(name, ln, "kg m-2 s-1", "thermo")
         for name in fields.sp:
             self.add_time_series(name + "_bot", "Surface " + name, "-")
         if getattr(model.thermo, "scalars", ()):
@@ -196,6 +211,19 @@ class Stats:
                 out["obuk"] = jnp.mean(sfc["obuk"])
                 for name in fields.sp:
                     out[name + "_bot"] = jnp.mean(sfc[name + "_bot"])
+                if getattr(model.boundary, "sw_charnock", False):
+                    out["z0m"] = jnp.mean(sfc["z0m"])
+                    out["z0h"] = jnp.mean(sfc["z0h"])
+                if getattr(model.boundary, "is_lsm", False):
+                    for key in ("H", "LE", "G"):
+                        out[key] = jnp.mean(sfc[key])
+                    out["wl"] = jnp.mean(s["wl"])
+            micro_sw = getattr(model.micro, "sw", None)
+            if micro_sw in ("2mom_warm", "nsw6"):
+                keys = ("rr",) if micro_sw == "2mom_warm" else ("rr", "rs", "rg")
+                for key in keys:
+                    out[key] = jnp.mean(aux.get(key + "_bot",
+                                                jnp.zeros((), ctx.dtype)))
             else:
                 for name in fields.sp:
                     out[name + "_bot"] = jnp.zeros((), dtype=ctx.dtype)

@@ -111,3 +111,103 @@ def test_bomex_smoke(tmp_path):
     # surface heating increases thl near the surface over 10 min
     thl = np.asarray(s["thl"])[ks:ke].mean(axis=(1, 2))
     assert thl[0] > 298.69
+
+
+def _build_moist_model(tmp_path):
+    import os
+    from microhh_tpu.utils import nc
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    wd = str(tmp_path)
+    ktot, zsize = 24, 2400.
+    z = np.linspace(50., 2350., ktot)
+    f = nc.Dataset(os.path.join(wd, "bs_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    g = f.createGroup("init")
+    g.createVariable("thl", "f8", ("z",))[:] = 298. + 0.004 * z
+    g.createVariable("qt", "f8", ("z",))[:] = 0.01 - 3e-6 * z
+    g.createVariable("u", "f8", ("z",))[:] = np.zeros(ktot)
+    g.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    f.close()
+    ini = """
+[grid]
+itot=4
+jtot=4
+ktot=24
+xsize=800.
+ysize=800.
+zsize=2400.
+swspatialorder=2
+[advec]
+swadvec=2
+cflmax=1.2
+[diff]
+swdiff=smag2
+dnmax=0.3
+[thermo]
+swthermo=moist
+swbasestate=anelastic
+pbot=101500.
+[boundary]
+swboundary=surface
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=flux
+sbctop=neumann
+sbot=0.
+stop=0.
+z0m=0.1
+z0h=0.1
+[fields]
+visc=1e-5
+svisc=1e-5
+[time]
+starttime=0
+endtime=60
+savetime=60
+dt=2.
+"""
+    m = Model(Ini(ini), "run", "bs", workdir=wd)
+    m.finish_setup()
+    return m
+
+
+def test_update_basestate_matches_create(tmp_path):
+    """With the state's horizontal means equal to the init profiles, the
+    traced per-substep base-state update must reproduce the create-time
+    hydrostatic pressure (thermo_moist.cxx swupdatebasestate)."""
+    import jax.numpy as jnp
+    m = _build_moist_model(tmp_path)
+    ctx = m.ctx
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    th = m.thermo
+    assert th.swupdatebasestate
+
+    s = {n: jnp.zeros((g.kcells, g.jtot, g.itot))
+         for n in m.fields.prognostic_names}
+    # rebuild the init profiles incl. mirrored surface ghost (create did
+    # thl[ks-1] = thl[ks])
+    thl = np.zeros(g.kcells)
+    qt = np.zeros(g.kcells)
+    init = m.input_nc.groups["init"]
+    thl[ks:ke] = np.asarray(init.variables["thl"][:g.ktot])
+    qt[ks:ke] = np.asarray(init.variables["qt"][:g.ktot])
+    thl[ks - 1] = thl[ks]
+    qt[ks - 1] = qt[ks]
+    s["thl"] = s["thl"] + jnp.asarray(thl[:, None, None])
+    s["qt"] = s["qt"] + jnp.asarray(qt[:, None, None])
+
+    aux = th.update_basestate(ctx, s, {})
+    pref_new = np.asarray(aux["pref"])
+    prefh_new = np.asarray(aux["prefh"])
+    assert np.allclose(pref_new[ks:ke], th.pref[ks:ke], rtol=1e-9)
+    assert np.allclose(prefh_new[ks:ke + 1], th.prefh[ks:ke + 1], rtol=1e-9)
+
+    # a warmer column hydrostatically relaxes: lower density -> higher
+    # pressure aloft
+    s2 = dict(s)
+    s2["thl"] = s["thl"] + 5.
+    aux2 = th.update_basestate(ctx, s2, {})
+    assert np.asarray(aux2["pref"])[ke - 1] > pref_new[ke - 1]
