@@ -26,11 +26,43 @@ def _hm(a):
     return jnp.mean(a, axis=(1, 2))
 
 
-def budget_profiles(ctx, s, aux, thermo, visc):
-    """Return dict of (ktot,) budget profiles."""
+def budget_profiles(ctx, s, aux, thermo, visc, order=2):
+    """Return dict of (ktot,) budget profiles.
+
+    ``order=4`` (reference ``src/budget_4.cxx``) swaps the interpolations
+    and gradients for their 4th-order forms — the same physical terms, the
+    DNS-grade discretization."""
     ks, ke = ctx.ks, ctx.ke
     u, v, w = s["u"], s["v"], s["w"]
     out = {}
+
+    from . import fd
+
+    def i2z_c(a):
+        """half->full interpolation at centers ks..ke-1."""
+        if order == 2:
+            return i2(a[ks:ke], a[ks + 1:ke + 1])
+        return (fd.ci0 * a[ks - 1:ke - 1] + fd.ci1 * a[ks:ke]
+                + fd.ci2 * a[ks + 1:ke + 1] + fd.ci3 * a[ks + 2:ke + 2])
+
+    def ddz_c(prof):
+        """d/dz of a full-level (kcells,) mean profile at centers."""
+        if order == 2:
+            return (prof[ks + 1:ke + 1] - prof[ks - 1:ke - 1]) * 0.5 * np.asarray(ctx.dzi)[ks:ke]
+        return (-fd.cg0 * (prof[ks + 2:ke + 2] - prof[ks - 1:ke - 1])
+                - fd.cg1 * (prof[ks + 1:ke + 1] - prof[ks:ke])) * np.asarray(ctx.dzi4)[ks:ke]
+
+    def gradx(a):
+        if order == 2:
+            return (ip(a) - a) * ctx.dxi
+        return (fd.cg0 * im(a) + fd.cg1 * a + fd.cg2 * ip(a)
+                + fd.cg3 * ip(a, 2)) * ctx.dxi
+
+    def grady(a):
+        if order == 2:
+            return (jp(a) - a) * ctx.dyi
+        return (fd.cg0 * jm(a) + fd.cg1 * a + fd.cg2 * jp(a)
+                + fd.cg3 * jp(a, 2)) * ctx.dyi
 
     umean = jnp.mean(u, axis=(1, 2), keepdims=True)
     vmean = jnp.mean(v, axis=(1, 2), keepdims=True)
@@ -41,9 +73,13 @@ def budget_profiles(ctx, s, aux, thermo, visc):
     dzi = ctx.dzi[:, None, None]
     dzhi = ctx.dzhi[:, None, None]
 
-    # interpolate w to full levels
+    # interpolate w to full levels (order-matched; at 4th order the w ghost
+    # levels exist, kgc=3)
     wc = jnp.zeros_like(u)
-    wc = wc.at[ks:ke].set(i2(wf[ks:ke], wf[ks + 1:ke + 1]))
+    if order == 2:
+        wc = wc.at[ks:ke].set(i2(wf[ks:ke], wf[ks + 1:ke + 1]))
+    else:
+        wc = wc.at[ks:ke].set(i2z_c(wf))
 
     # --- shear production: -2 <u'w'> dU/dz (budget_2.cxx calc_shear) ---
     dudz = (i2(umean[ks + 1:ke + 1, 0, 0], umean[ks:ke, 0, 0])
@@ -51,10 +87,8 @@ def budget_profiles(ctx, s, aux, thermo, visc):
     # u'w' at centers
     uw = _hm((i2(im(wc), wc) * uf)[ks:ke])
     vw = _hm((i2(jm(wc), wc) * vf)[ks:ke])
-    dumdz = ((umean[ks + 1:ke + 1, 0, 0] - umean[ks - 1:ke - 1, 0, 0])
-             * 0.5 * ctx.dzi[ks:ke])
-    dvmdz = ((vmean[ks + 1:ke + 1, 0, 0] - vmean[ks - 1:ke - 1, 0, 0])
-             * 0.5 * ctx.dzi[ks:ke])
+    dumdz = ddz_c(umean[:, 0, 0])
+    dvmdz = ddz_c(vmean[:, 0, 0])
     out["u2_shear"] = -2. * uw * dumdz
     out["v2_shear"] = -2. * vw * dvmdz
     out["tke_shear"] = 0.5 * (out["u2_shear"] + out["v2_shear"])
@@ -103,9 +137,14 @@ def budget_profiles(ctx, s, aux, thermo, visc):
     out["tke_visc"] = 0.5 * (out["u2_visc"] + out["v2_visc"] + out["w2_visc"])
 
     def dissipation(qf, stag="u"):
-        gx = (ip(qf) - qf) * ctx.dxi
-        gy = (jp(qf) - qf) * ctx.dyi
-        gz = (qf[ks + 1:ke + 1] - qf[ks - 1:ke - 1]) * 0.5 * dzi[ks:ke]
+        gx = gradx(qf)
+        gy = grady(qf)
+        if order == 2:
+            gz = (qf[ks + 1:ke + 1] - qf[ks - 1:ke - 1]) * 0.5 * dzi[ks:ke]
+        else:
+            dzi4 = ctx.dzi4[ks:ke][:, None, None]
+            gz = (-fd.cg0 * (qf[ks + 2:ke + 2] - qf[ks - 1:ke - 1])
+                  - fd.cg1 * (qf[ks + 1:ke + 1] - qf[ks:ke])) * dzi4
         return -2. * visc * (_hm(gx[ks:ke] ** 2) + _hm(gy[ks:ke] ** 2)
                              + _hm(gz ** 2))
 
@@ -122,8 +161,7 @@ def budget_profiles(ctx, s, aux, thermo, visc):
         out["w2_buoy"] = 2. * _hm((wc * bf)[ks:ke])
         out["tke_buoy"] = _hm((wc * bf)[ks:ke])
         # b variance budget
-        dbmdz = ((bmean[ks + 1:ke + 1, 0, 0] - bmean[ks - 1:ke - 1, 0, 0])
-                 * 0.5 * ctx.dzi[ks:ke])
+        dbmdz = ddz_c(bmean[:, 0, 0])
         out["b2_shear"] = -2. * _hm((wc * bf)[ks:ke]) * dbmdz
         out["b2_turb"] = turb(bf * bf)
     return out
@@ -133,9 +171,14 @@ class Budget:
     """Attachable to Stats: registers and fills the 'budget' group."""
 
     def __init__(self, model):
-        self.sw = model.ini.get_str("budget", "swbudget", default="0") not in ("0", "false")
+        sw = model.ini.get_str("budget", "swbudget", default="0")
+        self.sw = sw not in ("0", "false")
         if not self.sw:
             return
+        if sw == "4" and model.grid.spatial_order != 4:
+            raise ValueError("swbudget=4 requires swspatialorder=4")
+        if sw == "2" and model.grid.spatial_order != 2:
+            raise ValueError("swbudget=2 requires swspatialorder=2")
         self.model = model
         self._names = None
 
@@ -153,4 +196,8 @@ class Budget:
 
     def profiles(self, ctx, s, aux):
         m = self.model
-        return budget_profiles(ctx, s, aux, m.thermo, m.fields.visc)
+        sw = m.ini.get_str("budget", "swbudget", default="0")
+        order = 4 if sw == "4" or (sw not in ("0", "false", "2")
+                                   and m.grid.spatial_order == 4) else 2
+        return budget_profiles(ctx, s, aux, m.thermo, m.fields.visc,
+                               order=order)
