@@ -369,8 +369,8 @@ class Model:
         if tj is None:
             return None
         row = ctx.itot * np.dtype(self.dtype).itemsize
-        # 13 windows, double-buffered, plus two output blocks
-        while tj >= 8 and (26 * (tj + 2 * HALO_J) * row + 2 * tj * row
+        # 15 windows, double-buffered, plus four output blocks
+        while tj >= 8 and (30 * (tj + 2 * HALO_J) * row + 4 * tj * row
                            > 12 * 1024 * 1024):
             tj //= 2
         if tj < 8 or ctx.jtot % tj != 0:

@@ -352,6 +352,33 @@ def _wth_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
     tht_ref[0] = tht[HALO_J:HALO_J + TJ]
 
 
+def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
+                    cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
+                    ut_ref, vt_ref, wt_ref, tht_ref, scratch, sems):
+    """Merged u/v/w/th tendency pass: one window fetch per (field, k-offset)
+    feeds BOTH the uv and wth math — 15 HBM window reads instead of the
+    split passes' 24."""
+    refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
+            + [e_ref] * 3)
+    koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    s = scratch[slot]
+    u_dn, u, u_up = s[0], s[1], s[2]
+    v_dn, v, v_up = s[3], s[4], s[5]
+    w_dn, w, w_up = s[6], s[7], s[8]
+    th_dn, th, th_up = s[9], s[10], s[11]
+    e_dn, e, e_up = s[12], s[13], s[14]
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+                      u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up)
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                        u_dn, u, v_dn, v, w_dn, w, w_up,
+                        th_dn, th, th_up, e_dn, e, e_up)
+    ut_ref[0] = ut[HALO_J:HALO_J + TJ]
+    vt_ref[0] = vt[HALO_J:HALO_J + TJ]
+    wt_ref[0] = wt[HALO_J:HALO_J + TJ]
+    tht_ref[0] = tht[HALO_J:HALO_J + TJ]
+
+
 class FusedLES2:
     """Builder for the fused 2nd-order LES kernels on ghost-padded fields.
 
@@ -487,25 +514,14 @@ class FusedLES2:
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         grid = (kt, ctx.jtot // self.tj)
-        body_uv = functools.partial(_uv_tiled_body, self.smag.tPr,
-                                    float(ctx.dxi), float(ctx.dyi),
-                                    self.smag.visc, self.has_thermo,
-                                    ks, self.tj, ctx.jtot)
-        ut, vt = pl.pallas_call(
-            body_uv, grid=grid, in_specs=[cc_spec] + [any_spec] * 4,
-            out_specs=[self._out_spec_tiled()] * 2, out_shape=[shape] * 2,
-            scratch_shapes=self._tiled_scratch(11, u.dtype),
-            interpret=self.interpret,
-        )(cc, u, v, w, evisc_full)
-
-        body_wth = functools.partial(_wth_tiled_body, self.smag.tPr,
-                                     float(ctx.dxi), float(ctx.dyi),
-                                     self.smag.visc, svisc, self.has_thermo,
-                                     ks, self.tj, ctx.jtot)
-        wt, tht = pl.pallas_call(
-            body_wth, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
-            out_specs=[self._out_spec_tiled()] * 2, out_shape=[shape] * 2,
-            scratch_shapes=self._tiled_scratch(13, u.dtype),
+        body = functools.partial(_all_tiled_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 self.smag.visc, svisc, self.has_thermo,
+                                 ks, self.tj, ctx.jtot)
+        ut, vt, wt, tht = pl.pallas_call(
+            body, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
+            out_specs=[self._out_spec_tiled()] * 4, out_shape=[shape] * 4,
+            scratch_shapes=self._tiled_scratch(15, u.dtype),
             interpret=self.interpret,
         )(cc, u, v, w, th_in, evisc_full)
         return ut, vt, wt, tht
