@@ -484,7 +484,7 @@ class Model:
                 if self.stats is not None:
                     self.stats.maybe_exec(self, s, t, sfc)
                 if self.cross is not None and self.cross.do_cross(tl.itime):
-                    self.cross.exec(s, getattr(self, "_last_aux", None), tl.iotime)
+                    self.cross.exec(s, getattr(self, "_last_aux", None), tl.iotime, sfc)
                 if self.dump is not None and self.dump.do_dump(tl.itime):
                     self.dump.exec(s, getattr(self, "_last_aux", None), tl.iotime)
                 if self.column is not None and self.column.do_column(tl.itime):

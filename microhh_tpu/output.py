@@ -42,39 +42,101 @@ class Cross:
     def do_cross(self, itime):
         return self.sw and itime % self.isampletime == 0
 
-    def exec(self, s, aux, iotime):
+    def _plane(self, data, name, iotime):
+        """2-D xy plane, reference cross_plane naming <name>.xy.<iotime>
+        (cross.cxx:639-652); written in the model precision."""
+        fname = "%s.xy.%07d" % (name, iotime)
+        np.asarray(data).astype(self.model.dtype).tofile(
+            os.path.join(self.model.workdir, fname))
+
+    def exec(self, s, aux, iotime, sfc=None):
         if not self.sw:
             return
         m = self.model
         g = m.grid
         ks, ke = g.kstart, g.kend
+
+        def field_of(base):
+            if base in s:
+                return np.asarray(s[base])
+            if base == "p" and aux is not None and "p" in aux:
+                return np.asarray(aux["p"])
+            if base == "ql" and hasattr(m.thermo, "get_ql"):
+                ql = np.zeros((g.kcells, g.jtot, g.itot))
+                ql[ks:ke] = np.asarray(m.thermo.get_ql(m.ctx, s))
+                return ql
+            return None
+
         for name in self.crosslist:
-            if name in s:
-                data = np.asarray(s[name])
-            elif name == "p" and aux is not None and "p" in aux:
-                data = np.asarray(aux["p"])
-            else:
+            # 2-D planes: surface-state entries (<s>bot/<s>fluxbot, ustar,
+            # obuk, z0m, rr_bot ...) and micro/LSM aux planes.
+            if sfc is not None:
+                key = None
+                if name.endswith("bot") and not name.endswith("fluxbot") \
+                        and (name[:-3] + "_bot") in sfc:
+                    key = name[:-3] + "_bot"
+                elif name.endswith("fluxbot") and (name[:-7] + "_fluxbot") in sfc:
+                    key = name[:-7] + "_fluxbot"
+                elif name in sfc:
+                    key = name
+                if key is not None:
+                    self._plane(sfc[key], name, iotime)
+                    continue
+            if aux is not None and name in aux:
+                self._plane(aux[name], name, iotime)
+                continue
+            # <s>path: density-weighted vertical integral (cross_path)
+            if name.endswith("path"):
+                base = field_of(name[:-4])
+                if base is None:
+                    continue
+                rho = np.asarray(m.fields.rhoref)[ks:ke][:, None, None]
+                dz = np.asarray(g.dz)[ks:ke][:, None, None]
+                self._plane((rho * dz * base[ks:ke]).sum(axis=0), name, iotime)
+                continue
+            # <s>lngrad: log gradient magnitude (calc_lngrad_2nd)
+            if name.endswith("lngrad"):
+                base = field_of(name[:-6])
+                if base is None:
+                    continue
+                a = base
+                gx = 0.5 * (np.roll(a, -1, -1) - np.roll(a, 1, -1)) * g.dxi
+                gy = 0.5 * (np.roll(a, -1, -2) - np.roll(a, 1, -2)) * g.dyi
+                dzi = np.asarray(g.dzi)[:, None, None]
+                gz = np.zeros_like(a)
+                gz[ks:ke] = 0.5 * (a[ks + 1:ke + 1] - a[ks - 1:ke - 1]) * dzi[ks:ke]
+                data = np.log(1e-30 + gx ** 2 + gy ** 2 + gz ** 2).astype(
+                    self.model.dtype)
+                self._slices(data, name, (0, 0, 0), 0., iotime)
+                continue
+            data = field_of(name)
+            if data is None:
                 continue
             loc = m.fields.mp[name].loc if name in m.fields.mp else (0, 0, 0)
             offset = g.utrans if name == "u" else (g.vtrans if name == "v" else 0.)
-            interior = data[ks:ke + (1 if loc[2] else 0)] + offset
-            kext = interior.shape[0]
+            self._slices(data, name, loc, offset, iotime)
 
-            jlist = self.jxzh if loc[1] else self.jxz
-            for j in jlist:
-                fname = "%s.xz.%05d.%07d" % (name, j, iotime)
-                interior[:, j, :].astype(data.dtype).tofile(
-                    os.path.join(m.workdir, fname))
-            ilist = self.ixzh if loc[0] else self.ixz
-            for i in ilist:
-                fname = "%s.yz.%05d.%07d" % (name, i, iotime)
-                interior[:, :, i].astype(data.dtype).tofile(
-                    os.path.join(m.workdir, fname))
-            klist = self.kxyh if loc[2] else self.kxy
-            for k in klist:
-                fname = "%s.xy.%05d.%07d" % (name, k, iotime)
-                interior[k, :, :].astype(data.dtype).tofile(
-                    os.path.join(m.workdir, fname))
+    def _slices(self, data, name, loc, offset, iotime):
+        m = self.model
+        g = m.grid
+        ks, ke = g.kstart, g.kend
+        interior = data[ks:ke + (1 if loc[2] else 0)] + offset
+
+        jlist = self.jxzh if loc[1] else self.jxz
+        for j in jlist:
+            fname = "%s.xz.%05d.%07d" % (name, j, iotime)
+            interior[:, j, :].astype(data.dtype).tofile(
+                os.path.join(m.workdir, fname))
+        ilist = self.ixzh if loc[0] else self.ixz
+        for i in ilist:
+            fname = "%s.yz.%05d.%07d" % (name, i, iotime)
+            interior[:, :, i].astype(data.dtype).tofile(
+                os.path.join(m.workdir, fname))
+        klist = self.kxyh if loc[2] else self.kxy
+        for k in klist:
+            fname = "%s.xy.%05d.%07d" % (name, k, iotime)
+            interior[k, :, :].astype(data.dtype).tofile(
+                os.path.join(m.workdir, fname))
 
 
 class Dump:
