@@ -83,6 +83,7 @@ class BoundarySurfaceLSM(BoundarySurface):
         self.sw_free_drainage = ini.get_bool("land_surface", "swfreedrainage", default=True)
         self.sw_water = ini.get_bool("land_surface", "swwater", default=False)
         self.sw_homogenize = ini.get_bool("land_surface", "swhomogenizesfc", default=False)
+        self.sw_tile_stats = ini.get_bool("land_surface", "swtilestats", default=False)
         self.emis_sfc = ini.get_float("radiation", "emis_sfc")
         if not self.sw_homogeneous:
             raise NotImplementedError("swhomogeneous=false (2-D input maps) "
@@ -190,6 +191,9 @@ class BoundarySurfaceLSM(BoundarySurface):
         for name in ("H", "LE", "G", "rs_veg", "rs_soil",
                      "throughfall", "interception", "runoff", "infiltration"):
             sfc[name] = np.zeros(shape, dtype=dtype)
+        for tile in TILES:
+            for pre in ("H_", "LE_", "G_", "c_"):
+                sfc[pre + tile] = np.zeros(shape, dtype=dtype)
         return sfc
 
     # -- io (reference filenames, boundary_surface_lsm.cxx:1470-1553) --------
@@ -343,6 +347,12 @@ class BoundarySurfaceLSM(BoundarySurface):
 
         H, LE, G = tiled(H_t), tiled(LE_t), tiled(G_t)
         sfc["H"], sfc["LE"], sfc["G"] = H, LE, G
+        # per-tile fluxes and dynamic fractions for swtilestats
+        for tile in TILES:
+            sfc["H_" + tile] = H_t[tile]
+            sfc["LE_" + tile] = LE_t[tile]
+            sfc["G_" + tile] = G_t[tile]
+            sfc["c_" + tile] = frac[tile]
         sfc["thl_fluxbot"] = H / (rhoh * cst.cp)
         sfc["qt_fluxbot"] = LE / (rhoh * cst.Lv)
         ustar = tiled(ustar_t)

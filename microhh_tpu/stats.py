@@ -55,6 +55,9 @@ class Stats:
         self._diag = None
         self._tend_diag = None
 
+        self._whitelist = ini.get_list(str, "stats", "whitelist", default=[])
+        self._blacklist = ini.get_list(str, "stats", "blacklist", default=[])
+
         from .budget import Budget
         self.budget = Budget(model)
         self._register(model)
@@ -68,7 +71,21 @@ class Stats:
             self.groups[name] = self.file.createGroup(name)
         return self.groups[name]
 
+    def _allowed(self, name):
+        """[stats] whitelist/blacklist regex filters (stats.cxx:558,
+        include/stats.h:90,178-185): whitelist (if set) must match; any
+        blacklist match drops the variable."""
+        import re
+        if self._whitelist and not any(re.fullmatch(w, name)
+                                       for w in self._whitelist):
+            return False
+        if any(re.fullmatch(b, name) for b in self._blacklist):
+            return False
+        return True
+
     def add_prof(self, name, longname, unit, zdim, group="default"):
+        if not self._allowed(name):
+            return
         g = self._group(group)
         v = g.createVariable(name, "f8", ("time", zdim))
         v.setncattr("units", unit)
@@ -76,6 +93,8 @@ class Stats:
         self.vars[name] = v
 
     def add_time_series(self, name, longname, unit, group="default"):
+        if not self._allowed(name):
+            return
         g = self._group(group)
         v = g.createVariable(name, "f8", ("time",))
         v.setncattr("units", unit)
@@ -114,6 +133,13 @@ class Stats:
                                    ("G", "Soil heat flux", "W m-2"),
                                    ("wl", "Liquid water reservoir", "m")):
                 self.add_time_series(name, ln, unit, "land_surface")
+            if getattr(model.boundary, "sw_tile_stats", False):
+                for tile in ("veg", "soil", "wet"):
+                    for pre, unit in (("H", "W m-2"), ("LE", "W m-2"),
+                                      ("G", "W m-2"), ("c", "-")):
+                        self.add_time_series("%s_%s" % (pre, tile),
+                                             "%s of %s tile" % (pre, tile),
+                                             unit, "land_surface_tiles")
         for name, ln in (("rr", "Mean surface rain rate"),
                          ("rs", "Mean surface snow rate"),
                          ("rg", "Mean surface graupel rate")):
@@ -218,6 +244,11 @@ class Stats:
                     for key in ("H", "LE", "G"):
                         out[key] = jnp.mean(sfc[key])
                     out["wl"] = jnp.mean(s["wl"])
+                    if getattr(model.boundary, "sw_tile_stats", False):
+                        for tile in ("veg", "soil", "wet"):
+                            for pre in ("H", "LE", "G", "c"):
+                                key = "%s_%s" % (pre, tile)
+                                out[key] = jnp.mean(sfc[key])
             micro_sw = getattr(model.micro, "sw", None)
             if micro_sw in ("2mom_warm", "nsw6"):
                 keys = ("rr",) if micro_sw == "2mom_warm" else ("rr", "rs", "rg")
