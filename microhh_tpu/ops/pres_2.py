@@ -17,11 +17,51 @@ TPU-first design:
   the top for kx=ky=0, dp/dz=0 otherwise) follow pres_2.cxx:124-153,306-324.
 """
 
+import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .stencil import im, jm
+
+
+def _tdma_body(kmax, af_cf_ref, dr, di, wv, xr, xi):
+    """In-VMEM Thomas solve over one (kmax, TJ, 128) mode block: forward
+    elimination and back substitution as fori_loops with the running value
+    carried in registers — ONE read + ONE write of the spectral field
+    instead of the log-depth scans' many HBM passes."""
+    TJ = dr.shape[1]
+
+    def fwd(k, carry):
+        yr_p, yi_p = carry
+        w = wv[k]
+        af = af_cf_ref[k, 0] * w
+        yr = af * yr_p + dr[k] * w
+        yi = af * yi_p + di[k] * w
+        xr[k] = yr
+        xi[k] = yi
+        return yr, yi
+
+    z = jnp.zeros(dr.shape[1:], dr.dtype)
+    jax.lax.fori_loop(0, kmax, fwd, (z, z))
+
+    def bwd(kk, carry):
+        k = kmax - 1 - kk
+        xn_r, xn_i = carry
+        cf = af_cf_ref[k, 1] * wv[k]
+        r = xr[k] + cf * xn_r
+        i_ = xi[k] + cf * xn_i
+        xr[k] = r
+        xi[k] = i_
+        return r, i_
+
+    jax.lax.fori_loop(0, kmax, bwd, (z, z))
+
+
+def _tdma_kernel(kmax, af_cf_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref):
+    _tdma_body(kmax, af_cf_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref)
 
 
 def _assoc_linear_scan(A, B, reverse=False):
@@ -111,21 +151,81 @@ class Pres2:
                + (rhoh[1:] * ww[1:] - rhoh[:-1] * ww[:-1]) * dzi)
         return rhs  # (kmax, jtot, itot)
 
+    def _use_pallas_tdma(self, ctx):
+        # Measured neutral at 256^3 on v5e (the real/imag packing copies
+        # around the kernel offset the scan-traffic savings); opt-in until
+        # the FFT can feed the kernel without the complex<->real shuffles.
+        if os.environ.get("MICROHH_PALLAS_TDMA", "0") != "1":
+            return False
+        backend_ok = jax.default_backend() == "tpu" or self._tdma_interpret
+        # the kernel tiles (itot//2) lanes; Nyquist handled separately
+        return backend_ok and (self.grid.itot // 2) % 128 == 0
+
+    _tdma_interpret = False  # tests force interpret mode on CPU
+
+    def _solve_spectral_pallas(self, ctx, p_hat, winv, kmax):
+        """Batched Thomas solve over all (ky, kx<Nyquist) modes in one
+        Pallas pass; the single Nyquist kx plane runs through the scan."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        nfm = self.grid.itot // 2           # kernel lanes (excl. Nyquist)
+        d = p_hat * self.dz2
+        dr = jnp.real(d[..., :nfm])
+        di = jnp.imag(d[..., :nfm])
+        wv = winv[..., :nfm]
+
+        af_cf = jnp.stack([
+            jnp.concatenate([jnp.zeros((1,), dr.dtype),
+                             -self.a_k[1:, 0, 0].astype(dr.dtype)]),
+            jnp.concatenate([-self.c_k[:-1, 0, 0].astype(dr.dtype),
+                             jnp.zeros((1,), dr.dtype)]),
+        ], axis=1)                           # (kmax, 2): [af, cf] columns
+
+        jtot = dr.shape[1]
+        TJ = 8
+        grid = (jtot // TJ,)
+        blk = pl.BlockSpec((kmax, TJ, nfm), lambda j: (0, j, 0))
+        out_shape = jax.ShapeDtypeStruct(dr.shape, dr.dtype)
+        xr, xi = pl.pallas_call(
+            functools.partial(_tdma_kernel, kmax),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk, blk],
+            out_specs=[blk, blk],
+            out_shape=[out_shape, out_shape],
+            interpret=self._tdma_interpret,
+        )(af_cf, dr, di, wv)
+        x_main = xr + 1j * xi
+
+        # Nyquist kx plane via the scan path (kmax, jtot) — tiny
+        d_ny = d[..., nfm:]
+        w_ny = winv[..., nfm:]
+        A_f = jnp.broadcast_to(-self.a_k * w_ny, d_ny.shape).astype(d_ny.dtype)
+        A_f = A_f.at[0].set(0.)
+        y = _assoc_linear_scan(A_f, d_ny * w_ny, reverse=False)
+        A_b = jnp.broadcast_to(-self.c_k * w_ny, d_ny.shape).astype(d_ny.dtype)
+        A_b = A_b.at[kmax - 1].set(0.)
+        x_ny = _assoc_linear_scan(A_b, y, reverse=True)
+        return jnp.concatenate([x_main, x_ny], axis=-1)
+
     def solve(self, ctx, rhs, pp=None):
         """Return pressure interior (kmax, jtot, itot)."""
         winv = pp["winv"] if pp is not None else jnp.asarray(self._winv_np)
         kmax = rhs.shape[0]
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
 
-        d = p_hat * self.dz2
-        # Forward substitution: y[k] = (d[k] - a[k]*y[k-1]) / w[k].
-        A_f = jnp.broadcast_to(-self.a_k * winv, d.shape).astype(d.dtype)
-        A_f = A_f.at[0].set(0.)
-        y = _assoc_linear_scan(A_f, d * winv, reverse=False)
-        # Back substitution: x[k] = y[k] - (c[k]/w[k]) * x[k+1].
-        A_b = jnp.broadcast_to(-self.c_k * winv, d.shape).astype(d.dtype)
-        A_b = A_b.at[kmax - 1].set(0.)
-        x = _assoc_linear_scan(A_b, y, reverse=True)
+        if self._use_pallas_tdma(ctx):
+            x = self._solve_spectral_pallas(ctx, p_hat, winv, kmax)
+        else:
+            d = p_hat * self.dz2
+            # Forward substitution: y[k] = (d[k] - a[k]*y[k-1]) / w[k].
+            A_f = jnp.broadcast_to(-self.a_k * winv, d.shape).astype(d.dtype)
+            A_f = A_f.at[0].set(0.)
+            y = _assoc_linear_scan(A_f, d * winv, reverse=False)
+            # Back substitution: x[k] = y[k] - (c[k]/w[k]) * x[k+1].
+            A_b = jnp.broadcast_to(-self.c_k * winv, d.shape).astype(d.dtype)
+            A_b = A_b.at[kmax - 1].set(0.)
+            x = _assoc_linear_scan(A_b, y, reverse=True)
 
         p = jnp.fft.irfft2(x, s=rhs.shape[-2:], axes=(-2, -1))
         return p.astype(rhs.dtype)

@@ -111,3 +111,53 @@ def test_poisson_operator_inverse():
                    + ((p[k + 1] - p[k]) * g.dzhi[k + 1]
                       - (p[k] - p[k - 1]) * g.dzhi[k]) * g.dzi[k])
     assert np.allclose(lap, rhs, atol=1e-9), np.abs(lap - rhs).max()
+
+
+def test_pallas_tdma_parity():
+    """The opt-in one-pass Pallas Thomas solve matches the associative-scan
+    path to roundoff (interpret mode; MICROHH_PALLAS_TDMA=1)."""
+    import os
+    import jax.numpy as jnp
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    ini = """
+[grid]
+itot=256
+jtot=16
+ktot=12
+xsize=1.
+ysize=1.
+zsize=1.
+swspatialorder=2
+[fields]
+visc=0.1
+[boundary]
+mbcbot=freeslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[advec]
+cflmax=1.
+[diff]
+swdiff=0
+[time]
+starttime=0
+endtime=1
+savetime=1
+dt=0.1
+"""
+    m = Model(Ini(ini), "run", "tdma")
+    m.finish_setup()
+    rng = np.random.RandomState(0)
+    rhs = jnp.asarray(rng.randn(m.grid.ktot, 16, 256))
+    p_ref = m.pres.solve(m.ctx, rhs)
+    m.pres._tdma_interpret = True
+    os.environ["MICROHH_PALLAS_TDMA"] = "1"
+    try:
+        p_new = m.pres.solve(m.ctx, rhs)
+    finally:
+        os.environ["MICROHH_PALLAS_TDMA"] = "0"
+    err = float(jnp.abs(p_ref - p_new).max() / jnp.abs(p_ref).max())
+    assert err < 1e-12, err
