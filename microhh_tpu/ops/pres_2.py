@@ -219,11 +219,13 @@ class Pres2:
         else:
             d = p_hat * self.dz2
             # Forward substitution: y[k] = (d[k] - a[k]*y[k-1]) / w[k].
-            A_f = jnp.broadcast_to(-self.a_k * winv, d.shape).astype(d.dtype)
+            # The multipliers stay REAL (half the bytes of the complex rhs
+            # through the scan's internal passes).
+            A_f = jnp.broadcast_to(-self.a_k * winv, d.shape)
             A_f = A_f.at[0].set(0.)
             y = _assoc_linear_scan(A_f, d * winv, reverse=False)
             # Back substitution: x[k] = y[k] - (c[k]/w[k]) * x[k+1].
-            A_b = jnp.broadcast_to(-self.c_k * winv, d.shape).astype(d.dtype)
+            A_b = jnp.broadcast_to(-self.c_k * winv, d.shape)
             A_b = A_b.at[kmax - 1].set(0.)
             x = _assoc_linear_scan(A_b, y, reverse=True)
 
