@@ -123,6 +123,59 @@ def _zh_ladder(scheme, q, ks, ke):
     return X, U
 
 
+def _koren(vel, sm2, sm1, sp1, sp2):
+    """Koren (1993) limited upwind flux (advec_monotonic.h flux_lim)."""
+    eps = jnp.finfo(vel.dtype).eps
+
+    def branch(a2, a1, b1, b2):
+        d = jnp.where(a1 - a2 >= 0., 1., -1.) * jnp.maximum(jnp.abs(a1 - a2), eps)
+        two_r = 2. * (b1 - a1) / d
+        phi = jnp.maximum(0., jnp.minimum(two_r,
+                                          jnp.minimum((1. + two_r) / 3., 2.)))
+        return a1 + 0.5 * phi * (a1 - a2)
+
+    return vel * jnp.where(vel >= 0.,
+                           branch(sm2, sm1, sp1, sp2),
+                           branch(sp2, sp1, sm1, sm2))
+
+
+def _advec_s_lim(ctx, a, u, v, w):
+    """Monotone scalar advection (advec_monotonic.h advec_s_lim): Koren
+    fluxes in all directions, first-order upwind at the first face off each
+    wall, zero wall fluxes."""
+    ks, ke = ctx.ks, ctx.ke
+    kt = ke - ks
+    dxi, dyi = ctx.dxi, ctx.dyi
+
+    # horizontal Koren fluxes at the west/south faces
+    Fx = _koren(u, im(a, 2), im(a), a, ip(a))
+    Fy = _koren(v, jm(a, 2), jm(a), a, jp(a))
+    ts = (-(ip(Fx) - Fx) * dxi - (jp(Fy) - Fy) * dyi)[ks:ke]
+
+    # vertical fluxes at half levels 0..kt (wall faces zero)
+    ai = a[ks:ke]
+    wi = w[ks:ke + 1]
+    F = jnp.zeros((kt + 1,) + a.shape[1:], a.dtype)
+    if kt > 3:
+        F = F.at[2:kt - 1].set(_koren(wi[2:kt - 1], ai[0:kt - 3], ai[1:kt - 2],
+                                      ai[2:kt - 1], ai[3:kt]))
+    # first face off the bottom wall: upwind-from-below is 1st order
+    f_up = wi[1] * ai[0]
+    f_dn = _koren(jnp.minimum(wi[1], 0.), ai[0], ai[0], ai[1], ai[2])
+    F = F.at[1].set(jnp.where(wi[1] >= 0., f_up, f_dn))
+    # first face off the top wall: upwind-from-above is 1st order
+    f_dn_t = wi[kt - 1] * ai[kt - 1]
+    f_up_t = _koren(jnp.maximum(wi[kt - 1], 0.), ai[kt - 3], ai[kt - 2],
+                    ai[kt - 1], ai[kt - 1])
+    F = F.at[kt - 1].set(jnp.where(wi[kt - 1] >= 0., f_up_t, f_dn_t))
+
+    rho = ctx.rhoref[ks:ke][:, None, None]
+    rhoh = ctx.rhorefh[ks:ke + 1][:, None, None]
+    dzi = ctx.dzi[ks:ke][:, None, None]
+    ts = ts - (rhoh[1:] * F[1:] - rhoh[:-1] * F[:-1]) / rho * dzi
+    return ts
+
+
 class AdvecInterp:
     """Shared implementation; scheme in {'2i4', '2i5', '2i62', '2i53'}."""
 
@@ -132,6 +185,10 @@ class AdvecInterp:
         self.cflmax = ini.get_float("advec", "cflmax", default=1.0)
         self.cflmin = 1.e-5
         self.jtot = grid.jtot
+        # Koren (1993) monotone fluxes for selected scalars
+        # (advec_2i5.cxx:39-44, include/advec_monotonic.h)
+        self.fluxlimit_list = ini.get_list(str, "advec", "fluxlimit_list",
+                                           default=[])
 
     # horizontal face value + optional upwind part, at the LEFT face (-1/2)
     def _hx(self, q):
@@ -259,6 +316,10 @@ class AdvecInterp:
         # ---- scalars ----
         for name in ctx.scalar_names:
             a = s[name]
+            if name in self.fluxlimit_list:
+                t[name] = t[name].at[ks:ke].add(
+                    _advec_s_lim(ctx, a, u, v, w))
+                continue
             tx, ty = self._hterms(ip(u), jp(v), a)
             ts = tx[ks:ke] * dxi + ty[ks:ke] * dyi
             ts = ts + self._vterm(ctx, w[ks:ke + 1], a)

@@ -128,3 +128,70 @@ def test_cfl_positive(swadvec):
     s = random_state(m)
     c = float(m.advec.cfl_max(m.ctx, s))
     assert c > 0.
+
+
+def test_koren_flux_limiter_monotone_conservative():
+    """fluxlimit_list scalars: Koren-limited advection keeps the scalar
+    non-negative and conserves mass to machine precision (a sharp 1-cell
+    plume in a sheared flow, the configuration that breaks centered+upwind
+    schemes)."""
+    import jax.numpy as jnp
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    ini = """
+[grid]
+itot=32
+jtot=8
+ktot=16
+xsize=32.
+ysize=8.
+zsize=16.
+swspatialorder=2
+[advec]
+swadvec=2i5
+fluxlimit_list=s1
+cflmax=1.0
+[diff]
+swdiff=0
+[pres]
+swpres=0
+[fields]
+visc=0.
+svisc=0.
+slist=s1
+[boundary]
+mbcbot=freeslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[time]
+starttime=0
+endtime=4
+savetime=4
+dt=0.25
+adaptivestep=false
+"""
+    m = Model(Ini(ini), "run", "koren")
+    m.finish_setup()
+    m.build_step()
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    s = {n: jnp.zeros((g.kcells, g.jtot, g.itot))
+         for n in m.fields.prognostic_names}
+    s["u"] = s["u"].at[ks:ke].set(1.0)
+    s["w"] = s["w"].at[ks + 4:ke - 4].set(0.3)
+    s["s1"] = s["s1"].at[ks + 8, 4, 8].set(1.0)   # single-cell spike
+    t = {n: jnp.zeros_like(v) for n, v in s.items()}
+    total0 = float(jnp.sum(s["s1"][ks:ke]))
+    for _ in range(16):
+        out = m._step_fn(s, t, {}, m.pres_params, jnp.asarray(0.25),
+                         jnp.asarray(0.0))
+        s, t = out[0], out[1]
+    s1 = np.asarray(s["s1"])[ks:ke]
+    # Koren fluxes are monotone per stage; the low-storage RK3 combination
+    # (negative cA coefficients) can undershoot at roundoff-adjacent levels,
+    # same as the reference.  Bound well below the spike amplitude.
+    assert s1.min() >= -1e-6, s1.min()
+    assert abs(s1.sum() - total0) / total0 < 1e-5, s1.sum()
