@@ -48,6 +48,7 @@ class DiffDNN:
         self.fields = fields
         self.boundary = boundary
         self.visc = fields.visc
+        self.viscs = self.smag.viscs
         self.swdeviatoric = ini.get_bool("diff", "swdeviatoric", default=True)
         dnnpath = ini.get_str("diff", "dnnpath", default="")
         self.net = TauDNN.load(dnnpath)

@@ -214,7 +214,7 @@ class Stats:
                         evh = 0.5 * (evisc[ks + 1:ke] + evisc[ks:ke - 1]) / tPr + model.diff.viscs.get(name, fields.visc)
                     din = -hmean(evh * (a[ks + 1:ke] - a[ks:ke - 1])) * ctx.dzhi[ks + 1:ke]
                 else:
-                    visc = fields.visc if name in ("u", "v") else model.diff.viscs.get(name, fields.visc)
+                    visc = fields.visc if name in ("u", "v") else getattr(model.diff, "viscs", {}).get(name, fields.visc)
                     din = -visc * hmean(a[ks + 1:ke] - a[ks:ke - 1]) * ctx.dzhi[ks + 1:ke]
                 dflux = dflux.at[1:-1].set(din)
                 if is_surface:
