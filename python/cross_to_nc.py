@@ -29,15 +29,40 @@ def main():
     dtype = np.float32 if args.precision == "single" else np.float64
     ini = Ini(os.path.join(args.dir, "%s.ini" % args.casename))
     grid = Grid(ini)
-    grid.load(os.path.join(args.dir, "grid.0000000"), dtype=dtype)
+    # the grid file precision is independent of the field precision
+    try:
+        grid.load(os.path.join(args.dir, "grid.0000000"), dtype=np.float64)
+    except ValueError:
+        grid.load(os.path.join(args.dir, "grid.0000000"), dtype=np.float32)
 
     pattern = re.compile(r"^%s\.%s\.(\d{5})\.(\d{7})$"
                          % (re.escape(args.variable), args.mode))
     files = sorted(f for f in os.listdir(args.dir) if pattern.match(f))
+    iotimeprec = ini.get_int("time", "iotimeprec", default=0)
+
+    # index-less surface planes (<var>.xy.<iotime>: bot/fluxbot/path/ustar…)
+    plane_pat = re.compile(r"^%s\.xy\.(\d{7})$" % re.escape(args.variable))
+    plane_files = sorted(f for f in os.listdir(args.dir) if plane_pat.match(f))
+    if not files and plane_files and args.mode == "xy":
+        times = sorted(int(plane_pat.match(f).group(1)) for f in plane_files)
+        out = nc.Dataset(os.path.join(args.dir, "%s_xy.nc" % args.variable), "w")
+        out.createDimension("time", None)
+        out.createDimension("y", grid.jtot)
+        out.createDimension("x", grid.itot)
+        vt = out.createVariable("time", "f8", ("time",))
+        vv = out.createVariable(args.variable, "f8", ("time", "y", "x"))
+        for it, t in enumerate(times):
+            vt[it] = t * 10.0 ** iotimeprec
+            raw = np.fromfile(os.path.join(
+                args.dir, "%s.xy.%07d" % (args.variable, t)), dtype=dtype)
+            vv[it] = raw.reshape(grid.jtot, grid.itot)
+        out.close()
+        print("wrote %s_xy.nc (surface planes)" % args.variable)
+        return
+
     if not files:
         raise SystemExit("no matching cross files found")
 
-    iotimeprec = ini.get_int("time", "iotimeprec", default=0)
     indexes = sorted({int(pattern.match(f).group(1)) for f in files})
     times = sorted({int(pattern.match(f).group(2)) for f in files})
 
