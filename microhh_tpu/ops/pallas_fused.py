@@ -602,9 +602,6 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
         dzi = ctx.dzi
         dzhi = ctx.dzhi
 
-        def vert_patch_u(row, flux_sign_bot, name, e_corner):
-            pass
-
         # ---- u bottom/top diffusion row patches (diff_smag2.cxx diff_u) ----
         for row, ka in (("bot", ks), ("top", ke - 1)):
             ev_t = 0.25 * (im(e)[ka] + e[ka] + im(e)[ka + 1] + e[ka + 1]) + visc
