@@ -73,13 +73,16 @@ class Force:
 
     def update_timedep(self, sfc, itime):
         """Host-side per-iteration interpolation of the time-dependent LS
-        profiles into the carried surface state (no recompiles)."""
+        profiles into the carried surface state (no recompiles).  Profiles
+        are truncated to the model's ktot (input files may carry more
+        levels than a reduced-grid run uses)."""
         if self.swls != "1" or not self.tdep_ls:
             return sfc
         import jax.numpy as jnp
+        kt = self.grid.ktot
         sfc = dict(sfc)
         for n, td in self.tdep_ls.items():
-            sfc["__ls_" + n] = jnp.asarray(td.interpolate(itime))
+            sfc["__ls_" + n] = jnp.asarray(td.interpolate(itime)[:kt])
         return sfc
 
     def __call__(self, ctx, s, t, aux, sfc=None):
