@@ -199,6 +199,18 @@ class Model:
         fastio.flush()  # init files must be on disk when we return
         return state
 
+    def set_mesh(self, mesh):
+        """Declare the device mesh for a multi-chip run.  The Poisson
+        solvers then force slab-transpose reshards around their FFTs
+        (parallel/mesh.py SlabPlan) instead of GSPMD's default all-gather;
+        the Pallas fused kernels are disabled (they assume whole-plane
+        locality) in favor of the XLA stencil path, whose rolls lower to
+        ICI collective-permutes."""
+        self.mesh = mesh
+        self.pres.mesh = mesh
+
+    mesh = None
+
     # ------------------------------------------------------------------
     #  step construction
     # ------------------------------------------------------------------
@@ -338,6 +350,8 @@ class Model:
             return None
         if getattr(self, "force_fused", None) is False:
             return None
+        if self.mesh is not None:
+            return None  # fused kernels assume whole-plane locality
         ctx = self.ctx
         from .ops.advec_2 import Advec2
         from .ops.diff_smag2 import DiffSmag2

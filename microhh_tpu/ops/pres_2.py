@@ -80,6 +80,7 @@ class Pres2:
         self.fields = fields
         self.dtype = dtype
         self._built = False
+        self.mesh = None  # set via Model.set_mesh for multi-chip slab FFTs
 
     def set_values(self):
         """Precompute wavenumbers + TDMA factors (reference set_values)."""
@@ -212,9 +213,19 @@ class Pres2:
         """Return pressure interior (kmax, jtot, itot)."""
         winv = pp["winv"] if pp is not None else jnp.asarray(self._winv_np)
         kmax = rhs.shape[0]
-        p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
 
-        if self._use_pallas_tdma(ctx):
+        # Multi-chip: slab-transpose dataflow (reference transpose.cxx) —
+        # z-slabs around the FFTs, mode-slabs around the vertical solve.
+        from ..parallel.mesh import spectral_slab_plan
+        plan = spectral_slab_plan(self.mesh, kmax, rhs.shape[1])
+        if plan is not None:
+            rhs = plan.zslab(rhs)
+        p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
+        if plan is not None:
+            p_hat = plan.modeslab(p_hat)
+            winv = plan.modeslab(winv)
+
+        if plan is None and self._use_pallas_tdma(ctx):
             x = self._solve_spectral_pallas(ctx, p_hat, winv, kmax)
         else:
             d = p_hat * self.dz2
@@ -229,7 +240,11 @@ class Pres2:
             A_b = A_b.at[kmax - 1].set(0.)
             x = _assoc_linear_scan(A_b, y, reverse=True)
 
+        if plan is not None:
+            x = plan.zslab(x, from_modes=True)
         p = jnp.fft.irfft2(x, s=rhs.shape[-2:], axes=(-2, -1))
+        if plan is not None:
+            p = plan.pencil(p)
         return p.astype(rhs.dtype)
 
     def output(self, ctx, t, p_full):

@@ -83,6 +83,7 @@ class Pres4:
         self.fields = fields
         self.dtype = dtype
         self._built = False
+        self.mesh = None  # set via Model.set_mesh for multi-chip slab FFTs
 
     def set_values(self):
         g = self.grid
@@ -198,7 +199,16 @@ class Pres4:
         kmax = self.kmax
         lu = pp["lu"] if pp is not None else jnp.asarray(self._lu_np)
         m1, m2, m3, m4, m5, m6, m7 = (lu[i] for i in range(7))
+
+        # Multi-chip: slab-transpose dataflow (reference transpose.cxx) —
+        # z-slabs around the FFTs, mode-slabs around the heptadiagonal solve.
+        from ..parallel.mesh import spectral_slab_plan
+        plan = spectral_slab_plan(self.mesh, kmax, rhs.shape[1])
+        if plan is not None:
+            rhs = plan.zslab(rhs)
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
+        if plan is not None:
+            p_hat = plan.modeslab(p_hat)
 
         # RHS rows: 0,1 and kmax+2, kmax+3 are zero.
         zero = jnp.zeros_like(p_hat[0])
@@ -236,7 +246,11 @@ class Pres4:
         xfull = jnp.concatenate([xr[::-1], xN2[None], xN1[None], xN[None]], axis=0)
 
         p_modes = xfull[2:kmax + 2]
+        if plan is not None:
+            p_modes = plan.zslab(p_modes, from_modes=True)
         p = jnp.fft.irfft2(p_modes, s=rhs.shape[-2:], axes=(-2, -1))
+        if plan is not None:
+            p = plan.pencil(p)
         return p.astype(rhs.dtype)
 
     def output(self, ctx, t, p_full):

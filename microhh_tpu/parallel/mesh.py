@@ -48,6 +48,67 @@ def shard_state(s, t, sfc, mesh):
     return s, t, sfc
 
 
+class SlabPlan:
+    """Resharding plan for the distributed spectral Poisson solve.
+
+    The reference FFTs along x, MPI-transposes to y-pencils, FFTs along y,
+    transposes to z-pencils, runs the vertical solve, and transposes back
+    (``src/transpose.cxx``, ``src/fft.cxx``).  On TPU the same dataflow is
+    expressed as sharding constraints: force **z-slabs** (k sharded over the
+    whole mesh, horizontal local) around the batched ``rfft2``/``irfft2`` and
+    **mode-slabs** (j sharded, k local) around the vertical solve.  GSPMD
+    lowers each transition to one all-to-all over ICI — without the
+    constraints it would all-gather the full field onto every chip to run
+    the sharded-axis FFT.
+    """
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.axes = tuple(mesh.axis_names)
+
+    def _con(self, x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
+
+    def zslab(self, x, from_modes=False):
+        """(k, j, i*) with k sharded over the flattened mesh: FFTs are local.
+        The reshard moves each mesh axis in its own hop — one all-to-all
+        each — because the SPMD partitioner replicates ("involuntary full
+        rematerialization") when asked to move two axes between different
+        dims at once.  From the pencil layout 'y' moves j->k then 'x' moves
+        i->k; from the mode-slab layout 'y' then 'x' both move j->k."""
+        if len(self.axes) == 2:
+            if from_modes:
+                x = self._con(x, P(self.axes[0], self.axes[1], None))
+            else:
+                x = self._con(x, P(self.axes[0], None, self.axes[1]))
+        return self._con(x, P(self.axes, None, None))
+
+    def modeslab(self, x):
+        """(k, j, i*) with j sharded over the flattened mesh: the vertical
+        tridiagonal/heptadiagonal solve is local."""
+        return self._con(x, P(None, self.axes, None))
+
+    def pencil(self, x):
+        """Back to the production field layout P(None, 'y', 'x'), again in
+        two single-axis hops from the z-slab layout."""
+        if len(self.axes) == 2:
+            x = self._con(x, P(self.axes[0], None, self.axes[1]))
+            return self._con(x, P(None, self.axes[0], self.axes[1]))
+        return self._con(x, P(None, self.axes[0], None))
+
+
+def spectral_slab_plan(mesh, kmax, jtot):
+    """A :class:`SlabPlan` when the mesh is non-trivial and both the k and j
+    extents divide evenly over all devices; ``None`` otherwise (GSPMD then
+    falls back to its default resharding)."""
+    if mesh is None:
+        return None
+    n = int(np.prod(list(mesh.shape.values())))
+    if n <= 1 or kmax % n or jtot % n:
+        return None
+    return SlabPlan(mesh)
+
+
 def auto_mesh_shape(n_devices):
     """Factor n into the squarest (npy, npx)."""
     best = (n_devices, 1)

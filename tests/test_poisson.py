@@ -113,6 +113,46 @@ def test_poisson_operator_inverse():
     assert np.allclose(lap, rhs, atol=1e-9), np.abs(lap - rhs).max()
 
 
+def test_slab_transpose_sharded_parity():
+    """The multi-chip slab-transpose solve (z-slabs around the FFTs,
+    mode-slabs around the tridiagonal solve; parallel/mesh.py SlabPlan,
+    reference transpose.cxx) matches the single-device solve exactly on an
+    8-device virtual mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from microhh_tpu.parallel import mesh as pmesh
+
+    ini = INI.replace("itot=16", "itot=16").replace("jtot=12", "jtot=16")
+    ini = ini.replace("ktot=10", "ktot=16")
+    m = Model(Ini(ini), "run", "slab")
+    m.finish_setup()
+    rng = np.random.RandomState(7)
+    rhs_np = rng.randn(m.grid.ktot, m.grid.jtot, m.grid.itot)
+
+    p_ref = np.asarray(m.pres.solve(m.ctx, jnp.asarray(rhs_np)))
+
+    npy, npx = pmesh.auto_mesh_shape(8)
+    mesh = pmesh.make_mesh(npy, npx)
+    m.set_mesh(mesh)
+    assert pmesh.spectral_slab_plan(mesh, m.grid.ktot, m.grid.jtot) is not None
+    rhs = jax.device_put(jnp.asarray(rhs_np), NamedSharding(mesh, P(None, "y", "x")))
+    p_sh = jax.jit(lambda r: m.pres.solve(m.ctx, r))(rhs)
+    # output keeps the production pencil layout
+    assert p_sh.sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, "y", "x")), p_sh.ndim)
+    err = np.abs(np.asarray(p_sh) - p_ref).max()
+    assert err < 1e-10, err
+
+
+def test_slab_plan_divisibility_guard():
+    """Indivisible k/j extents fall back to plain GSPMD (plan is None)."""
+    from microhh_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(*pmesh.auto_mesh_shape(8))
+    assert pmesh.spectral_slab_plan(mesh, 10, 16) is None
+    assert pmesh.spectral_slab_plan(mesh, 16, 12) is None
+    assert pmesh.spectral_slab_plan(None, 16, 16) is None
+
+
 def test_pallas_tdma_parity():
     """The opt-in one-pass Pallas Thomas solve matches the associative-scan
     path to roundoff (interpret mode; MICROHH_PALLAS_TDMA=1)."""
