@@ -119,7 +119,7 @@ class Model:
         from .ops.decay import make_decay
         from .ops.source import make_source
         self.decay = make_decay(ini, self.fields)
-        self.source = make_source(ini, self.grid, self.fields)
+        self.source = make_source(ini, self.grid, self.fields, self.input_nc)
         self.stats = None   # attached by run_case
         self.cross = None
         self.dump = None
@@ -277,7 +277,7 @@ class Model:
             aux["subdt"] = subdt
             t = self.buffer(ctx, s, t, aux)
             t = self.decay(ctx, s, t, aux)
-            t = self.source(ctx, s, t, aux)
+            t = self.source(ctx, s, t, aux, sfc)
             t = self.force(ctx, s, t, aux, sfc)
             if self.ib.active:
                 s = self.ib.exec_momentum(ctx, s)
@@ -467,6 +467,8 @@ class Model:
                 sfc = self.btimedep.update(self, sfc, tl.itime)
             if getattr(self.force, "tdep_ls", None):
                 sfc = self.force.update_timedep(sfc, tl.itime)
+            if getattr(self.source, "tdep", None):
+                sfc = self.source.update_timedep(sfc, tl.itime)
 
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit(self.at_wall_clock_limit())
