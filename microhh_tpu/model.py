@@ -168,7 +168,7 @@ class Model:
         self.thermo.create_basestate(self.input_nc)
         if self.soil_grid is not None:
             self.soil_grid.create(self.input_nc)
-            self.boundary.create(self.input_nc, self.workdir)
+            self.boundary.create(self.input_nc, self.workdir, dtype=self.dtype)
         if self.ib.active:
             self.ib.create(self.workdir)
         if hasattr(self.boundary, "load_z0") and not getattr(
@@ -188,7 +188,8 @@ class Model:
         if getattr(self.boundary, "is_lsm", False):
             sfc0 = self.boundary.init_surface_state(dtype=self.dtype)
             state, sfc0 = self.boundary.create_cold_start(
-                self.input_nc, state, sfc0, dtype=self.dtype)
+                self.input_nc, state, sfc0, dtype=self.dtype,
+                workdir=self.workdir)
             self.boundary.save(sfc0, 0, self.workdir)
         self.grid.save(os.path.join(self.workdir, "grid.%07d" % 0))
         self.fields.save(state, 0, self.workdir)

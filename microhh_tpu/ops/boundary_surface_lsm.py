@@ -23,8 +23,10 @@ TPU re-design notes:
   (keys ``t_soil``, ``theta_soil``, ``wl``) and is advanced by the same RK
   scheme; skin states per tile live in the carried ``sfc`` dict.
 
-Current scope: homogeneous land-surface properties + constant z0 (the
-reference's 2-D input-map path and ``sw_water`` raise NotImplementedError).
+Heterogeneous surfaces (``swhomogeneous=false``) read binary 2-D property
+maps / 3-D soil maps named ``<name>.0000000`` (generate with
+python/lsm_input.py); ``swwater=true`` adds an open-water mask with
+prescribed water temperature.  Constant z0 is still required.
 """
 
 import os
@@ -58,6 +60,12 @@ def _vg_diffusivity(vg_a, vg_l, vg_m, gamma_sat, theta_res, theta_sat, tn):
             * ((1. - tn ** vg_mi) ** -vg_m + (1. - tn ** vg_mi) ** vg_m - 2.))
 
 
+def _L(a):
+    """Broadcast a per-level (kt,) soil array to (kt,1,1); heterogeneous
+    (kt,jtot,itot) arrays pass through unchanged."""
+    return a[:, None, None] if getattr(a, "ndim", 0) == 1 else a
+
+
 def _vg_conductivity(tn, vg_l, vg_m, gamma_sat):
     """van Genuchten conductivity (soil_kernels.h:45-51)."""
     return gamma_sat * tn ** vg_l * (1. - (1. - tn ** (1. / vg_m)) ** vg_m) ** 2
@@ -85,16 +93,21 @@ class BoundarySurfaceLSM(BoundarySurface):
         self.sw_homogenize = ini.get_bool("land_surface", "swhomogenizesfc", default=False)
         self.sw_tile_stats = ini.get_bool("land_surface", "swtilestats", default=False)
         self.emis_sfc = ini.get_float("radiation", "emis_sfc")
-        if not self.sw_homogeneous:
-            raise NotImplementedError("swhomogeneous=false (2-D input maps) "
-                                      "is not yet supported")
-        if self.sw_water:
-            raise NotImplementedError("swwater=true is not yet supported")
+        if self.sw_homogeneous and self.sw_water:
+            # water tiles require a 2-D mask (boundary_surface_lsm.cxx:290)
+            raise ValueError("swwater=true requires swhomogeneous=false")
 
-        # homogeneous land-surface properties ([land_surface] group)
-        self.props = {name: ini.get_float("land_surface", name) for name in
-                      ("gD", "c_veg", "lai", "rs_veg_min", "rs_soil_min",
-                       "lambda_stable", "lambda_unstable", "cs_veg")}
+        # homogeneous land-surface properties ([land_surface] group);
+        # heterogeneous runs read 2-D maps in create()
+        # (boundary_surface_lsm.cxx:1209-1220 vs :1427-1456)
+        if self.sw_homogeneous:
+            self.props = {name: ini.get_float("land_surface", name) for name in
+                          ("gD", "c_veg", "lai", "rs_veg_min", "rs_soil_min",
+                           "lambda_stable", "lambda_unstable", "cs_veg")}
+        else:
+            self.props = None
+        self.water_mask = None
+        self.t_bot_water = None
 
         # prognostic soil + 2-D state
         fields.init_prognostic_soil_field("t_soil", "Soil temperature", "K")
@@ -106,14 +119,45 @@ class BoundarySurfaceLSM(BoundarySurface):
         self.micro = None
 
     # -- setup ---------------------------------------------------------------
-    def create(self, input_nc, workdir="."):
+    def _read_map(self, workdir, name, shape, dtype):
+        """Binary 2-D/3-D input map ``<name>.0000000`` (reference
+        load_2d_field/load_3d_field, boundary_surface_lsm.cxx:1355-1456;
+        generated with python/lsm_input.py)."""
+        path = os.path.join(workdir, "%s.%07d" % (name, 0))
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "%s not found: swhomogeneous=false needs binary input maps "
+                "(see python/lsm_input.py)" % path)
+        a = np.fromfile(path, dtype=dtype).astype(np.float64)
+        return a.reshape(shape)
+
+    def create(self, input_nc, workdir=".", dtype=np.float64):
         """Soil index/root profiles + van Genuchten table
-        (boundary_surface_lsm.cxx:1163-1250)."""
+        (boundary_surface_lsm.cxx:1163-1250); heterogeneous property maps
+        (:1427-1456)."""
         sg = self.sgrid
+        g = self.grid
         kt = sg.ktot
-        soil = input_nc.groups["soil"]
-        si = np.asarray(soil.variables["index_soil"][:kt], dtype=np.int64)
-        self.root_frac = np.asarray(soil.variables["root_frac"][:kt], dtype=np.float64)
+        if self.sw_homogeneous:
+            soil = input_nc.groups["soil"]
+            si = np.asarray(soil.variables["index_soil"][:kt], dtype=np.int64)
+            self.root_frac = np.asarray(soil.variables["root_frac"][:kt],
+                                        dtype=np.float64)
+        else:
+            shape3 = (kt, g.jtot, g.itot)
+            shape2 = (g.jtot, g.itot)
+            si = np.rint(self._read_map(workdir, "index_soil", shape3,
+                                        dtype)).astype(np.int64)
+            self.root_frac = self._read_map(workdir, "root_frac", shape3, dtype)
+            self.props = {name: self._read_map(workdir, name, shape2, dtype)
+                          for name in
+                          ("gD", "c_veg", "lai", "rs_veg_min", "rs_soil_min",
+                           "lambda_stable", "lambda_unstable", "cs_veg")}
+            if self.sw_water:
+                self.water_mask = (self._read_map(
+                    workdir, "water_mask", shape2, dtype) > 0.5)
+                self.t_bot_water = self._read_map(
+                    workdir, "t_bot_water", shape2, dtype)
 
         # table (misc/van_genuchten_parameters.nc; standard IFS/van Genuchten
         # soil classes) — the run directory may override the packaged copy.
@@ -155,17 +199,26 @@ class BoundarySurfaceLSM(BoundarySurface):
         self.rho_C = ((1. - self.theta_sat) * RHO_C_MATRIX
                       + self.theta_fc * RHO_C_WATER)
 
-    def create_cold_start(self, input_nc, state, sfc, dtype=np.float64):
-        """Initial soil/skin state (boundary_surface_lsm.cxx:1088-1160)."""
+    def create_cold_start(self, input_nc, state, sfc, dtype=np.float64,
+                          workdir="."):
+        """Initial soil/skin state (boundary_surface_lsm.cxx:1088-1160);
+        heterogeneous runs take the user-provided 3-D maps instead
+        (boundary_surface_lsm.cxx:1120 'provided as binary input files')."""
         g, sg = self.grid, self.sgrid
         soil = input_nc.groups["soil"]
         init = input_nc.groups["init"]
         shape3 = (sg.ktot, g.jtot, g.itot)
         shape2 = (g.jtot, g.itot)
-        t_prof = np.asarray(soil.variables["t_soil"][:sg.ktot], dtype=dtype)
-        th_prof = np.asarray(soil.variables["theta_soil"][:sg.ktot], dtype=dtype)
-        state["t_soil"] = np.broadcast_to(t_prof[:, None, None], shape3).copy()
-        state["theta_soil"] = np.broadcast_to(th_prof[:, None, None], shape3).copy()
+        if self.sw_homogeneous:
+            t_prof = np.asarray(soil.variables["t_soil"][:sg.ktot], dtype=dtype)
+            th_prof = np.asarray(soil.variables["theta_soil"][:sg.ktot], dtype=dtype)
+            state["t_soil"] = np.broadcast_to(t_prof[:, None, None], shape3).copy()
+            state["theta_soil"] = np.broadcast_to(th_prof[:, None, None], shape3).copy()
+        else:
+            state["t_soil"] = self._read_map(
+                workdir, "t_soil", shape3, dtype).astype(dtype)
+            state["theta_soil"] = self._read_map(
+                workdir, "theta_soil", shape3, dtype).astype(dtype)
         state["wl"] = np.zeros(shape2, dtype=dtype)
         thl1 = float(np.asarray(init.variables["thl"][:1])[0])
         qt1 = float(np.asarray(init.variables["qt"][:1])[0])
@@ -277,9 +330,9 @@ class BoundarySurfaceLSM(BoundarySurface):
 
         # root-weighted soil moisture + resistances
         theta = s["theta_soil"]
-        wp = self.theta_wp[:, None, None]
-        fc = self.theta_fc[:, None, None]
-        rf = self.root_frac[:, None, None]
+        wp = _L(self.theta_wp)
+        fc = _L(self.theta_fc)
+        rf = _L(self.root_frac)
         theta_mean_n = jnp.sum(rf * (jnp.maximum(theta, wp) - wp) / (fc - wp),
                                axis=0)
 
@@ -301,7 +354,7 @@ class BoundarySurfaceLSM(BoundarySurface):
         # per-tile stability + SEB (land_surface_kernels.h:246-385)
         b1 = buoyancy_no_ql(thl1, qt1, thvref1)
         T_soil_top = s["t_soil"][-1]
-        H_t, LE_t, G_t, bflux_t, ustar_t = {}, {}, {}, {}, {}
+        H_t, LE_t, G_t, bflux_t, ustar_t, ra_t = {}, {}, {}, {}, {}, {}
         for tile in TILES:
             thl_b = sfc["thl_bot_" + tile]
             qt_b = sfc["qt_bot_" + tile]
@@ -315,6 +368,7 @@ class BoundarySurfaceLSM(BoundarySurface):
             ustar = dutot * most.fm(zsl, self.z0m, obuk)
             bflux = -ustar * db * fh2d
             ra = 1. / (ustar * fh2d)
+            ra_t[tile] = ra
             sfc["obuk_" + tile] = obuk
             ustar_t[tile] = ustar
             bflux_t[tile] = bflux
@@ -341,6 +395,27 @@ class BoundarySurfaceLSM(BoundarySurface):
             G_t[tile] = lam * (T_new - T_soil_top)
             sfc["thl_bot_" + tile] = T_new / exnh
             sfc["qt_bot_" + tile] = qt1 + LE_t[tile] * ra / (rhoh * cst.Lv)
+
+        # open-water override (land_surface_kernels.h set_water_tiles,
+        # boundary_surface_lsm.cxx:564-597): water points are all-wet with a
+        # prescribed water temperature; H/LE from the wet tile's aerodynamic
+        # resistance, no soil heat flux, zero canopy resistance.
+        if self.sw_water:
+            mask = jnp.asarray(self.water_mask)
+            t_wat = jnp.asarray(self.t_bot_water, dtype=ctx.dtype)
+            thl_wet = jnp.where(mask, t_wat / exnh, sfc["thl_bot_wet"])
+            qt_wet = jnp.where(mask, qsat(ph, t_wat), sfc["qt_bot_wet"])
+            sfc["thl_bot_wet"], sfc["qt_bot_wet"] = thl_wet, qt_wet
+            frac["wet"] = jnp.where(mask, 1., frac["wet"])
+            frac["veg"] = jnp.where(mask, 0., frac["veg"])
+            frac["soil"] = jnp.where(mask, 0., frac["soil"])
+            H_wat = rhoh * cst.cp / ra_t["wet"] * (thl_wet - thl1)
+            LE_wat = rhoh * cst.Lv / ra_t["wet"] * (qt_wet - qt1)
+            for tile in TILES:
+                wet = tile == "wet"
+                H_t[tile] = jnp.where(mask, H_wat if wet else 0., H_t[tile])
+                LE_t[tile] = jnp.where(mask, LE_wat if wet else 0., LE_t[tile])
+                G_t[tile] = jnp.where(mask, 0., G_t[tile])
 
         def tiled(d):
             return sum(frac[k] * d[k] for k in TILES)
@@ -437,15 +512,15 @@ class BoundarySurfaceLSM(BoundarySurface):
         dz = self.sgrid.dz[:, None, None]
         dzi = self.sgrid.dzi[:, None, None]
         dzhi = self.sgrid.dzhi[:, None, None]   # (kts+1,1,1)
-        tsat = self.theta_sat[:, None, None]
+        tsat = _L(self.theta_sat)
 
         # soil temperature: thermal diffusivity (calc_thermal_properties)
         gamma_T_sat = (GAMMA_T_MATRIX ** (1. - tsat)
                        * GAMMA_T_WATER ** theta * 2.2 ** (tsat - theta))
-        gdry = self.gamma_T_dry[:, None, None]
+        gdry = _L(self.gamma_T_dry)
         kersten = jnp.log10(jnp.maximum(0.1, theta / tsat)) + 1.
         gam_T = kersten * (gamma_T_sat - gdry) + gdry
-        kap_T = gam_T / self.rho_C[:, None, None]
+        kap_T = gam_T / _L(self.rho_C)
 
         def interp_harmonic(f):
             dzs = self.sgrid.dz
@@ -482,18 +557,16 @@ class BoundarySurfaceLSM(BoundarySurface):
         t["t_soil"] = t["t_soil"] + diff_explicit(tsoil, kapTh, flux_top_T, flux_bot_T)
 
         # soil moisture: hydraulic properties (calc_hydraulic_properties)
-        tres = self.theta_res[:, None, None]
+        tres = _L(self.theta_res)
         th_lim = jnp.maximum(theta, 1.001 * tres)
         tn = (th_lim - tres) / (tsat - tres)
-        kap_th = _vg_diffusivity(self.vg_a[:, None, None], self.vg_l[:, None, None],
-                                 self.vg_m[:, None, None], self.gamma_sat[:, None, None],
+        kap_th = _vg_diffusivity(_L(self.vg_a), _L(self.vg_l),
+                                 _L(self.vg_m), _L(self.gamma_sat),
                                  tres, tsat, tn)
-        kap_th = jnp.clip(kap_th, self.kappa_min[:, None, None],
-                          self.kappa_max[:, None, None])
-        gam_th = _vg_conductivity(tn, self.vg_l[:, None, None],
-                                  self.vg_m[:, None, None], self.gamma_sat[:, None, None])
-        gam_th = jnp.clip(gam_th, self.gamma_min[:, None, None],
-                          self.gamma_max[:, None, None])
+        kap_th = jnp.clip(kap_th, _L(self.kappa_min), _L(self.kappa_max))
+        gam_th = _vg_conductivity(tn, _L(self.vg_l),
+                                  _L(self.vg_m), _L(self.gamma_sat))
+        gam_th = jnp.clip(gam_th, _L(self.gamma_min), _L(self.gamma_max))
 
         kap_th_h = interp_max(kap_th)
         gam_th_h = interp_max(gam_th)

@@ -200,6 +200,87 @@ def test_full_model_steps(model):
     assert np.asarray(sfc["thl_bot"]).mean() > 290.
 
 
+@pytest.fixture(scope="module")
+def het_model(tmp_path_factory):
+    """Heterogeneous surface (swhomogeneous=0) with an open-water strip
+    (swwater=1): c_veg 0.2 on the west half / 0.95 east, water in the two
+    easternmost columns at 300 K."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "python"))
+    from lsm_input import LSM_input
+
+    wd = str(tmp_path_factory.mktemp("lsm_het"))
+    write_input(wd, "lsmh")
+    ini = INI.replace("swhomogeneous=1", "swhomogeneous=0")
+    ini = ini.replace("swwater=0", "swwater=1")
+    with open(os.path.join(wd, "lsmh.ini"), "w") as fh:
+        fh.write(ini)
+
+    lsm = LSM_input(8, 8, 4, sw_water=True, dtype=np.float64)
+    f = lsm.fields
+    f["gD"][:] = 0.
+    f["c_veg"][:, :4] = 0.2
+    f["c_veg"][:, 4:] = 0.95
+    f["lai"][:] = 2.6
+    f["rs_veg_min"][:] = 100.
+    f["rs_soil_min"][:] = 50.
+    f["lambda_stable"][:] = 10.
+    f["lambda_unstable"][:] = 10.
+    f["cs_veg"][:] = 0.
+    f["water_mask"][:, 6:] = 1.
+    f["t_bot_water"][:] = 300.
+    f["index_soil"][:] = 1.
+    f["root_frac"][:] = np.array([0.05, 0.2, 0.4, 0.35])[:, None, None]
+    f["t_soil"][:] = np.array([286., 287., 288., 289.])[:, None, None]
+    f["theta_soil"][:] = np.array([0.35, 0.30, 0.25, 0.24])[:, None, None]
+    lsm.save(wd)
+
+    m = Model(Ini(ini), "init", "lsmh", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    m2 = Model(Ini(ini), "run", "lsmh", workdir=wd)
+    m2.finish_setup()
+    return m2
+
+
+def test_heterogeneous_properties_and_water(het_model):
+    m = het_model
+    ctx = m.ctx
+    state_np = m.load_state()
+    s, t, sfc = m.as_device_state(state_np)
+    s = m.boundary.set_ghost_cells(ctx, s, sfc)
+    sfc2, t2 = m.boundary.exec_lsm(ctx, s, t, sfc, {}, 2.0)
+
+    # tile fractions follow the c_veg map on land
+    c_veg = np.asarray(sfc2["c_veg"])
+    assert np.allclose(c_veg[:, :4], 0.2, atol=1e-12)
+    assert np.allclose(c_veg[:, 4:6], 0.95, atol=1e-12)
+    # water points: all-wet, no soil heat flux
+    assert np.allclose(np.asarray(sfc2["c_wet"])[:, 6:], 1.)
+    assert np.allclose(c_veg[:, 6:], 0.)
+    assert np.allclose(np.asarray(sfc2["G"])[:, 6:], 0.)
+    # prescribed water temperature sets the wet-tile saturation humidity
+    from microhh_tpu.ops.thermo_moist import qsat
+    ph = float(m.thermo.prefh[m.grid.kstart])
+    qt_wet = np.asarray(sfc2["qt_bot_wet"])[:, 6:]
+    assert np.allclose(qt_wet, float(qsat(ph, 300.)), rtol=1e-10)
+    # warm water under 290 K air drives upward heat flux
+    assert np.asarray(sfc2["H"])[:, 6:].mean() > 0.
+    # soil tendencies stay finite everywhere (water points inactive but valid)
+    assert np.isfinite(np.asarray(t2["theta_soil"])).all()
+
+
+def test_heterogeneous_full_step(het_model):
+    m = het_model
+    m.build_step()
+    s, t, sfc = m.as_device_state(m.load_state())
+    dt = jnp.asarray(2.0)
+    s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt, jnp.asarray(0.0))
+    for name in ("u", "thl", "qt", "t_soil", "theta_soil", "wl"):
+        assert np.isfinite(np.asarray(s[name])).all(), name
+
+
 def test_restart_files_roundtrip(model, tmp_path):
     m = model
     m.build_step()
