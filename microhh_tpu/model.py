@@ -128,6 +128,8 @@ class Model:
         self.timeloop = Timeloop(ini, sim_mode)
         from .timedep import BoundaryTimedep
         self.btimedep = BoundaryTimedep(ini, self.fields, self.input_nc)
+        from .timedep import Sbot2D
+        self.sbot2d = Sbot2D(ini, self.fields)
         from .ops.boundary_outflow import BoundaryOutflow
         self.outflow = BoundaryOutflow(
             ini, self.grid, ini.get_int("grid", "swspatialorder", default=2))
@@ -451,6 +453,7 @@ class Model:
         tl = self.timeloop
         state_np = self.load_state()
         s, t, sfc = self.as_device_state(state_np)
+        sfc = self.sbot2d.apply_static(self, sfc)
         self.build_step()
 
         cflmax = getattr(self.advec, "cflmax", 1.0)
@@ -470,6 +473,8 @@ class Model:
                 sfc = self.force.update_timedep(sfc, tl.itime)
             if getattr(self.source, "tdep", None):
                 sfc = self.source.update_timedep(sfc, tl.itime)
+            if self.sbot2d.swtimedep:
+                sfc = self.sbot2d.update(self, sfc, tl.itime)
 
             # Adaptive time step (model.cxx:730-751).
             tl.reset_time_step_limit(self.at_wall_clock_limit())

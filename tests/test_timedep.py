@@ -111,6 +111,55 @@ def test_timedep_interpolation():
     assert abs(td.interpolate(int(150e9)) - 2.5) < 1e-12
 
 
+def _sbot2d_case(tmp_path, extra, maps):
+    """Case with [boundary] sbot_2d_list=th and the given <iotime>: map files."""
+    wd = make_case(tmp_path)
+    ini = INI.replace("swtimedep=1\ntimedeplist=th_sbot\n", "")
+    ini = ini.replace("sbcbot=dirichlet", "sbcbot=dirichlet\nsbot_2d_list=th" + extra)
+    with open(os.path.join(wd, "gab.ini"), "w") as fh:
+        fh.write(ini)
+    for iotime, fld in maps.items():
+        fld.astype(np.float64).tofile(
+            os.path.join(wd, "th_bot_in.%07d" % iotime))
+    return wd, ini
+
+
+def test_sbot_2d_static(tmp_path):
+    """[boundary] sbot_2d_list: a spatially-varying Dirichlet map replaces the
+    scalar sbot (boundary.cxx:636-660)."""
+    x_map = 265. + np.tile(np.arange(8.), (8, 1))  # varies in x
+    wd, ini = _sbot2d_case(tmp_path, "", {0: x_map})
+    m = Model(Ini(ini), "init", "gab", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    m = Model(Ini(ini), "run", "gab", workdir=wd)
+    m.finish_setup()
+    m.run(max_iters=2)
+    got = np.asarray(m.final_sfc["th_bot"])
+    assert np.allclose(got, x_map), np.abs(got - x_map).max()
+
+
+def test_sbot_2d_timedep(tmp_path):
+    """swtimedep_sbot_2d: host-side linear interpolation between map files
+    spaced sbot_2d_loadtime apart (boundary.cxx:482-540)."""
+    m0 = np.full((8, 8), 265.)
+    m300 = np.full((8, 8), 264.)
+    m600 = np.full((8, 8), 266.)
+    m900 = np.full((8, 8), 267.)
+    wd, ini = _sbot2d_case(
+        tmp_path, "\nswtimedep_sbot_2d=1\nsbot_2d_loadtime=300",
+        {0: m0, 300: m300, 600: m600, 900: m900})
+    m = Model(Ini(ini), "init", "gab", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    m = Model(Ini(ini), "run", "gab", workdir=wd)
+    m.finish_setup()
+    m.run()
+    # endtime=600: the final BC is exactly the t=600 map (no read past it)
+    got = np.asarray(m.final_sfc["th_bot"])
+    assert np.allclose(got, m600), got.mean()
+
+
 def test_gabls1_cooling_ramp(tmp_path):
     wd = make_case(tmp_path)
     m = Model(Ini(INI), "init", "gab", workdir=wd)
