@@ -150,6 +150,21 @@ class Stats:
             self.add_time_series(name + "_bot", "Surface " + name, "-")
         if getattr(model.thermo, "scalars", ()):
             self.add_time_series("zi", "Boundary Layer Depth", "m", "thermo")
+        # cloud diagnostics (thermo_moist.cxx:1791-1805 registers ql/qi/qlqi
+        # with {"mean", "frac", "path", "cover"})
+        if hasattr(model.thermo, "get_ql"):
+            bases = ["ql"]
+            if hasattr(model.thermo, "get_ql_qi"):
+                bases += ["qi", "qlqi"]
+            for base in bases:
+                self.add_prof(base, "%s mixing ratio" % base, "kg kg-1",
+                              "z", "thermo")
+                self.add_prof(base + "_frac", "%s cloud fraction" % base,
+                              "-", "z", "thermo")
+                self.add_time_series(base + "_path", "%s water path" % base,
+                                     "kg m-2", "thermo")
+                self.add_time_series(base + "_cover", "%s projected cover" % base,
+                                     "-", "thermo")
         if self.swtendency:
             for fld in fields.prognostic_names:
                 zdim = "zh" if fld == "w" else "z"
@@ -268,6 +283,27 @@ class Stats:
                 kinv = jnp.argmax(grad) + 1
                 z_int = ctx.z[ks:ke]
                 out["zi"] = z_int[kinv]
+
+            # cloud water diagnostics: mean/frac profiles + path/cover series
+            if hasattr(model.thermo, "get_ql"):
+                rho = ctx.rhoref[ks:ke][:, None, None]
+                dzc = ctx.dz[ks:ke][:, None, None]
+
+                def cloud(base, q):
+                    out[base] = hmean(q)
+                    out[base + "_frac"] = jnp.mean((q > 0.).astype(ctx.dtype),
+                                                   axis=(1, 2))
+                    out[base + "_path"] = jnp.mean(jnp.sum(rho * q * dzc, axis=0))
+                    out[base + "_cover"] = jnp.mean(
+                        jnp.any(q > 0., axis=0).astype(ctx.dtype))
+
+                if hasattr(model.thermo, "get_ql_qi"):
+                    ql, qi = model.thermo.get_ql_qi(ctx, s)
+                    cloud("ql", ql)
+                    cloud("qi", qi)
+                    cloud("qlqi", ql + qi)
+                else:
+                    cloud("ql", model.thermo.get_ql(ctx, s))
 
             if self.budget.sw:
                 aux_b = {"p": p} if p is not None else None
