@@ -129,10 +129,77 @@ class Pres2:
         # step as an argument (device_params), NOT closed over, so it is not
         # embedded in the HLO as a giant literal.
         self._winv_np = (1. / w).astype(dt_)
+
+        # ---- fast-diagonalization path (default) ------------------------
+        # The per-mode matrix is T + bm*M with mode-INDEPENDENT tridiagonal
+        # T = tridiag(a, b_base, c) and M = diag(dz^2 rho): precompute the
+        # generalized eigenbasis of M^-1 T once (host, f64) and the per-step
+        # solve becomes two dense (kmax x kmax) matmuls over the k axis plus
+        # an elementwise divide — MXU work instead of the log-depth
+        # HBM-bound scans.  The mean (kx=ky=0) mode has a different top BC
+        # (p_top = 0), so its kmax x kmax dense inverse is precomputed
+        # separately and patched in after the matmuls.
+        b_base = -(a + c)
+        b_base[0] += a[0]
+        b_base[-1] += c[-1]
+        m_diag = dz ** 2 * rhoref
+        alpha = a / m_diag
+        gamma = c / m_diag
+        e_off = np.sqrt(alpha[1:] * gamma[:-1])
+        try:
+            from scipy.linalg import eigh_tridiagonal
+            lam, Q = eigh_tridiagonal(b_base / m_diag, e_off)
+        except ImportError:
+            sym = (np.diag(b_base / m_diag) + np.diag(e_off, 1)
+                   + np.diag(e_off, -1))
+            lam, Q = np.linalg.eigh(sym)
+        s = np.ones(kmax)
+        for k in range(1, kmax):
+            s[k] = s[k - 1] * np.sqrt(gamma[k - 1] / alpha[k])
+        V = Q / s[:, None]                      # eigvecs of M^-1 T
+        # fold M^-1 into the analysis matrix: g = Vim @ p_hat solves with
+        # rhs p_hat * dz^2 because (dz^2 p_hat)/m = p_hat / rho
+        Vim = (Q.T * s[None, :]) / rhoref[None, :]
+        # mean mode: p_top = 0 BC (b[-1] -= 2c[-1]); dense inverse with the
+        # dz^2 rhs scaling folded in
+        T0 = (np.diag(b_base + 0.) + np.diag(a[1:], -1) + np.diag(c[:-1], 1))
+        T0[kmax - 1, kmax - 1] -= 2. * c[kmax - 1]
+        M0 = np.linalg.inv(T0) * (dz ** 2)[None, :]
+        bmji = bm.copy()
+        bmji[0, 0] = -1.       # dummy: the (0,0) column is overwritten
+        self._eig_np = {
+            "eigV": V.astype(dt_), "eigVim": Vim.astype(dt_),
+            "eiglam": lam.astype(dt_), "eigM0": M0.astype(dt_),
+            "eigbm": bmji.astype(dt_),
+        }
         self._built = True
 
     def device_params(self):
-        return {"winv": jnp.asarray(self._winv_np)}
+        p = {"winv": jnp.asarray(self._winv_np)}
+        for k, v in self._eig_np.items():
+            p[k] = jnp.asarray(v)
+        return p
+
+    @staticmethod
+    def _use_eigen():
+        return os.environ.get("MICROHH_EIGEN_POISSON", "1") == "1"
+
+    def _solve_spectral_eigen(self, ctx, p_hat, pp, kmax):
+        """x = V diag(1/(lam+bm)) V^-1 M^-1 (dz^2 p_hat) as two k-axis
+        matmuls (real eigenbasis applied to the complex spectra; XLA lowers
+        to real MXU dots)."""
+        prec = (jax.lax.Precision.HIGHEST
+                if p_hat.real.dtype == jnp.float32 else None)
+        Vim = pp["eigVim"]
+        V = pp["eigV"]
+        lam = pp["eiglam"]
+        bm = pp["eigbm"]
+        g = jnp.einsum("kl,ljf->kjf", Vim, p_hat, precision=prec)
+        g = g / (lam[:, None, None] + bm[None])
+        x = jnp.einsum("kl,ljf->kjf", V, g, precision=prec)
+        x0 = jnp.einsum("kl,l->k", pp["eigM0"], p_hat[:, 0, 0],
+                        precision=prec)
+        return x.at[:, 0, 0].set(x0)
 
     def input(self, ctx, s, t, dti):
         """RHS = divergence of rho*(tend + field/dt) (pres_2.cxx:156-196)."""
@@ -223,10 +290,13 @@ class Pres2:
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
         if plan is not None:
             p_hat = plan.modeslab(p_hat)
-            winv = plan.modeslab(winv)
 
         if plan is None and self._use_pallas_tdma(ctx):
             x = self._solve_spectral_pallas(ctx, p_hat, winv, kmax)
+        elif self._use_eigen():
+            ep = pp if (pp is not None and "eigV" in pp) else {
+                k: jnp.asarray(v) for k, v in self._eig_np.items()}
+            x = self._solve_spectral_eigen(ctx, p_hat, ep, kmax)
         else:
             d = p_hat * self.dz2
             # Forward substitution: y[k] = (d[k] - a[k]*y[k-1]) / w[k].
