@@ -152,6 +152,16 @@ class Stats:
             self.add_time_series("zi", "Boundary Layer Depth", "m", "thermo")
         # cloud diagnostics (thermo_moist.cxx:1791-1805 registers ql/qi/qlqi
         # with {"mean", "frac", "path", "cover"})
+        if hasattr(model.thermo, "get_ql_qi"):
+            # moist diagnostic profiles (thermo_moist.cxx:1777-1819)
+            self.add_prof("thv", "Virtual potential temperature", "K",
+                          "z", "thermo")
+            self.add_prof("thv_2", "Variance of thv", "K2", "z", "thermo")
+            self.add_prof("T", "Absolute temperature", "K", "z", "thermo")
+            self.add_prof("T_2", "Variance of T", "K2", "z", "thermo")
+            self.add_prof("rh", "Relative humidity", "-", "z", "thermo")
+            self.add_prof("qsat", "Saturation specific humidity", "kg kg-1",
+                          "z", "thermo")
         if hasattr(model.thermo, "get_ql"):
             bases = ["ql"]
             if hasattr(model.thermo, "get_ql_qi"):
@@ -298,10 +308,25 @@ class Stats:
                         jnp.any(q > 0., axis=0).astype(ctx.dtype))
 
                 if hasattr(model.thermo, "get_ql_qi"):
-                    ql, qi = model.thermo.get_ql_qi(ctx, s)
+                    from .ops.thermo_moist import (sat_adjust, qsat,
+                                                   virtual_temperature)
+                    th = model.thermo
+                    pref_a, exnref_a, _, _ = th._p_profiles(ctx, None)
+                    pz = pref_a[ks:ke][:, None, None]
+                    exn = exnref_a[ks:ke][:, None, None]
+                    ql, qi, T, qs = sat_adjust(s["thl"][ks:ke],
+                                               s["qt"][ks:ke], pz, exn)
                     cloud("ql", ql)
                     cloud("qi", qi)
                     cloud("qlqi", ql + qi)
+                    thv = virtual_temperature(exn, s["thl"][ks:ke],
+                                              s["qt"][ks:ke], ql, qi)
+                    for nm, fld in (("thv", thv), ("T", T)):
+                        mean = jnp.mean(fld, axis=(1, 2), keepdims=True)
+                        out[nm] = mean[:, 0, 0]
+                        out[nm + "_2"] = hmean((fld - mean) ** 2)
+                    out["rh"] = hmean(jnp.minimum(1., s["qt"][ks:ke] / qs))
+                    out["qsat"] = hmean(qs)
                 else:
                     cloud("ql", model.thermo.get_ql(ctx, s))
 
