@@ -53,11 +53,31 @@ class Source:
         self.blobs = None   # built lazily: the anelastic rhoref (for the
                             # vmr scaling) only exists after create_basestate
 
+        # sw_profile: z-shape from init-group profiles instead of the
+        # Gaussian in z (source.cxx:224-244,276-287; blob =
+        # exp(-x^2-y^2) * emission_profile[k], kernel :182)
+        self.sw_profile = ini.get_bool("source", "sw_profile", default=False)
+        self.profiles = None
+        if self.sw_profile:
+            if any(v != 0. for v in line_x + line_y + line_z):
+                raise ValueError("Emission profiles with line emissions are "
+                                 "not supported (source.cxx:242)")
+            idx = ini.get_list(int, "source", "profile_index")
+            init = input_nc.groups["init"]
+            kt = grid.ktot
+            self.profiles = [np.asarray(
+                init.variables["emission_profile_%d" % i][:kt],
+                dtype=np.float64) for i in idx]
+
         # swtimedep_location / swtimedep_strength (source.cxx:318-348)
         self.swtimedep_location = ini.get_bool(
             "source", "swtimedep_location", default=False)
         self.swtimedep_strength = ini.get_bool(
             "source", "swtimedep_strength", default=False)
+        if self.sw_profile and (self.swtimedep_location
+                                or self.swtimedep_strength):
+            raise ValueError("Emission profiles with time dependent location/"
+                             "strength are not supported (source.cxx:383)")
         if self.swtimedep_location or self.swtimedep_strength:
             from ..timedep import Timedep
             for n in range(len(x0)):
@@ -100,8 +120,12 @@ class Source:
         for n in range(len(x0)):
             ex = axis_dist(X, x0[n], line_x[n]) / sx[n]
             ey = axis_dist(Y, y0[n], line_y[n]) / sy[n]
-            ez = axis_dist(Z, z0[n], line_z[n]) / sz[n]
-            blob = np.exp(-ex ** 2 - ey ** 2 - ez ** 2)
+            if self.sw_profile:
+                blob = (np.exp(-ex ** 2 - ey ** 2)
+                        * self.profiles[n][:, None, None])
+            else:
+                ez = axis_dist(Z, z0[n], line_z[n]) / sz[n]
+                blob = np.exp(-ex ** 2 - ey ** 2 - ez ** 2)
             scaling = rho / cst.xmair if swvmr[n] else 1.
             norm = float(np.sum(blob * scaling * dV))
             self.blobs.append((self.sourcelist[n], (strength[n] / norm) * blob))

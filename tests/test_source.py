@@ -95,6 +95,41 @@ def test_static_source_exact_rate(tmp_path):
     assert abs(_emitted_rate(m, t2) - 2.5) < 1e-9
 
 
+def test_profile_emission(tmp_path):
+    """sw_profile: the z-shape comes from init-group emission profiles
+    (source.cxx:224-244); emitted rate stays exactly the strength."""
+    ktot = 16
+    ds = nc.Dataset(str(tmp_path / "src_input.nc"), "w")
+    g = ds.createGroup("init")
+    g.createDimension("z", ktot)
+    prof = np.zeros(ktot)
+    prof[4:8] = [0.5, 1.0, 1.0, 0.25]    # elevated stack layer
+    v = g.createVariable("emission_profile_0", "f8", ("z",))
+    v[:] = prof
+    ds.close()
+    m = _make_model(tmp_path, extra="sw_profile=1\nprofile_index=0")
+    st = m.fields.create(None, dtype=m.dtype)
+    s, t, sfc = m.as_device_state(st)
+    t2 = m.source(m.ctx, s, t, {}, sfc)
+    assert abs(_emitted_rate(m, t2) - 2.5) < 1e-9
+    fld = np.asarray(t2["co2"][m.grid.kstart:m.grid.kend])
+    # emission confined to (and shaped like) the profile levels
+    assert fld[:4].max() == 0. and fld[8:].max() == 0.
+    col = fld[:, 8, 16]
+    np.testing.assert_allclose(col[4:8] / col[5], prof[4:8], rtol=1e-12)
+
+
+def test_profile_with_line_rejected(tmp_path):
+    import pytest
+    ds = nc.Dataset(str(tmp_path / "src_input.nc"), "w")
+    g = ds.createGroup("init")
+    g.createDimension("z", 16)
+    g.createVariable("emission_profile_0", "f8", ("z",))[:] = np.ones(16)
+    ds.close()
+    with pytest.raises(ValueError, match="line emissions"):
+        _make_model(tmp_path, extra="sw_profile=1\nprofile_index=0\nline_x=200.")
+
+
 def test_timedep_strength_and_location(tmp_path):
     """swtimedep_strength/location: the emitted rate follows the interpolated
     strength and the blob centroid follows the interpolated location."""
