@@ -9,6 +9,8 @@ substitutions — two depth-3 linear recurrences along k run as ``lax.scan``
 with all modes vectorized across the VPU lanes.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,6 +80,8 @@ def _hdma_factorize(m):
 
 
 class Pres4:
+    _eig_ok = False
+
     def __init__(self, ini, grid, fields, dtype=np.float64):
         self.grid = grid
         self.fields = fields
@@ -169,10 +173,68 @@ class Pres4:
         fac = _hdma_factorize(m)
         self._lu_np = fac.astype(self.dtype)
         self.kmax = kmax
+        self._build_eigen(mk, bm, m, mean)
         self._built = True
 
+    def _build_eigen(self, mk, bm, m_sys, mean):
+        """Fast-diagonalization setup (cf. Pres2): the ghost BC rows are pure
+        mirrors (x0=x3, x1=x2, x[k+2]=x[k+1], x[k+3]=x[k] for non-mean
+        modes), so eliminating them gives a mode-INDEPENDENT kmax x kmax
+        banded T_eff with the mode entering as ``+ bm * I``.  One dense
+        nonsymmetric eig of T_eff (host, f64; cond(V) ~ few even on
+        stretched channel grids) turns the per-step heptadiagonal solve
+        into two k-axis matmuls.  The mean mode's pinned-pressure system is
+        precomputed as a dense inverse slice."""
+        kmax = self.kmax
+        N = kmax + 4
+        # dense non-mean system WITHOUT bm, then eliminate ghost rows
+        A = np.zeros((N, N))
+        for r in range(N):
+            for b in range(7):
+                c = r + b - 3
+                if 0 <= c < N:
+                    A[r, c] = m_sys[b, r, 0, 1]
+        # remove this mode's bm from the interior diagonal
+        bm_ref = bm[0, 1]
+        for k in range(kmax):
+            A[k + 2, k + 2] -= bm_ref
+        T = A[2:kmax + 2, 2:kmax + 2].copy()
+        T[:, 1] += A[2:kmax + 2, 0]
+        T[:, 0] += A[2:kmax + 2, 1]
+        T[:, kmax - 1] += A[2:kmax + 2, kmax + 2]
+        T[:, kmax - 2] += A[2:kmax + 2, kmax + 3]
+        lam, V = np.linalg.eig(T)
+        self._eig_ok = (np.abs(lam.imag).max() < 1e-8 * max(1., np.abs(lam.real).max())
+                        and np.linalg.cond(V.real) < 1e8)
+        if not self._eig_ok:
+            self._eig_np = {}
+            return
+        lam, V = lam.real, V.real
+        Vinv = np.linalg.inv(V)
+        # mean mode: full (kmax+4) system, rhs nonzero only on interior rows
+        A0 = np.zeros((N, N))
+        for r in range(N):
+            for b in range(7):
+                c = r + b - 3
+                if 0 <= c < N:
+                    A0[r, c] = m_sys[b, r, 0, 0]
+        M0 = np.linalg.inv(A0)[2:kmax + 2, 2:kmax + 2]
+        bmji = bm.copy()
+        bmji[0, 0] = -1.   # dummy; the (0,0) column is overwritten
+        dt_ = self.dtype
+        self._eig_np = {"eigV": V.astype(dt_), "eigVi": Vinv.astype(dt_),
+                        "eiglam": lam.astype(dt_), "eigM0": M0.astype(dt_),
+                        "eigbm": bmji.astype(dt_)}
+
+    @staticmethod
+    def _use_eigen():
+        return os.environ.get("MICROHH_EIGEN_POISSON", "1") == "1"
+
     def device_params(self):
-        return {"lu": jnp.asarray(self._lu_np)}
+        p = {"lu": jnp.asarray(self._lu_np)}
+        for k, v in self._eig_np.items():
+            p[k] = jnp.asarray(v)
+        return p
 
     # ------------------------------------------------------------------
     def input(self, ctx, s, t, dti):
@@ -209,6 +271,24 @@ class Pres4:
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
         if plan is not None:
             p_hat = plan.modeslab(p_hat)
+
+        if self._use_eigen() and self._eig_ok:
+            ep = pp if (pp is not None and "eigV" in pp) else {
+                k: jnp.asarray(v) for k, v in self._eig_np.items()}
+            prec = (jax.lax.Precision.HIGHEST
+                    if p_hat.real.dtype == jnp.float32 else None)
+            g = jnp.einsum("kl,ljf->kjf", ep["eigVi"], p_hat, precision=prec)
+            g = g / (ep["eiglam"][:, None, None] + ep["eigbm"][None])
+            x = jnp.einsum("kl,ljf->kjf", ep["eigV"], g, precision=prec)
+            x0 = jnp.einsum("kl,l->k", ep["eigM0"], p_hat[:, 0, 0],
+                            precision=prec)
+            p_modes = x.at[:, 0, 0].set(x0)
+            if plan is not None:
+                p_modes = plan.zslab(p_modes, from_modes=True)
+            p = jnp.fft.irfft2(p_modes, s=rhs.shape[-2:], axes=(-2, -1))
+            if plan is not None:
+                p = plan.pencil(p)
+            return p.astype(rhs.dtype)
 
         # RHS rows: 0,1 and kmax+2, kmax+3 are zero.
         zero = jnp.zeros_like(p_hat[0])
