@@ -93,18 +93,11 @@ class Model:
         self.micro.thermo = self.thermo
         from .ops.radiation import make_radiation
         self.radiation = make_radiation(ini, self.grid)
-        if ini.get_str("boundary", "swboundary", default="default") == "surface_lsm":
-            from .soil import SoilGrid
-            from .ops.boundary_surface_lsm import BoundarySurfaceLSM
-            self.soil_grid = SoilGrid(ini)
-            self.fields.soil_ktot = self.soil_grid.ktot
-            self.boundary = BoundarySurfaceLSM(ini, self.fields, self.grid,
-                                               self.soil_grid)
+        self.boundary = ops.make_boundary(ini, self.fields, self.grid)
+        self.soil_grid = getattr(self.boundary, "soil_grid", None)
+        if getattr(self.boundary, "is_lsm", False):
             self.boundary.radiation = self.radiation
             self.boundary.micro = self.micro
-        else:
-            self.soil_grid = None
-            self.boundary = ops.make_boundary(ini, self.fields, self.grid)
         self.advec = ops.make_advec(ini, self.grid, self.fields)
         self.diff = ops.make_diff(ini, self.grid, self.fields, self.boundary)
         # Cross-wiring (the reference passes Thermo& into these at exec time).
@@ -464,6 +457,12 @@ class Model:
         status_file.write("%8s %11s %10s %11s %8s %8s %11s %16s %16s %16s\n"
                           % ("ITER", "TIME", "CPUDT", "DT", "CFL", "DNUM",
                              "DIV", "MOM", "TKE", "MASS"))
+        # Opt-in profiling (SURVEY §5.1): MICROHH_PROFILE=<dir> captures a
+        # jax-profiler trace of MICROHH_PROFILE_STEPS steps (default 5),
+        # starting after the compile/warmup iterations.
+        prof_dir = os.environ.get("MICROHH_PROFILE")
+        prof_nsteps = int(os.environ.get("MICROHH_PROFILE_STEPS", "5"))
+        prof_start, prof_active = 3, False
         niter = 0
         while True:
             # Time-dependent BCs/forcings (model.cxx:339-343).
@@ -515,6 +514,15 @@ class Model:
             if tl.is_finished():
                 break
 
+            if prof_dir is not None:
+                if niter == prof_start:
+                    jax.profiler.start_trace(prof_dir)
+                    prof_active = True
+                elif prof_active and niter == prof_start + prof_nsteps:
+                    jax.block_until_ready(s["u"])
+                    jax.profiler.stop_trace()
+                    prof_active = False
+
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
             time_dev = jnp.asarray(tl.time, dtype=self.dtype)
             s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params,
@@ -530,6 +538,9 @@ class Model:
             if max_iters is not None and niter >= max_iters:
                 break
 
+        if prof_active:
+            jax.block_until_ready(s["u"])
+            jax.profiler.stop_trace()
         status_file.close()
         from .utils import fastio
         fastio.flush()  # all async restart writes must land before we return
@@ -543,17 +554,33 @@ class Model:
     def post(self):
         tl = self.timeloop
         self.build_step()
+        ctx = self.ctx
+
+        # Post mode re-diagnoses surface state and aux fields from the
+        # loaded prognostics, like the reference which runs the full
+        # boundary/diffusion diagnosis per saved time (model.cxx:523-543).
+        # LSM surface state is loaded from its own restart files instead.
+        def _rediagnose(s, sfc):
+            s_g = self.boundary.set_ghost_cells(ctx, s, sfc)
+            aux = self.diff.exec_viscosity(ctx, s_g, sfc, {})
+            if getattr(self.boundary, "is_surface", False) and not getattr(
+                    self.boundary, "is_lsm", False):
+                sfc = self.boundary.exec(ctx, s_g, sfc, aux)
+            return sfc, aux
+
+        rediagnose = jax.jit(_rediagnose)
         while True:
             iotime = int(tl.iotime)
             tl.load(iotime, self.workdir)
             state_np = self.fields.load(iotime, self.workdir, dtype=self.dtype)
             s, t, sfc = self.as_device_state(state_np)
+            sfc, aux = rediagnose(s, sfc)
             if self.stats is not None and self.stats.do_statistics(tl.itime):
                 self.stats.maybe_exec(self, s, t, sfc)
             if self.cross is not None and self.cross.do_cross(tl.itime):
-                self.cross.exec(s, None, iotime)
+                self.cross.exec(s, aux, iotime, sfc)
             if self.dump is not None and self.dump.do_dump(tl.itime):
-                self.dump.exec(s, None, iotime)
+                self.dump.exec(s, aux, iotime)
             if self.column is not None and self.column.do_column(tl.itime):
                 self.column.exec(s, tl.time)
             tl.step_post_proc_time()

@@ -82,28 +82,51 @@ class TauDNN:
 
     @classmethod
     def from_torchscript(cls, path, dtype=np.float32):
-        """Extract expanded conv filters from a TorchScript CNDNN export."""
+        """Extract expanded conv filters from a TorchScript CNDNN export.
+
+        The e2cnn export registers the expanded kernels as ``filter``
+        buffers (reference ``analysis/util.py``); a plain ``torch.nn``
+        export carries them as ``Conv2d.weight`` parameters.  Both are
+        (C_out, C_in, kh, kw) and flatten to the same (C_out, C_in*kh*kw)
+        matmul the MXU chain runs."""
         import torch
         mod = torch.jit.load(path, map_location="cpu")
         mod.eval()
         ws = []
         cb = None
-        for name, buf in list(mod.named_buffers()) + list(mod.named_parameters()):
+        tensors = list(mod.named_buffers()) + list(mod.named_parameters())
+        filt = [(n, b) for n, b in tensors if n.endswith("filter")]
+        if not filt:
+            filt = [(n, b) for n, b in tensors
+                    if n.endswith("weight") and b.dim() == 4]
+        for name, buf in filt:
             arr = buf.detach().cpu().numpy()
-            if name.endswith("filter"):
-                # (C_out, C_in, kh, kw) -> (C_out, C_in*kh*kw)
-                ws.append(arr.reshape(arr.shape[0], -1))
-            elif "change_basis" in name and arr.shape == (6, 6):
+            ws.append(arr.reshape(arr.shape[0], -1))
+        for name, buf in tensors:
+            arr = buf.detach().cpu().numpy()
+            if "change_basis" in name and arr.shape == (6, 6):
                 cb = arr
         if not ws:
-            raise ValueError("no expanded conv filters found in %s "
+            raise ValueError("no conv filters found in %s "
                              "(export the e2cnn model in eval() mode)" % path)
         return cls(ws, cb, dtype=dtype)
 
     @classmethod
-    def load(cls, path, dtype=np.float32):
+    def load(cls, path, dtype=np.float32, allow_random=False):
+        """Load closure weights.  A missing/empty path is an ERROR unless
+        the caller explicitly opts into seeded random weights (testing) —
+        silently running random physics in production is never OK."""
         if path and os.path.exists(path):
             if path.endswith(".npz"):
                 return cls.from_npz(path, dtype)
             return cls.from_torchscript(path, dtype)
+        if not allow_random:
+            raise ValueError(
+                "[diff] dnnpath %r does not exist; swdiff=dnn_* needs trained "
+                "weights (.npz or TorchScript .pt).  Set [diff] swdnnrandom=1 "
+                "to run with seeded random weights (testing only)."
+                % (path,))
+        import warnings
+        warnings.warn("diff_dnn: running with RANDOM closure weights "
+                      "(swdnnrandom=1) — testing only")
         return cls.random(dtype=dtype)

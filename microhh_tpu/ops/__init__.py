@@ -126,4 +126,15 @@ def make_boundary(ini, fields, grid):
     if sw == "surface_bulk":
         from .boundary_surface_bulk import BoundarySurfaceBulk
         return BoundarySurfaceBulk(ini, fields, grid)
+    if sw == "surface_lsm":
+        # Interactive land surface needs the sub-surface soil grid
+        # (reference src/boundary.cxx:1149-1157 + soil_grid.cxx).  The
+        # SoilGrid rides on the returned object so Model can reuse it.
+        from ..soil import SoilGrid
+        from .boundary_surface_lsm import BoundarySurfaceLSM
+        soil_grid = SoilGrid(ini)
+        fields.soil_ktot = soil_grid.ktot
+        b = BoundarySurfaceLSM(ini, fields, grid, soil_grid)
+        b.soil_grid = soil_grid
+        return b
     raise ValueError("%s is an illegal value for swboundary" % sw)

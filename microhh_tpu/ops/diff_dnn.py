@@ -51,7 +51,8 @@ class DiffDNN:
         self.viscs = self.smag.viscs
         self.swdeviatoric = ini.get_bool("diff", "swdeviatoric", default=True)
         dnnpath = ini.get_str("diff", "dnnpath", default="")
-        self.net = TauDNN.load(dnnpath)
+        allow_random = ini.get_bool("diff", "swdnnrandom", default=False)
+        self.net = TauDNN.load(dnnpath, allow_random=allow_random)
         self.surface = getattr(boundary, "is_surface", False)
         if not self.surface:
             raise NotImplementedError("diff_dnn currently requires swboundary=surface")

@@ -433,9 +433,11 @@ class MaskStats:
 
     Masks: wplus/wmin (updraft/downdraft, fields.cxx mask provider),
     ql/qlcore (cloud / buoyant cloud core, thermo_moist), ib (atmosphere
-    above the immersed boundary, immersed_boundary.cxx calc_mask)."""
+    above the immersed boundary, immersed_boundary.cxx calc_mask), couvreux
+    (conditional sampling on the decaying couvreux tracer exceeding its
+    per-level mean + nstd*std, decay.cxx:124-182)."""
 
-    KNOWN = ("wplus", "wmin", "ql", "qlcore", "ib")
+    KNOWN = ("wplus", "wmin", "ql", "qlcore", "ib", "couvreux")
 
     def __init__(self, model, masklist):
         from .utils import nc
@@ -500,6 +502,24 @@ class MaskStats:
                     zhc = ctx.zh[ks:ke + 1][:, None, None]
                     mc = (zc > dem[None]).astype(w.dtype)
                     mh = (zhc > dem[None]).astype(w.dtype)
+                elif mask == "couvreux":
+                    # Tracer anomaly > nstd*std per level (decay.cxx:142-178):
+                    # mask where c - mean - nstd*std > 0; half-level via
+                    # 2nd-order interpolation of the anomaly field.
+                    if "couvreux" not in s:
+                        raise ValueError(
+                            "couvreux mask needs a 'couvreux' scalar")
+                    nstd = self.model.ini.get_float(
+                        "decay", "nstd_couvreux", default=1.)
+                    c = s["couvreux"]
+                    cm = jnp.mean(c[ks:ke], axis=(1, 2), keepdims=True)
+                    cv = jnp.mean(c[ks:ke] ** 2, axis=(1, 2), keepdims=True)
+                    std = jnp.sqrt(jnp.maximum(cv - cm * cm, 0.))
+                    anom = jnp.zeros_like(c)
+                    anom = anom.at[ks:ke].set(c[ks:ke] - cm - ctx.dtype(nstd) * std)
+                    anomh = i2(anom[ks - 1:ke], anom[ks:ke + 1])
+                    mc = (anom[ks:ke] > 0.).astype(w.dtype)
+                    mh = (anomh > 0.).astype(w.dtype)
                 elif mask in ("ql", "qlcore"):
                     ql = model.thermo.get_ql(ctx, s)
                     mc = (ql > 0.).astype(w.dtype)

@@ -54,6 +54,7 @@ swspatialorder=2
 
 [diff]
 swdiff=%(swdiff)s
+swdnnrandom=1
 dnmax=0.3
 tPr=10.0
 Re=900.
@@ -166,3 +167,79 @@ def test_sbl_dnn_smoke(tmp_path, swdiff):
     tau = np.asarray(aux["Tau"])
     assert tau.shape == (6, kBL - 1 - (ctx.ks + 1), ctx.jtot, ctx.itot)
     assert np.all(np.isfinite(tau))
+
+
+def test_torchscript_roundtrip(tmp_path):
+    """End-to-end .pt path: export a tiny CNDNN-style TorchScript module
+    (expanded e2cnn 'filter' buffers + change_basis, as the reference's
+    analysis/util.py exports produce), load it with TauDNN.from_torchscript,
+    and assert Tau parity vs torch execution of the same convs."""
+    import torch
+
+    rng = np.random.RandomState(3)
+    c1 = 20
+    f0 = rng.randn(c1, 12, 3, 3).astype(np.float32) * 0.3
+    f1 = rng.randn(6, c1, 1, 1).astype(np.float32) * 0.3
+    cb = rng.randn(6, 6).astype(np.float32)
+
+    class CNDNNExport(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # e2cnn R2Conv exports carry the expanded kernel as a buffer
+            # named "filter" on each conv block.
+            self.register_buffer("c0_filter", torch.from_numpy(f0))
+            self.register_buffer("c1_filter", torch.from_numpy(f1))
+            self.register_buffer("change_basis", torch.from_numpy(cb))
+
+        def forward(self, x):
+            h = torch.nn.functional.conv2d(x, self.c0_filter)
+            h = torch.relu(h)
+            h = torch.nn.functional.conv2d(h, self.c1_filter)
+            h = h.squeeze(-1).squeeze(-1)
+            return h @ self.change_basis.t()
+
+    mod = torch.jit.script(CNDNNExport().eval())
+    pt = str(tmp_path / "cndnn.pt")
+    mod.save(pt)
+
+    net = TauDNN.from_torchscript(pt)
+    x = rng.randn(64, 12, 3, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = torch.jit.load(pt)(torch.from_numpy(x)).numpy()
+    out = np.asarray(net(x.reshape(64, -1)))
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
+def test_torchscript_plain_conv_fallback(tmp_path):
+    """A plain torch.nn Conv2d export (no e2cnn 'filter' buffers) loads via
+    the Conv2d.weight fallback."""
+    import torch
+
+    rng = np.random.RandomState(5)
+    tmodel = torch.nn.Sequential(
+        torch.nn.Conv2d(12, 10, 3, bias=False),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(10, 6, 1, bias=False),
+    ).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.copy_(torch.from_numpy(
+                    rng.randn(*m.weight.shape).astype(np.float32) * 0.3))
+    pt = str(tmp_path / "plain.pt")
+    torch.jit.script(tmodel).save(pt)
+
+    net = TauDNN.from_torchscript(pt)
+    x = rng.randn(16, 12, 3, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).squeeze(-1).squeeze(-1).numpy()
+    ref = ref @ PINV.T  # no change_basis in the export -> PINV default
+    out = np.asarray(net(x.reshape(16, -1)))
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
+def test_missing_dnnpath_is_error(tmp_path):
+    """Without swdnnrandom=1, a missing dnnpath must raise (silent random
+    physics in a production run is never acceptable)."""
+    with pytest.raises(ValueError, match="dnnpath"):
+        TauDNN.load("/nonexistent/net.pt")

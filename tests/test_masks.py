@@ -43,3 +43,44 @@ def test_updraft_downdraft_masks(tmp_path):
     assert w_m[2:10].max() <= 0.
     fp.close()
     fm.close()
+
+
+def test_couvreux_mask(tmp_path):
+    """Couvreux conditional-sampling mask (decay.cxx:124-182): a decaying
+    tracer released at the surface; the mask selects points with tracer
+    anomaly > mean + nstd*std per level."""
+    wd = setup_case(tmp_path, itot=16, jtot=16, ktot=16, endtime=600.)
+    ini = Ini(os.path.join(wd, "drycblles.ini"))
+    ini.items.setdefault("fields", {})["slist"] = {"": "couvreux"}
+    ini.items["fields"]["svisc"] = {"": "0.1"}
+    ini.items.setdefault("decay", {})["swdecay"] = {"couvreux": "exponential"}
+    ini.items["decay"]["timescale"] = {"couvreux": "400"}
+    ini.items["decay"]["nstd_couvreux"] = {"": "1."}
+    ini.items["boundary"]["sbcbot"] = {"": "flux"}
+    ini.items["boundary"]["sbot"] = {"th": ini.items["boundary"]["sbot"].get(
+        "", ini.items["boundary"]["sbot"].get("th", "0.1")),
+        "couvreux": "1.0"}
+    ini.items["boundary"]["stop"] = {"th": ini.items["boundary"]["stop"].get(
+        "", ini.items["boundary"]["stop"].get("th", "0.003")),
+        "couvreux": "0."}
+    m = Model(ini, "init", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+
+    ini.items["stats"]["sampletime"] = {"": "300"}
+    ini.items["stats"]["masklist"] = {"": "couvreux"}
+    m = Model(ini, "run", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.stats = Stats(m)
+    m.run()
+    m.stats.close()
+
+    f = ncmod.Dataset(os.path.join(wd, "drycblles.couvreux.0000000.nc"), "r")
+    area = f.groups["default"].variables["area"][-1]
+    # the >1-sigma plume fraction must be a strict, nonzero minority near
+    # the surface where the tracer is released
+    assert 0. < area[:6].mean() < 0.5
+    # sampled updraft-plume w is positive in the lower CBL on average
+    wm = f.groups["default"].variables["w"][-1]
+    assert np.nanmean(wm[1:6]) > 0.
+    f.close()
