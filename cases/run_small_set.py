@@ -28,7 +28,8 @@ ENDTIME = {
     "cabauw_lsm": 60., "ib_sine": 5., "moser180": 1., "moser600": 1.,
     "prandtlslope": 1., "ekman": 2., "rayleighbenard": 1.,
     "rayleightaylor": 1., "andren1994": 20., "eady": 400., "SBL_DNN": 2.,
-    "jaenschwalde": 60.,
+    "jaenschwalde": 60., "drycblslope": 0.2, "vanheerwaarden2016": 2.,
+    "weakscaling": 0.1, "sullivan2011": 60., "gabls4s3": 60.,
 }
 
 
