@@ -248,7 +248,13 @@ class Model:
             else:
                 sfc = self.boundary.exec(ctx, s, sfc, aux)
             if is_surface:
-                s = self.boundary.set_ghost_cells(ctx, s, sfc)
+                # Refill only the ghosts that depend on the just-computed
+                # surface fluxes (reference refills everything,
+                # model.cxx:377, but momentum/w ghosts are flux-independent
+                # under non-ustar BCs — skipping them saves full-array
+                # rewrites).
+                s = self.boundary.set_ghost_cells(
+                    ctx, s, sfc, names=self.boundary.flux_ghost_names())
             if self.ib.active:
                 s = self.ib.exec_scalars(ctx, s)
             # Conservation-type w ghosts around advec and pres; normal
@@ -271,10 +277,12 @@ class Model:
             subdt = cB[sub] * dt
             aux = dict(aux)
             aux["subdt"] = subdt
-            t = self.buffer(ctx, s, t, aux)
+            if not (fused is not None and getattr(self, "_skip_buffer", False)):
+                t = self.buffer(ctx, s, t, aux)
             t = self.decay(ctx, s, t, aux)
             t = self.source(ctx, s, t, aux, sfc)
-            t = self.force(ctx, s, t, aux, sfc)
+            if not (fused is not None and getattr(self, "_skip_force", False)):
+                t = self.force(ctx, s, t, aux, sfc)
             if self.ib.active:
                 s = self.ib.exec_momentum(ctx, s)
                 s_cons = s if ctx.spatial_order != 4 else dict(
@@ -357,19 +365,36 @@ class Model:
         if not (ctx.spatial_order == 2
                 and type(self.advec) is Advec2
                 and type(self.diff) is DiffSmag2
-                and (has_thermo or isinstance(self.thermo, ThermoDisabled))
-                and ctx.scalar_names in ((), ("th",))):
+                and ((has_thermo and ctx.scalar_names == ("th",))
+                     or (isinstance(self.thermo, ThermoDisabled)
+                         and ctx.scalar_names == ()))):
             return None
         interpret = jax.default_backend() != "tpu"
         if interpret and not getattr(self, "force_fused", False):
             return None  # CPU: keep the jnp path (tests use force_fused)
+        # Fold buffer/Coriolis into the tendency kernel when their configs
+        # are kernel-representable (static profiles, f-plane geo forcing);
+        # anything else stays on the separate jnp path.
+        from .ops.buffer import Buffer
+        from .ops.force import Force
+        fold_buffer = None
+        if isinstance(self.buffer, Buffer) and not self.buffer.swupdate:
+            fold_buffer = self.buffer
+        fold_force = None
+        if (isinstance(self.force, Force) and self.force.swlspres == "geo"
+                and self.force.swls == "0" and self.force.swwls == "0"
+                and self.force.swnudge == "0"):
+            fold_force = self.force
+        self._skip_buffer = fold_buffer is not None
+        self._skip_force = fold_force is not None
         # VMEM budget: ~19 operand planes double-buffered in the full-plane
         # variant.  Larger planes switch to the j-tiled manual-DMA variant.
         plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
         from .ops.pallas_fused import FusedLES2, HALO_J
         if plane * 40 <= 14 * 1024 * 1024:
             return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
-                             interpret=interpret)
+                             interpret=interpret, buffer=fold_buffer,
+                             force=fold_force)
         # pick the largest tile height <= 128 that divides jtot
         tj = None
         for cand in (128, 64, 32, 16, 8):
@@ -386,7 +411,8 @@ class Model:
         if tj < 8 or ctx.jtot % tj != 0:
             return None
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
-                         interpret=interpret, tiled=True, tj=tj)
+                         interpret=interpret, tiled=True, tj=tj,
+                         buffer=fold_buffer, force=fold_force)
 
     # ------------------------------------------------------------------
     #  run mode

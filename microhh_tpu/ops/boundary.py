@@ -72,25 +72,48 @@ def _grad_from(bctype, value, visc):
     return value
 
 
+def _bot_ghost_2nd(ctx, a, bcbot, bot, visc, offset=0.):
+    """Bottom ghost plane (reference calc_ghost_cells_bot_2nd); None if the
+    BC type leaves it untouched."""
+    ks = ctx.ks
+    if bcbot == DIRICHLET:
+        return 2. * (bot - offset) - a[ks]
+    if bcbot in (NEUMANN, FLUX):
+        return -_grad_from(bcbot, bot, visc) * ctx.dzh[ks] + a[ks]
+    return None
+
+
+def _top_ghost_2nd(ctx, a, bctop, top, visc, offset=0.):
+    """Top ghost plane (reference calc_ghost_cells_top_2nd)."""
+    ke = ctx.ke
+    if bctop in (DIRICHLET, OFF):
+        topv = top - offset
+        if bctop == OFF:
+            topv = 1.5 * a[ke - 1] - 0.5 * a[ke - 2]
+        return 2. * topv - a[ke - 1]
+    if bctop in (NEUMANN, FLUX):
+        return _grad_from(bctop, top, visc) * ctx.dzh[ke] + a[ke - 1]
+    return None
+
+
+def _assemble_ghosts(ctx, a, bot, top):
+    """Rebuild the field with new ghost planes in ONE fused pass (a single
+    concatenate instead of per-plane scatter updates, which XLA
+    materializes as separate full-array copies)."""
+    ks, ke = ctx.ks, ctx.ke
+    bot = a[ks - 1] if bot is None else jnp.broadcast_to(bot, a.shape[1:])
+    top = a[ke] if top is None else jnp.broadcast_to(top, a.shape[1:])
+    return jnp.concatenate([bot[None].astype(a.dtype), a[ks:ke],
+                            top[None].astype(a.dtype)], axis=0)
+
+
 def set_ghost_cells_field(ctx, a, bc, visc, offset=0.):
     """Fill the vertical ghost levels of one cell-centered field."""
     ks, ke = ctx.ks, ctx.ke
     if ctx.spatial_order == 2:
-        # Bottom (reference calc_ghost_cells_bot_2nd).
-        if bc.bcbot == DIRICHLET:
-            a = a.at[ks - 1].set(2. * (bc.bot - offset) - a[ks])
-        elif bc.bcbot in (NEUMANN, FLUX):
-            grad = _grad_from(bc.bcbot, bc.bot, visc)
-            a = a.at[ks - 1].set(-grad * ctx.dzh[ks] + a[ks])
-        # Top (reference calc_ghost_cells_top_2nd).
-        if bc.bctop in (DIRICHLET, OFF):
-            top = bc.top - offset
-            if bc.bctop == OFF:
-                top = 1.5 * a[ke - 1] - 0.5 * a[ke - 2]
-            a = a.at[ke].set(2. * top - a[ke - 1])
-        elif bc.bctop in (NEUMANN, FLUX):
-            grad = _grad_from(bc.bctop, bc.top, visc)
-            a = a.at[ke].set(grad * ctx.dzh[ke] + a[ke - 1])
+        bot = _bot_ghost_2nd(ctx, a, bc.bcbot, bc.bot, visc, offset)
+        top = _top_ghost_2nd(ctx, a, bc.bctop, bc.top, visc, offset)
+        return _assemble_ghosts(ctx, a, bot, top)
     else:
         z = ctx.z
         # Bottom (reference calc_ghost_cells_bot_4th).

@@ -271,25 +271,49 @@ class BoundarySurface:
         return sfc
 
     # ------------------------------------------------------------------
-    def set_ghost_cells(self, ctx, s, sfc):
-        """Ghost fill using the surface model's 2-D bot/grad planes."""
+    def flux_ghost_names(self):
+        """Fields whose ghost planes depend on the surface-model output
+        (what the post-boundary-exec refill must update): scalars always
+        (gradbot from MOST), u/v only under the ustar BC."""
+        names = list(self.fields.sp.keys())
+        if self.mbcbot == USTAR:
+            names = ["u", "v"] + names
+        return tuple(names)
+
+    def set_ghost_cells(self, ctx, s, sfc, names=None):
+        """Ghost fill using the surface model's 2-D bot/grad planes.
+        ``names`` restricts the fill to a subset (the second per-substep
+        refill after boundary exec only touches flux-dependent fields,
+        saving full-array rewrites of the rest)."""
+        from .boundary import _bot_ghost_2nd, _top_ghost_2nd, _assemble_ghosts
         out = dict(s)
         ks, ke = ctx.ks, ctx.ke
-        for name in ["u", "v"] + list(self.fields.sp.keys()):
+        todo = (["u", "v"] + list(self.fields.sp.keys())
+                if names is None else list(names))
+        for name in todo:
             a = s[name]
             bc = self.bcs[name]
             # Bottom: Dirichlet from <f>_bot or Neumann from <f>_gradbot.
             if self.mbcbot == USTAR and name in ("u", "v"):
                 # ustar bc: Neumann with MO gradient
-                a = a.at[ks - 1].set(-sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks])
+                bot = -sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks]
             elif name in ("u", "v"):
-                a = a.at[ks - 1].set(2. * sfc[name + "_bot"] - a[ks])
+                bot = 2. * sfc[name + "_bot"] - a[ks]
             else:
                 # scalars: both Dirichlet and Flux reduce to a gradient fill
-                a = a.at[ks - 1].set(-sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks])
-            # Top: static BC from ini (same as default boundary).
-            a = set_ghost_cells_field(ctx, a, BC("off", 0., bc.bctop, bc.top),
-                                      self.viscs[name], self.offsets.get(name, 0.))
-            out[name] = a
-        out["w"] = set_ghost_cells_w(ctx, s["w"], conservation=False)
+                bot = -sfc[name + "_gradbot"] * ctx.dzh[ks] + a[ks]
+            if ctx.spatial_order == 2:
+                # Top: static BC from ini (same as default boundary); one
+                # fused concatenate instead of per-plane scatters.
+                top = _top_ghost_2nd(ctx, a, bc.bctop, bc.top,
+                                     self.viscs[name],
+                                     self.offsets.get(name, 0.))
+                out[name] = _assemble_ghosts(ctx, a, bot, top)
+            else:
+                a = a.at[ks - 1].set(bot)
+                out[name] = set_ghost_cells_field(
+                    ctx, a, BC("off", 0., bc.bctop, bc.top),
+                    self.viscs[name], self.offsets.get(name, 0.))
+        if names is None:
+            out["w"] = set_ghost_cells_w(ctx, s["w"], conservation=False)
         return out

@@ -32,6 +32,7 @@ interior formula everywhere.  Per-level column constants ride along as an
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -41,9 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as cst
 
-# column-constant slots
+# column-constant slots.  The last seven carry the folded Rayleigh-sponge
+# (buffer.cxx) and geostrophic-Coriolis (force.cxx coriolis_2nd) per-level
+# data so those ops ride the same HBM pass as advection+diffusion.
 (C_DZI, C_DZHI, C_DZHI1, C_RHO, C_RHOH, C_RHOH1, C_MLEN2, C_Z,
- C_THREFH, C_DZI_M1, N_CONST) = range(11)
+ C_THREFH, C_DZI_M1, C_FACZ, C_FACZH, C_UREF, C_VREF, C_SREF,
+ C_UG, C_VG, N_CONST) = range(18)
 
 # The deepest j-shift chain in the stencil math is 2 rows, but Mosaic
 # requires HBM slices to be 8-aligned along the sublane dim, so halos are
@@ -71,7 +75,19 @@ def _i2(a, b):
     return 0.5 * (a + b)
 
 
+class _CCRow:
+    """Column-constant accessor with an explicit row (streaming kernels run
+    the grid two steps ahead of the output plane, so the row is g-2, not
+    program_id)."""
+
+    def __init__(self, ref, row):
+        self.ref = ref
+        self.row = row
+
+
 def _cc(cc_ref, slot):
+    if isinstance(cc_ref, _CCRow):
+        return cc_ref.ref[cc_ref.row, slot]
     return cc_ref[pl.program_id(0), slot]
 
 
@@ -224,24 +240,116 @@ def _evisc_body(tPr, dxi, dyi, has_thermo, cc_ref,
                              wc[0], wp[0], thm[0], thp[0])
 
 
-def _tend_uv_body(tPr, dxi, dyi, visc, has_thermo, cc_ref,
+def _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans, cc_ref,
+              u, v, ut, vt):
+    """Folded buffer u/v-relaxation + geostrophic Coriolis (force.cxx
+    coriolis_2nd) — extra FMAs on planes the uv pass already holds."""
+    if fold_buffer:
+        facz = _cc(cc_ref, C_FACZ)
+        ut = ut - facz * (u - _cc(cc_ref, C_UREF))
+        vt = vt - facz * (v - _cc(cc_ref, C_VREF))
+    if fold_coriolis:
+        v_at_u = 0.25 * (v + _ip(v) + _jm(v) + _jm(_ip(v)))
+        u_at_v = 0.25 * (u + _im(u) + _jp(u) + _im(_jp(u)))
+        ut = ut + fc * (v_at_u + vtrans - _cc(cc_ref, C_VG))
+        vt = vt - fc * (u_at_v + utrans - _cc(cc_ref, C_UG))
+    return ut, vt
+
+
+def _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo):
+    """Folded buffer w/scalar relaxation (buffer.cxx)."""
+    if fold_buffer:
+        wt = wt - _cc(cc_ref, C_FACZH) * w
+        if has_thermo:
+            tht = tht - _cc(cc_ref, C_FACZ) * (th - _cc(cc_ref, C_SREF))
+    return wt, tht
+
+
+def _tend_uv_body(tPr, dxi, dyi, visc, extras, cc_ref,
                   um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
                   ut_ref, vt_ref):
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       um[0], uc[0], up[0], vm[0], vc[0], vp[0],
                       wc[0], wp[0], em[0], ec[0], ep[0])
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                       cc_ref, uc[0], vc[0], ut, vt)
     ut_ref[0] = ut
     vt_ref[0] = vt
 
 
-def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
                    um, uc, vm, vc, wm, wc, wp, thm, thc, thp, em, ec, ep,
                    wt_ref, tht_ref):
     wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
                         um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
                         thm[0], thc[0], thp[0], em[0], ec[0], ep[0])
+    fold_buffer = extras[0]
+    wt, tht = _extra_wth(fold_buffer, cc_ref, wc[0], thc[0], wt, tht,
+                         has_thermo)
     wt_ref[0] = wt
     tht_ref[0] = tht
+
+
+# ==========================================================================
+#  k-streaming kernel bodies
+#
+#  The blocked kernels above fetch each field THREE times per k-step (one
+#  copy per k-offset BlockSpec).  The streaming variants fetch each plane
+#  ONCE: the grid runs kt+2 steps, each step DMAs plane g+ks-1 of every
+#  field into a 3-plane shift register in VMEM scratch, and from step 2 on
+#  computes the output for plane k = g-2 from the register.  The output
+#  BlockSpec maps to max(g-2, 0); Mosaic only flushes an output block when
+#  its index changes, so the warm-up steps write nothing.  HBM traffic
+#  drops from 3*nf+nout to nf+nout planes per k-step.
+# ==========================================================================
+
+def _stream_body(nf, nout, math_fn, cc_ref, *args):
+    inc = args[:nf]
+    outs = args[nf:nf + nout]
+    ring = args[nf + nout]
+    g = pl.program_id(0)
+
+    # shift register: drop the oldest plane, append the incoming one
+    for f in range(nf):
+        ring[f, 0] = ring[f, 1]
+        ring[f, 1] = ring[f, 2]
+        ring[f, 2] = inc[f][0]
+
+    @pl.when(g >= 2)
+    def _compute():
+        row = g - 2
+        planes = tuple((ring[f, 0], ring[f, 1], ring[f, 2])
+                       for f in range(nf))
+        res = math_fn(_CCRow(cc_ref, row), planes)
+        for o, r in zip(outs, res):
+            o[0] = r
+
+
+def _evisc_stream_math(tPr, dxi, dyi, has_thermo, cc, planes):
+    (u_dn, u, u_up), (v_dn, v, v_up), (w_dn, w, w_up), (th_dn, th, th_up) = planes
+    return (_evisc_math(tPr, dxi, dyi, has_thermo, cc,
+                        u_dn, u, u_up, v_dn, v, v_up, w, w_up,
+                        th_dn, th_up),)
+
+
+def _uv_stream_math(tPr, dxi, dyi, visc, extras, cc, planes):
+    (u_dn, u, u_up), (v_dn, v, v_up), (w_dn, w, w_up), (e_dn, e, e_up) = planes
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc,
+                      u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up)
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    return _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                     cc, u, v, ut, vt)
+
+
+def _wth_stream_math(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc,
+                     planes):
+    ((u_dn, u, u_up), (v_dn, v, v_up), (w_dn, w, w_up),
+     (th_dn, th, th_up), (e_dn, e, e_up)) = planes
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc,
+                        u_dn, u, v_dn, v, w_dn, w, w_up,
+                        th_dn, th, th_up, e_dn, e, e_up)
+    return _extra_wth(extras[0], cc, w, th, wt, tht, has_thermo)
 
 
 # ==========================================================================
@@ -352,8 +460,8 @@ def _wth_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
     tht_ref[0] = tht[HALO_J:HALO_J + TJ]
 
 
-def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
-                    cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
+def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, ks, TJ,
+                    jtot, cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
                     ut_ref, vt_ref, wt_ref, tht_ref, scratch, sems):
     """Merged u/v/w/th tendency pass: one window fetch per (field, k-offset)
     feeds BOTH the uv and wth math — 15 HBM window reads instead of the
@@ -373,6 +481,10 @@ def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
     wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
                         u_dn, u, v_dn, v, w_dn, w, w_up,
                         th_dn, th, th_up, e_dn, e, e_up)
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                       cc_ref, u, v, ut, vt)
+    wt, tht = _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo)
     ut_ref[0] = ut[HALO_J:HALO_J + TJ]
     vt_ref[0] = vt[HALO_J:HALO_J + TJ]
     wt_ref[0] = wt[HALO_J:HALO_J + TJ]
@@ -386,7 +498,7 @@ class FusedLES2:
     manual-DMA variant with tile height ``tj``."""
 
     def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
-                 tiled=False, tj=64):
+                 tiled=False, tj=64, buffer=None, force=None):
         self.ctx = ctx
         self.interpret = interpret
         self.smag = smag
@@ -394,6 +506,12 @@ class FusedLES2:
         self.has_thermo = has_thermo
         self.tiled = tiled
         self.tj = tj
+        # Folded ops: a Buffer (non-swupdate) and/or a geo-Coriolis Force.
+        self.fold_buffer = buffer is not None
+        self.fold_coriolis = force is not None
+        self.fc = float(getattr(force, "fc", 0.)) if force is not None else 0.
+        self.utrans = float(ctx.utrans)
+        self.vtrans = float(ctx.vtrans)
         if tiled and ctx.jtot % tj != 0:
             raise ValueError("jtot must be divisible by the tile height")
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
@@ -423,8 +541,22 @@ class FusedLES2:
             if has_thermo and thref is not None:
                 cc_e[k, C_THREFH] = thref[ka]   # evisc N2 uses full-level thref
                 cc_t[k, C_THREFH] = threfh[ka]  # buoyancy uses half-level
+        if self.fold_buffer:
+            cc_t[:, C_FACZ] = np.asarray(buffer.fac_z)[:, 0, 0]
+            cc_t[:, C_FACZH] = np.asarray(buffer.fac_zh)[:, 0, 0]
+            cc_t[:, C_UREF] = np.asarray(buffer.profs["u"])[:, 0, 0]
+            cc_t[:, C_VREF] = np.asarray(buffer.profs["v"])[:, 0, 0]
+            if has_thermo:
+                cc_t[:, C_SREF] = np.asarray(buffer.profs["th"])[:, 0, 0]
+        if self.fold_coriolis:
+            cc_t[:, C_UG] = np.asarray(force.ug)[:, 0, 0]
+            cc_t[:, C_VG] = np.asarray(force.vg)[:, 0, 0]
         self.cc_evisc = cc_e
         self.cc_tend = cc_t
+
+    def _extras(self):
+        return (self.fold_buffer, self.fold_coriolis, self.fc,
+                self.utrans, self.vtrans)
 
     # -- spec helpers -------------------------------------------------------
     def _spec_at(self, off, ks):
@@ -446,6 +578,40 @@ class FusedLES2:
         return [pltpu.VMEM((2, nwin, TJ + 2 * HALO_J, self.ctx.itot), dtype),
                 pltpu.SemaphoreType.DMA((2, nwin, 3))]
 
+    # -- streaming caller ----------------------------------------------------
+    def _stream_call(self, math_fn, cc, arrays, nout):
+        """k-streaming pallas_call: each field is DMAed once per plane into
+        a 3-plane VMEM shift register (see the _stream_body note)."""
+        ctx = self.ctx
+        ks, kt = ctx.ks, ctx.ktot
+        dtype = arrays[0].dtype
+        nf = len(arrays)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                               lambda g: (g + ks - 1, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                                lambda g: (jnp.maximum(g - 2, 0), 0, 0),
+                                memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), dtype)
+        body = functools.partial(_stream_body, nf, nout, math_fn)
+        out = pl.pallas_call(
+            body, grid=(kt + 2,),
+            in_specs=[cc_spec] + [in_spec] * nf,
+            out_specs=[out_spec] * nout, out_shape=[shape] * nout,
+            scratch_shapes=[pltpu.VMEM((nf, 3, ctx.jtot, ctx.itot), dtype)],
+            interpret=self.interpret,
+        )(cc, *arrays)
+        return out
+
+    @staticmethod
+    def _use_stream():
+        # Measured SLOWER than the blocked variant at 256^3 on v5e (48.0 vs
+        # 46.0 ms/step): the kernels are VPU-compute-bound, so saving HBM
+        # fetches while adding ring-shift vector copies loses.  Kept as an
+        # opt-in for future grids where the balance flips.
+        return os.environ.get("MICROHH_STREAM", "0") == "1"
+
     # -- public entry points ------------------------------------------------
     def evisc(self, u, v, w, th):
         ctx = self.ctx
@@ -454,6 +620,11 @@ class FusedLES2:
         th_in = th if th is not None else u
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        if not self.tiled and self._use_stream():
+            math_fn = functools.partial(_evisc_stream_math, self.smag.tPr,
+                                        float(ctx.dxi), float(ctx.dyi),
+                                        self.has_thermo)
+            return self._stream_call(math_fn, cc, (u, v, w, th_in), 1)[0]
         if not self.tiled:
             body = functools.partial(_evisc_body, self.smag.tPr,
                                      float(ctx.dxi), float(ctx.dyi),
@@ -487,10 +658,29 @@ class FusedLES2:
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
 
+        if not self.tiled and self._use_stream():
+            # Two streaming passes (uv, wth) — a single merged pass would
+            # need ~18MB of scoped VMEM at 256^2 planes (measured OOM at
+            # the 16MB limit).  Folded buffer/Coriolis ride along.
+            uv_fn = functools.partial(_uv_stream_math, self.smag.tPr,
+                                      float(ctx.dxi), float(ctx.dyi),
+                                      self.smag.visc, self._extras())
+            ut, vt = self._stream_call(uv_fn, cc, (u, v, w, evisc_full), 2)
+            wth_fn = functools.partial(_wth_stream_math, self.smag.tPr,
+                                       float(ctx.dxi), float(ctx.dyi),
+                                       self.smag.visc, svisc,
+                                       self.has_thermo, self._extras())
+            wt, tht = self._stream_call(wth_fn, cc,
+                                        (u, v, w, th_in, evisc_full), 2)
+            return ut, vt, wt, tht
+
         if not self.tiled:
+            # Two passes (uv, wth) — a single merged pass would need ~18MB
+            # of scoped VMEM at 256^2 planes (measured OOM at the 16MB
+            # limit); the split fits.  Folded buffer/Coriolis ride along.
             body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
-                                        self.smag.visc, self.has_thermo)
+                                        self.smag.visc, self._extras())
             specs_uv = [cc_spec] + [self._spec_at(o, ks) for o in
                                     (-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1)]
             ut, vt = pl.pallas_call(
@@ -501,7 +691,8 @@ class FusedLES2:
 
             body_wth = functools.partial(_tend_wth_body, self.smag.tPr,
                                          float(ctx.dxi), float(ctx.dyi),
-                                         self.smag.visc, svisc, self.has_thermo)
+                                         self.smag.visc, svisc,
+                                         self.has_thermo, self._extras())
             specs_wth = [cc_spec] + [self._spec_at(o, ks) for o in
                                      (-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
             wt, tht = pl.pallas_call(
@@ -517,7 +708,7 @@ class FusedLES2:
         body = functools.partial(_all_tiled_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, svisc, self.has_thermo,
-                                 ks, self.tj, ctx.jtot)
+                                 self._extras(), ks, self.tj, ctx.jtot)
         ut, vt, wt, tht = pl.pallas_call(
             body, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
             out_specs=[self._out_spec_tiled()] * 4, out_shape=[shape] * 4,

@@ -318,15 +318,22 @@ class Pres2:
         return p.astype(rhs.dtype)
 
     def output(self, ctx, t, p_full):
-        """ut -= grad p (pres_2.cxx:364-387)."""
+        """ut -= grad p (pres_2.cxx:364-387).  Written as pad+add (pure
+        elementwise, fuses into one HBM pass per field) instead of
+        .at[].add scatters, which XLA materializes separately."""
         ks, ke = ctx.ks, ctx.ke
+        kc = t["u"].shape[0]
         t = dict(t)
         dp_x = (p_full - im(p_full))[ks:ke] * ctx.dxi
         dp_y = (p_full - jm(p_full))[ks:ke] * ctx.dyi
         dp_z = (p_full[ks + 1:ke] - p_full[ks:ke - 1]) * ctx.dzhi[ks + 1:ke][:, None, None]
-        t["u"] = t["u"].at[ks:ke].add(-dp_x)
-        t["v"] = t["v"].at[ks:ke].add(-dp_y)
-        t["w"] = t["w"].at[ks + 1:ke].add(-dp_z)
+
+        def pad(a, lo):
+            return jnp.pad(a, ((lo, kc - lo - a.shape[0]), (0, 0), (0, 0)))
+
+        t["u"] = t["u"] - pad(dp_x, ks)
+        t["v"] = t["v"] - pad(dp_y, ks)
+        t["w"] = t["w"] - pad(dp_z, ks + 1)
         return t
 
     def exec(self, ctx, s, t, aux, subdt, pp=None):

@@ -147,3 +147,57 @@ def test_fused_tendencies_match(setup):
         b = np.asarray(t_f[name])[ks:ke]
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         assert err < 1e-12, (name, err)
+
+
+def test_folded_buffer_coriolis_match(setup):
+    """Folding the Rayleigh sponge and the geostrophic Coriolis term into
+    the merged tendency kernel must reproduce the separate jnp Buffer and
+    Force ops exactly (full-plane and j-tiled variants)."""
+    m, ctx, s, sfc, _ = setup
+    g = m.grid
+    kt = g.ktot
+
+    class FakeBuffer:
+        fac_z = (0.001 * np.linspace(0., 1., kt) ** 2)[:, None, None]
+        fac_zh = (0.001 * np.linspace(0.1, 1.1, kt) ** 2)[:, None, None]
+        profs = {"u": np.linspace(1., 2., kt)[:, None, None],
+                 "v": np.zeros((kt, 1, 1)),
+                 "th": (300. + 0.003 * g.z[g.kstart:g.kend])[:, None, None]}
+        swupdate = False
+
+    class FakeForce:
+        fc = 1.2e-4
+        ug = np.linspace(3., 8., kt)[:, None, None]
+        vg = np.linspace(-1., 1., kt)[:, None, None]
+
+    aux = m.diff.exec_viscosity(ctx, s, sfc, {})
+    t0 = {n: jnp.zeros_like(s[n]) for n in s}
+
+    # reference: separate ops
+    t_ref = m.thermo.exec(ctx, s, dict(t0), aux)
+    t_ref = m.advec.exec(ctx, s, t_ref, aux)
+    t_ref = m.diff.exec(ctx, s, t_ref, aux, sfc)
+    ks, ke = ctx.ks, ctx.ke
+    facz = jnp.asarray(FakeBuffer.fac_z)
+    faczh = jnp.asarray(FakeBuffer.fac_zh)
+    for n in ("u", "v", "th"):
+        ref = jnp.asarray(FakeBuffer.profs[n])
+        t_ref[n] = t_ref[n].at[ks:ke].add(-facz * (s[n][ks:ke] - ref))
+    t_ref["w"] = t_ref["w"].at[ks:ke].add(-faczh * s["w"][ks:ke])
+    from microhh_tpu.ops.stencil import im, ip, jm, jp
+    fc = FakeForce.fc
+    v_at_u = 0.25 * (s["v"] + ip(s["v"]) + jm(s["v"]) + jm(ip(s["v"])))[ks:ke]
+    u_at_v = 0.25 * (s["u"] + im(s["u"]) + jp(s["u"]) + im(jp(s["u"])))[ks:ke]
+    t_ref["u"] = t_ref["u"].at[ks:ke].add(fc * (v_at_u - jnp.asarray(FakeForce.vg)))
+    t_ref["v"] = t_ref["v"].at[ks:ke].add(-fc * (u_at_v - jnp.asarray(FakeForce.ug)))
+    t_ref["w"] = t_ref["w"].at[ks].set(0.)
+
+    for tiled in (False, True):
+        f = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                      tiled=tiled, tj=8, buffer=FakeBuffer(), force=FakeForce())
+        t_f = fused_tendencies(f, ctx, s, dict(t0), aux, sfc)
+        for name in ("u", "v", "w", "th"):
+            a = np.asarray(t_ref[name])[ks:ke]
+            b = np.asarray(t_f[name])[ks:ke]
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 1e-12, (tiled, name, err)

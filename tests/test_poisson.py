@@ -201,3 +201,68 @@ dt=0.1
         os.environ["MICROHH_PALLAS_TDMA"] = "0"
     err = float(jnp.abs(p_ref - p_new).max() / jnp.abs(p_ref).max())
     assert err < 1e-12, err
+
+
+def test_pres4_eigen_matches_lu():
+    """pres_4 fast-diagonalization (two k-axis matmuls) must reproduce the
+    heptadiagonal LU scan solve on a stretched grid, and must actually
+    engage (_eig_ok) — it is the production 4th-order path."""
+    import os
+    from microhh_tpu.config import Ini
+    from microhh_tpu.grid import Grid
+    from microhh_tpu.fields import Fields
+    from microhh_tpu.ops.pres_4 import Pres4
+
+    kmax = 48
+    ini = Ini("""
+[grid]
+itot=32
+jtot=16
+ktot=%d
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=4
+[fields]
+visc=1e-5
+[boundary]
+mbcbot=noslip
+mbctop=noslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0
+stop=0
+[time]
+endtime=1
+savetime=1
+dt=0.1
+""" % kmax)
+    g = Grid(ini)
+    # tanh-stretched z like the channel cases
+    n = np.linspace(1. / kmax, 1. - 1. / kmax, kmax)
+    dz = 0.5 + 0.5 * np.tanh((n - 0.5) / 0.25) * 0.  # uniform start
+    z = 2. * (np.cumsum(np.ones(kmax)) - 0.5) / kmax
+    z = 1. + np.tanh(2. * (z - 1.)) / np.tanh(2.)  # moser-style stretching
+    g.set_z(z)
+    f = Fields(ini, g)
+    p4 = Pres4(ini, g, f, dtype=np.float64)
+    p4.set_values()
+    assert p4._eig_ok, "eigen path must engage on a stretched channel grid"
+
+    rng = np.random.RandomState(7)
+    rhs = jnp.asarray(rng.randn(kmax, g.jtot, g.itot))
+
+    class Ctx:
+        pass
+
+    ctx = Ctx()
+    pp = p4.device_params()
+    x_eig = np.asarray(p4.solve(ctx, rhs, pp))
+    os.environ["MICROHH_EIGEN_POISSON"] = "0"
+    try:
+        x_lu = np.asarray(p4.solve(ctx, rhs, pp))
+    finally:
+        os.environ["MICROHH_EIGEN_POISSON"] = "1"
+    scale = np.abs(x_lu).max()
+    assert np.abs(x_eig - x_lu).max() / scale < 1e-10, \
+        np.abs(x_eig - x_lu).max() / scale
