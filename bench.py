@@ -35,12 +35,12 @@ def _run_size(ge, size, ktot, nsteps):
     pp = model.pres_params
 
     # warmup (compile) + one settled step
-    s, t, sfc, _ = step(s, t, sfc, pp, dt, time0)
+    s, sfc, _ = step(s, sfc, pp, dt, time0)
     jax.block_until_ready(s["u"])
 
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        s, t, sfc, _ = step(s, t, sfc, pp, dt, time0)
+        s, sfc, _ = step(s, sfc, pp, dt, time0)
     jax.block_until_ready(s["u"])
     t1 = time.perf_counter()
     # free device buffers before the next size is attempted

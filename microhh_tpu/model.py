@@ -170,7 +170,8 @@ class Model:
                 self.boundary, "sw_constant_z0", True):
             self.boundary.load_z0(self.workdir)
         if hasattr(self.radiation, "create"):
-            self.radiation.create(self.input_nc, self.thermo)
+            self.radiation.create(self.input_nc, self.thermo,
+                                  workdir=self.workdir)
         self.ctx = Context(self.grid, self.fields, self.dtype)
         self.pres.set_values()
 
@@ -186,6 +187,12 @@ class Model:
                 self.input_nc, state, sfc0, dtype=self.dtype,
                 workdir=self.workdir)
             self.boundary.save(sfc0, 0, self.workdir)
+        elif getattr(self.boundary, "is_surface", False):
+            # MOST warm-start state (obuk, MO gradients, flux gradbots)
+            # must be part of every restart chain (boundary_surface.cxx
+            # save) so leg-2 runs are bitwise identical.
+            sfc0 = self.boundary.init_surface_state(dtype=self.dtype)
+            self.boundary.save(sfc0, 0, self.workdir)
         self.grid.save(os.path.join(self.workdir, "grid.%07d" % 0))
         self.fields.save(state, 0, self.workdir)
         tl.save(0, self.workdir)
@@ -199,9 +206,10 @@ class Model:
         """Declare the device mesh for a multi-chip run.  The Poisson
         solvers then force slab-transpose reshards around their FFTs
         (parallel/mesh.py SlabPlan) instead of GSPMD's default all-gather;
-        the Pallas fused kernels are disabled (they assume whole-plane
-        locality) in favor of the XLA stencil path, whose rolls lower to
-        ICI collective-permutes."""
+        the Pallas fused kernels run per shard inside shard_map with a
+        ppermute halo exchange (parallel/halo.py) when the shard planes
+        fit VMEM, else the XLA stencil path (rolls lower to ICI
+        collective-permutes)."""
         self.mesh = mesh
         self.pres.mesh = mesh
 
@@ -229,8 +237,11 @@ class Model:
         # config when the (jtot, itot) plane set fits VMEM.
         fused = self._maybe_build_fused()
 
+        fold_ghosts = fused is not None and fused.fold_ghosts
+
         def substep(s, t, sfc, aux, pp, dt, time_s, sub):
-            s = self.boundary.set_ghost_cells(ctx, s, sfc)
+            if not fold_ghosts:
+                s = self.boundary.set_ghost_cells(ctx, s, sfc)
             if getattr(self.thermo, "swupdatebasestate", False):
                 aux = self.thermo.update_basestate(ctx, s, dict(aux))
             if fused is not None:
@@ -241,13 +252,14 @@ class Model:
                 aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
                 t = self.thermo.exec(ctx, s, t, aux)
             t, aux = self.micro.exec(ctx, s, t, aux, dt)
-            t = self.radiation.exec(ctx, s, t, aux, time_s, self.thermo)
+            t, sfc = self.radiation.exec(ctx, s, t, sfc, aux, time_s,
+                                         self.thermo)
             if getattr(self.boundary, "is_lsm", False):
                 sfc, t = self.boundary.exec_lsm(ctx, s, t, sfc, aux,
                                                 cB[sub] * dt)
             else:
                 sfc = self.boundary.exec(ctx, s, sfc, aux)
-            if is_surface:
+            if is_surface and not fold_ghosts:
                 # Refill only the ghosts that depend on the just-computed
                 # surface fluxes (reference refills everything,
                 # model.cxx:377, but momentum/w ghosts are flux-independent
@@ -293,14 +305,21 @@ class Model:
             # levels are always zero, so whole-array updates are safe.
             s = {n: s[n] + (cB[sub] * dt) * t[n] for n in names}
             can = cA[(sub + 1) % nsub]
-            t = {n: t[n] * ctx.dtype(can) for n in names}
+            if can != 0.:
+                t = {n: t[n] * ctx.dtype(can) for n in names}
+            else:
+                # cA[0] == 0 for both RK3 and RK4: the tendency restarts
+                # from zero every step, so it is never carried state —
+                # literal zeros let XLA fold the first accumulations.
+                t = {n: jnp.zeros_like(s[n]) for n in names}
             return s, t, sfc, aux
 
-        def step(s, t, sfc, pp, dt, time_s):
+        def step(s, sfc, pp, dt, time_s):
             aux = {}
+            t = {n: jnp.zeros_like(s[n]) for n in names}
             for sub in range(nsub):
                 s, t, sfc, aux = substep(s, t, sfc, aux, pp, dt, time_s, sub)
-            return s, t, sfc, aux
+            return s, sfc, aux
 
         def limits(s, sfc):
             out = {}
@@ -344,7 +363,7 @@ class Model:
             return out
 
         self._step_raw = step
-        self._step_fn = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
         self._limits_fn = jax.jit(limits)
         self._diag_fn = jax.jit(diagnostics)
 
@@ -354,8 +373,6 @@ class Model:
             return None
         if getattr(self, "force_fused", None) is False:
             return None
-        if self.mesh is not None:
-            return None  # fused kernels assume whole-plane locality
         ctx = self.ctx
         from .ops.advec_2 import Advec2
         from .ops.diff_smag2 import DiffSmag2
@@ -387,14 +404,63 @@ class Model:
             fold_force = self.force
         self._skip_buffer = fold_buffer is not None
         self._skip_force = fold_force is not None
+        # Ghost-free kernels (clamped index maps): valid when all ghost
+        # consumers inside the substep are the fused kernels themselves,
+        # the walls are handled by the XLA patches (needs the MOST surface
+        # model), and the top BCs are zero-gradient for u/v with a
+        # Neumann/flux scalar top (clamp == ghost there).
+        from .ops.boundary import NEUMANN, FLUX
+        from .ops.radiation import RadiationDisabled
+        fold_ghosts = False
+        top_grad_th = 0.
+        if (getattr(self.boundary, "is_surface", False)
+                and not getattr(self.boundary, "is_lsm", False)
+                and not self.ib.active and not self.outflow.active
+                and isinstance(self.radiation, RadiationDisabled)):
+            bcs = self.boundary.bcs
+            mom_ok = all(bcs[n].bctop == NEUMANN and bcs[n].top == 0.
+                         for n in ("u", "v"))
+            th_ok = (not has_thermo) or bcs["th"].bctop in (NEUMANN, FLUX)
+            if mom_ok and th_ok:
+                fold_ghosts = True
+                if has_thermo:
+                    bc = bcs["th"]
+                    grad = bc.top
+                    if bc.bctop == FLUX:
+                        grad = -bc.top / self.boundary.viscs["th"]
+                    top_grad_th = float(grad)
+        from .ops.pallas_fused import FusedLES2, HALO_J
+        if self.mesh is not None:
+            # Sharded fused path: per-shard kernels on halo-padded planes
+            # inside shard_map (parallel/halo.py); the XLA wall patches stay
+            # on global arrays.  Ghost-fold off (the global ghost fill's
+            # rolls become GSPMD collectives on their own).
+            from .parallel.halo import HALO
+            npy = self.mesh.shape.get("y", 1)
+            npx = self.mesh.shape.get("x", 1)
+            if ctx.jtot % npy or ctx.itot % npx:
+                return None
+            jl = ctx.jtot // npy + 2 * HALO
+            il = ctx.itot // npx + 2 * HALO
+            plane_l = jl * il * np.dtype(self.dtype).itemsize
+            if plane_l * 40 > 14 * 1024 * 1024:
+                return None  # shard too large for the full-plane variant
+            import copy
+            ctx_l = copy.copy(ctx)
+            ctx_l.jtot, ctx_l.itot = jl, il
+            fused = FusedLES2(ctx_l, self.diff, self.thermo, has_thermo,
+                              interpret=interpret, buffer=fold_buffer,
+                              force=fold_force)
+            fused.sharded_mesh = self.mesh
+            return fused
         # VMEM budget: ~19 operand planes double-buffered in the full-plane
         # variant.  Larger planes switch to the j-tiled manual-DMA variant.
         plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
-        from .ops.pallas_fused import FusedLES2, HALO_J
         if plane * 40 <= 14 * 1024 * 1024:
             return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
                              interpret=interpret, buffer=fold_buffer,
-                             force=fold_force)
+                             force=fold_force, fold_ghosts=fold_ghosts,
+                             top_grad_th=top_grad_th)
         # pick the largest tile height <= 128 that divides jtot
         tj = None
         for cand in (128, 64, 32, 16, 8):
@@ -430,7 +496,7 @@ class Model:
         t = {n: jnp.zeros_like(s[n]) for n in self.fields.all_prognostic_names}
         if getattr(self.boundary, "is_surface", False):
             sfc_np = self.boundary.init_surface_state(dtype=self.dtype)
-            if getattr(self.boundary, "is_lsm", False) and self.sim_mode != "init":
+            if self.sim_mode != "init":
                 tl = self.timeloop
                 iotime = int(tl.itime // tl.iiotimeprec)
                 sfc_np = self.boundary.load(sfc_np, iotime, self.workdir,
@@ -438,6 +504,10 @@ class Model:
             sfc = {k: jnp.asarray(v, dtype=self.dtype) for k, v in sfc_np.items()}
         else:
             sfc = {}
+        if hasattr(self.radiation, "init_state"):
+            sfc_np = self.radiation.init_state({}, self.ctx, self.dtype)
+            for k, v in sfc_np.items():
+                sfc[k] = jnp.asarray(v, dtype=self.dtype)
         return s, t, sfc
 
     def save_restart(self, s):
@@ -445,7 +515,7 @@ class Model:
         iotime = int(tl.iotime)
         state_np = {n: np.asarray(s[n]) for n in self.fields.all_prognostic_names}
         self.fields.save(state_np, iotime, self.workdir)
-        if getattr(self.boundary, "is_lsm", False) and self._last_sfc is not None:
+        if getattr(self.boundary, "is_surface", False) and self._last_sfc is not None:
             self.boundary.save({k: np.asarray(v) for k, v in self._last_sfc.items()},
                                iotime, self.workdir)
         tl.save(iotime, self.workdir)
@@ -551,8 +621,8 @@ class Model:
 
             dt_dev = jnp.asarray(tl.dt, dtype=self.dtype)
             time_dev = jnp.asarray(tl.time, dtype=self.dtype)
-            s, t, sfc, _aux = self._step_fn(s, t, sfc, self.pres_params,
-                                            dt_dev, time_dev)
+            s, sfc, _aux = self._step_fn(s, sfc, self.pres_params,
+                                         dt_dev, time_dev)
             self._last_aux = _aux
             self._last_sfc = sfc
             tl.step_time()

@@ -271,6 +271,38 @@ class BoundarySurface:
         return sfc
 
     # ------------------------------------------------------------------
+    def restart_fields(self):
+        """Surface planes that must survive a restart bitwise (reference
+        boundary_surface.cxx:638-685): the MO gradients feed the next
+        step's eddy viscosity, the flux-BC gradbots feed set_ghost_cells,
+        and obuk warm-starts the Obukhov solve."""
+        names = ["dudz_mo", "dvdz_mo", "dbdz_mo", "obuk", "ustar"]
+        from .boundary import FLUX
+        for n, bc in self.bcs.items():
+            if n not in ("u", "v") and bc.bcbot == FLUX:
+                names.append(n + "_gradbot")
+        return names
+
+    def save(self, sfc, iotime, path="."):
+        from ..utils import fastio
+        for name in self.restart_fields():
+            if name in sfc:
+                fastio.write_array("%s/%s.%07d" % (path, name, iotime),
+                                   np.asarray(sfc[name]))
+
+    def load(self, sfc, iotime, path=".", dtype=np.float64):
+        import os
+        from ..utils import fastio
+        fastio.flush()
+        g = self.grid
+        sfc = dict(sfc)
+        for name in self.restart_fields():
+            fn = "%s/%s.%07d" % (path, name, iotime)
+            if os.path.exists(fn):
+                sfc[name] = np.fromfile(fn, dtype=dtype).reshape(g.jtot,
+                                                                 g.itot)
+        return sfc
+
     def flux_ghost_names(self):
         """Fields whose ghost planes depend on the surface-model output
         (what the post-boundary-exec refill must update): scalars always

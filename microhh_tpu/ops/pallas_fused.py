@@ -42,12 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as cst
 
-# column-constant slots.  The last seven carry the folded Rayleigh-sponge
+# column-constant slots.  C_FACZ..C_VG carry the folded Rayleigh-sponge
 # (buffer.cxx) and geostrophic-Coriolis (force.cxx coriolis_2nd) per-level
 # data so those ops ride the same HBM pass as advection+diffusion.
+# C_TOPS holds the scalar top-ghost offset (grad_top*dzh[ke], nonzero only
+# on the last row) for the ghost-free clamped-index kernel variant.
 (C_DZI, C_DZHI, C_DZHI1, C_RHO, C_RHOH, C_RHOH1, C_MLEN2, C_Z,
  C_THREFH, C_DZI_M1, C_FACZ, C_FACZH, C_UREF, C_VREF, C_SREF,
- C_UG, C_VG, N_CONST) = range(18)
+ C_UG, C_VG, C_TOPS, N_CONST) = range(19)
 
 # The deepest j-shift chain in the stencil math is 2 rows, but Mosaic
 # requires HBM slices to be 8-aligned along the sublane dim, so halos are
@@ -121,7 +123,9 @@ def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
 
     if has_thermo:
         thref = _cc(cc_ref, C_THREFH)  # full-level thref in the evisc table
-        n2 = cst.grav / thref * 0.5 * (th_up - th_dn) * dzi
+        # C_TOPS patches the clamped th_up on the last row (ghost-free
+        # variant: ghost = th[ke-1] + grad_top*dzh[ke]); zero otherwise.
+        n2 = cst.grav / thref * 0.5 * (th_up + _cc(cc_ref, C_TOPS) - th_dn) * dzi
         rit = jnp.minimum(n2 / strain2 / tPr, 1. - cst.dsmall)
         return mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
     return mlen2 * jnp.sqrt(strain2)
@@ -497,8 +501,11 @@ class FusedLES2:
     ``tiled=False``: full-plane blocked variant; ``tiled=True``: j-tiled
     manual-DMA variant with tile height ``tj``."""
 
+    sharded_mesh = None  # set by Model for the shard_map-wrapped variant
+
     def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
-                 tiled=False, tj=64, buffer=None, force=None):
+                 tiled=False, tj=64, buffer=None, force=None,
+                 fold_ghosts=False, top_grad_th=0.):
         self.ctx = ctx
         self.interpret = interpret
         self.smag = smag
@@ -506,6 +513,13 @@ class FusedLES2:
         self.has_thermo = has_thermo
         self.tiled = tiled
         self.tj = tj
+        # Ghost-free variant: the kernels read raw (unfilled) fields with
+        # CLAMPED k index maps.  A clamped neighbor equals the true ghost
+        # wherever the BC is zero-gradient (u/v freeslip top, evisc edge
+        # copies); the remaining wall rows are replaced by the XLA patches
+        # in fused_tendencies / fused_exec_viscosity, which mirror the
+        # clamp semantics.  Skips two full ghost-fill passes per substep.
+        self.fold_ghosts = fold_ghosts and not tiled
         # Folded ops: a Buffer (non-swupdate) and/or a geo-Coriolis Force.
         self.fold_buffer = buffer is not None
         self.fold_coriolis = force is not None
@@ -551,6 +565,9 @@ class FusedLES2:
         if self.fold_coriolis:
             cc_t[:, C_UG] = np.asarray(force.ug)[:, 0, 0]
             cc_t[:, C_VG] = np.asarray(force.vg)[:, 0, 0]
+        if self.fold_ghosts and has_thermo:
+            # scalar top ghost = th[ke-1] + grad_top * dzh[ke]
+            cc_e[kt - 1, C_TOPS] = top_grad_th / g_dzhi[ke]
         self.cc_evisc = cc_e
         self.cc_tend = cc_t
 
@@ -563,6 +580,30 @@ class FusedLES2:
         return pl.BlockSpec((1, self.ctx.jtot, self.ctx.itot),
                             functools.partial(lambda k, o: (k + ks + o, 0, 0), o=off),
                             memory_space=pltpu.VMEM)
+
+    def _spec_clamped(self, off, lo, hi):
+        """Plane at k+off with the index clamped to [lo, hi]: at the walls
+        this reads the edge plane instead of a ghost, which equals the true
+        ghost for zero-gradient BCs (see fold_ghosts)."""
+        def imap(k, o=off, lo=lo, hi=hi):
+            return (jnp.clip(k + o, lo, hi), 0, 0)
+        return pl.BlockSpec((1, self.ctx.jtot, self.ctx.itot), imap,
+                            memory_space=pltpu.VMEM)
+
+    def _field_specs(self, offs, ks, ke, kind):
+        """Specs for one field's k-offsets: ghost-filled absolute indexing,
+        or clamped raw-field indexing under fold_ghosts.  kind: 'c' for
+        cell-centered (clamp to [ks, ke-1]), 'w' for half-level (clamp to
+        [ks, ke]), 'e' for the interior-only evisc array."""
+        if not self.fold_ghosts:
+            # ghost-filled arrays (evisc padded to kcells like the fields)
+            return [self._spec_at(o, ks) for o in offs]
+        kt = self.ctx.ktot
+        if kind == "c":
+            return [self._spec_clamped(ks + o, ks, ke - 1) for o in offs]
+        if kind == "w":
+            return [self._spec_clamped(ks + o, ks, ke) for o in offs]
+        return [self._spec_clamped(o, 0, kt - 1) for o in offs]  # 'e'
 
     def _out_spec_full(self):
         return pl.BlockSpec((1, self.ctx.jtot, self.ctx.itot),
@@ -620,17 +661,21 @@ class FusedLES2:
         th_in = th if th is not None else u
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
-        if not self.tiled and self._use_stream():
+        if not self.tiled and self._use_stream() and not self.fold_ghosts:
             math_fn = functools.partial(_evisc_stream_math, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
                                         self.has_thermo)
             return self._stream_call(math_fn, cc, (u, v, w, th_in), 1)[0]
         if not self.tiled:
+            ke = ctx.ke
             body = functools.partial(_evisc_body, self.smag.tPr,
                                      float(ctx.dxi), float(ctx.dyi),
                                      self.has_thermo)
-            in_specs = [cc_spec] + [self._spec_at(o, ks) for o in
-                                    (-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
+            in_specs = ([cc_spec]
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((-1, 0, 1), ks, ke, "w")
+                        + self._field_specs((-1, 0, 1), ks, ke, "c"))
             return pl.pallas_call(
                 body, grid=(kt,), in_specs=in_specs,
                 out_specs=self._out_spec_full(), out_shape=shape,
@@ -658,7 +703,8 @@ class FusedLES2:
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
 
-        if not self.tiled and self._use_stream():
+        if (not self.tiled and self._use_stream()
+                and not self.fold_ghosts):
             # Two streaming passes (uv, wth) — a single merged pass would
             # need ~18MB of scoped VMEM at 256^2 planes (measured OOM at
             # the 16MB limit).  Folded buffer/Coriolis ride along.
@@ -678,11 +724,15 @@ class FusedLES2:
             # Two passes (uv, wth) — a single merged pass would need ~18MB
             # of scoped VMEM at 256^2 planes (measured OOM at the 16MB
             # limit); the split fits.  Folded buffer/Coriolis ride along.
+            ke = ctx.ke
             body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
                                         self.smag.visc, self._extras())
-            specs_uv = [cc_spec] + [self._spec_at(o, ks) for o in
-                                    (-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1)]
+            specs_uv = ([cc_spec]
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((0, 1), ks, ke, "w")
+                        + self._field_specs((-1, 0, 1), ks, ke, "e"))
             ut, vt = pl.pallas_call(
                 body_uv, grid=(kt,), in_specs=specs_uv,
                 out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
@@ -693,8 +743,12 @@ class FusedLES2:
                                          float(ctx.dxi), float(ctx.dyi),
                                          self.smag.visc, svisc,
                                          self.has_thermo, self._extras())
-            specs_wth = [cc_spec] + [self._spec_at(o, ks) for o in
-                                     (-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1)]
+            specs_wth = ([cc_spec]
+                         + self._field_specs((-1, 0), ks, ke, "c")
+                         + self._field_specs((-1, 0), ks, ke, "c")
+                         + self._field_specs((-1, 0, 1), ks, ke, "w")
+                         + self._field_specs((-1, 0, 1), ks, ke, "c")
+                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
             wt, tht = pl.pallas_call(
                 body_wth, grid=(kt,), in_specs=specs_wth,
                 out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
@@ -734,7 +788,15 @@ def fused_exec_viscosity(fused, ctx, s, sfc, aux):
     u, v, w = s["u"], s["v"], s["w"]
     th = s.get("th")
     ks = ctx.ks
-    ev = fused.evisc(u, v, w, th)
+    if fused.sharded_mesh is not None:
+        from ..parallel.halo import sharded_planes_call
+        th_in = th if th is not None else u
+        ev = sharded_planes_call(
+            fused.sharded_mesh,
+            lambda uu, vv, ww, tt: fused.evisc(uu, vv, ww, tt),
+            1, u, v, w, th_in)[0]
+    else:
+        ev = fused.evisc(u, v, w, th)
 
     if smag.surface:
         dxi, dyi = ctx.dxi, ctx.dyi
@@ -761,12 +823,17 @@ def fused_exec_viscosity(fused, ctx, s, sfc, aux):
             ev0 = smag.mlen2[0] * jnp.sqrt(s2b)
         ev = ev.at[0].set(ev0)
 
-    evisc = jnp.zeros_like(u)
-    evisc = evisc.at[ctx.ks:ctx.ke].set(ev)
-    evisc = evisc.at[ctx.ks - 1].set(ev[0])
-    evisc = evisc.at[ctx.ke].set(ev[-1])
     aux = dict(aux)
-    aux["evisc"] = evisc
+    if fused.fold_ghosts:
+        # Kernels index the interior array with clamped maps (ghost ==
+        # edge copy for evisc), so no padded copy is materialized.
+        aux["evisc_int"] = ev
+    else:
+        evisc = jnp.zeros_like(u)
+        evisc = evisc.at[ctx.ks:ctx.ke].set(ev)
+        evisc = evisc.at[ctx.ks - 1].set(ev[0])
+        evisc = evisc.at[ctx.ke].set(ev[-1])
+        aux["evisc"] = evisc
     return aux
 
 
@@ -777,26 +844,47 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     smag = fused.smag
     u, v, w = s["u"], s["v"], s["w"]
     th = s.get("th")
-    evisc = aux["evisc"]
+    fold = fused.fold_ghosts
+    evisc = aux["evisc_int"] if fold else aux["evisc"]
     ks, ke = ctx.ks, ctx.ke
     dxi, dyi = ctx.dxi, ctx.dyi
     visc = smag.visc
 
-    ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc)
+    if fused.sharded_mesh is not None:
+        from ..parallel.halo import sharded_planes_call
+        th_in = th if th is not None else u
+        ut, vt, wt, tht = sharded_planes_call(
+            fused.sharded_mesh,
+            lambda uu, vv, ww, tt, ee: fused.tendencies(uu, vv, ww, tt, ee),
+            4, u, v, w, th_in, evisc)
+    else:
+        ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc)
     wt = wt.at[0].set(0.)  # half level ks is the wall
 
     if smag.surface:
         from .stencil import im, ip, jm, jp
-        e = evisc
         rho = ctx.rhoref
         rhoh = ctx.rhorefh
         dzi = ctx.dzi
         dzhi = ctx.dzhi
 
+        # Index helpers mirroring the kernel's reads: under fold_ghosts the
+        # kernels CLAMP the k index, so old_vert must be recomputed with the
+        # same clamped neighbor, not the true ghost value.
+        def F(arr, kabs):
+            if fold:
+                kabs = min(max(kabs, ks), ke - 1)
+            return arr[kabs]
+
+        def E(kabs):
+            if fold:
+                return evisc[min(max(kabs - ks, 0), ctx.ktot - 1)]
+            return evisc[kabs]
+
         # ---- u bottom/top diffusion row patches (diff_smag2.cxx diff_u) ----
         for row, ka in (("bot", ks), ("top", ke - 1)):
-            ev_t = 0.25 * (im(e)[ka] + e[ka] + im(e)[ka + 1] + e[ka + 1]) + visc
-            ev_b = 0.25 * (im(e)[ka - 1] + e[ka - 1] + im(e)[ka] + e[ka]) + visc
+            ev_t = 0.25 * (im(E(ka)) + E(ka) + im(E(ka + 1)) + E(ka + 1)) + visc
+            ev_b = 0.25 * (im(E(ka - 1)) + E(ka - 1) + im(E(ka)) + E(ka)) + visc
             if row == "bot":
                 fz_top = ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
                 corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["u_fluxbot"]) / rho[ka] * dzi[ka]
@@ -805,24 +893,24 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
                 corr = (-rhoh[ka + 1] * 0. - rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
             # replace ONLY the vertical diffusion term: recompute the rest
             # of the row identically to the kernel and substitute.
-            old_vert = ((rhoh[ka + 1] * ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
-                         - rhoh[ka] * ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
+            old_vert = ((rhoh[ka + 1] * ev_t * ((F(u, ka + 1) - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                         - rhoh[ka] * ev_b * ((u[ka] - F(u, ka - 1)) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
                         / rho[ka] * dzi[ka])
             idx = 0 if row == "bot" else ctx.ktot - 1
             ut = ut.at[idx].add(corr - old_vert)
 
         # ---- v rows ----
         for row, ka in (("bot", ks), ("top", ke - 1)):
-            ev_t = 0.25 * (jm(e)[ka] + e[ka] + jm(e)[ka + 1] + e[ka + 1]) + visc
-            ev_b = 0.25 * (jm(e)[ka - 1] + e[ka - 1] + jm(e)[ka] + e[ka]) + visc
+            ev_t = 0.25 * (jm(E(ka)) + E(ka) + jm(E(ka + 1)) + E(ka + 1)) + visc
+            ev_b = 0.25 * (jm(E(ka - 1)) + E(ka - 1) + jm(E(ka)) + E(ka)) + visc
             if row == "bot":
                 fz_top = ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
                 corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["v_fluxbot"]) / rho[ka] * dzi[ka]
             else:
                 fz_bot = ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi)
                 corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
-            old_vert = ((rhoh[ka + 1] * ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
-                         - rhoh[ka] * ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
+            old_vert = ((rhoh[ka + 1] * ev_t * ((F(v, ka + 1) - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                         - rhoh[ka] * ev_b * ((v[ka] - F(v, ka - 1)) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
                         / rho[ka] * dzi[ka])
             idx = 0 if row == "bot" else ctx.ktot - 1
             vt = vt.at[idx].add(corr - old_vert)
@@ -832,16 +920,16 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
             svisc = smag.viscs.get("th", visc)
             a = th
             for row, ka in (("bot", ks), ("top", ke - 1)):
-                st_ = 0.5 * (e[ka] + e[ka + 1]) / smag.tPr + svisc
-                sb = 0.5 * (e[ka - 1] + e[ka]) / smag.tPr + svisc
+                st_ = 0.5 * (E(ka) + E(ka + 1)) / smag.tPr + svisc
+                sb = 0.5 * (E(ka - 1) + E(ka)) / smag.tPr + svisc
                 if row == "bot":
                     fz_top = st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
                     corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["th_fluxbot"]) / rho[ka] * dzi[ka]
                 else:
                     fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
                     corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
-                old_vert = ((rhoh[ka + 1] * st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
-                             - rhoh[ka] * sb * (a[ka] - a[ka - 1]) * dzhi[ka])
+                old_vert = ((rhoh[ka + 1] * st_ * (F(a, ka + 1) - a[ka]) * dzhi[ka + 1]
+                             - rhoh[ka] * sb * (a[ka] - F(a, ka - 1)) * dzhi[ka])
                             / rho[ka] * dzi[ka])
                 idx = 0 if row == "bot" else ctx.ktot - 1
                 tht = tht.at[idx].add(corr - old_vert)

@@ -18,8 +18,8 @@ class RadiationDisabled:
     def __init__(self, *a, **k):
         pass
 
-    def exec(self, ctx, s, t, aux, time_s, thermo):
-        return t
+    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
+        return t, sfc
 
 
 class RadiationPrescribed:
@@ -36,8 +36,8 @@ class RadiationPrescribed:
             self.lw_flux_dn = ini.get_float("radiation", "lw_flux_dn")
             self.lw_flux_up = ini.get_float("radiation", "lw_flux_up")
 
-    def exec(self, ctx, s, t, aux, time_s, thermo):
-        return t
+    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
+        return t, sfc
 
     def get_surface_radiation(self):
         return {"sw_flux_dn": self.sw_flux_dn, "sw_flux_up": self.sw_flux_up,
@@ -73,7 +73,7 @@ class RadiationGcss:
         self.lat = grid.lat
         self.lon = grid.lon
 
-    def exec(self, ctx, s, t, aux, time_s, thermo):
+    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
         """LW always; SW gated on daytime zenith (exec_gcss_rad)."""
         ks, ke = ctx.ks, ctx.ke
         ql = thermo.get_ql(ctx, s)  # (ktot, j, i)
@@ -118,7 +118,7 @@ class RadiationGcss:
 
         name = "thl" if "thl" in t else ("th" if "th" in t else None)
         if name is None:
-            return t
+            return t, sfc
         t = dict(t)
         t[name] = t[name].at[ks + 1:ke].add(heat)
 
@@ -166,7 +166,7 @@ class RadiationGcss:
         heat_sw = dswn * dzi_c / (rho[1:] * cst.cp)
         do_sw = mu > self.mu_min
         t[name] = t[name].at[ks + 1:ke].add(jnp.where(do_sw, heat_sw, 0.))
-        return t
+        return t, sfc
 
 
 def make_radiation(ini, grid):

@@ -64,20 +64,40 @@ class RadiationRrtmgp:
             self.mu0 = float(np.cos(ini.get_float("radiation", "sza")))
         self.lat = grid.lat
         self.lon = grid.lon
-        # the reference recomputes radiation every [radiation] dt_rad and
-        # holds thlt_rad constant in between; the two-band optics is cheap
-        # enough to run every substep (documented difference).
-        ini.get_float("radiation", "dt_rad", default=0.)
+        # The reference recomputes radiation every [radiation] dt_rad and
+        # holds thlt_rad (and the surface fluxes) constant in between
+        # (radiation_rrtmgp.cxx exec gating).  dt_rad=0 -> every substep.
+        self.dt_rad = ini.get_float("radiation", "dt_rad", default=0.)
         self.t_sfc = ini.get_float("radiation", "t_sfc", default=-1.)
         self.bg = None       # background column (p, T, qv) above domain top
         self._sfc = None
+        self.kdist_lw = None
+        self.kdist_sw = None
+        # trace gases as constant volume mixing ratios for the k-distribution
+        self.gas_vmr = {"co2": ini.get_float("radiation", "co2", default=397e-6),
+                        "o3": ini.get_float("radiation", "o3", default=0.),
+                        "n2o": ini.get_float("radiation", "n2o", default=0.),
+                        "ch4": ini.get_float("radiation", "ch4", default=0.)}
 
     # -- setup ----------------------------------------------------------------
-    def create(self, input_nc, thermo):
+    def create(self, input_nc, thermo, workdir="."):
         """Background column from the `radiation` input group
         (radiation_rrtmgp.cxx:1020-1060); falls back to a hydrostatic
-        isothermal-stratosphere extension of the domain top."""
+        isothermal-stratosphere extension of the domain top.  When RRTMGP
+        coefficient files (``coefficients_lw/sw.nc``, the standard
+        rte-rrtmgp data schema) sit in the case directory, the k-
+        distribution loader swaps in table-driven gas optics
+        (radiation_rrtmgp.cxx:1222,1265); otherwise the documented two-band
+        stand-in runs."""
+        import os
         self.thermo = thermo
+        from .rrtmgp_optics import KDistribution
+        lw_path = os.path.join(workdir, "coefficients_lw.nc")
+        sw_path = os.path.join(workdir, "coefficients_sw.nc")
+        if os.path.exists(lw_path):
+            self.kdist_lw = KDistribution(lw_path)
+        if os.path.exists(sw_path):
+            self.kdist_sw = KDistribution(sw_path)
         if input_nc is not None and "radiation" in getattr(input_nc, "groups", {}):
             rad = input_nc.groups["radiation"]
             self.bg = {
@@ -137,40 +157,146 @@ class RadiationRrtmgp:
         return float(np.exp(-np.sum(tau)))
 
     # -- solvers ----------------------------------------------------------------
+    def _lw_solve(self, tr, B, t_sfc_emis, fdn_top):
+        """No-scattering LW sweeps (Rte_lw structure): downward from
+        fdn_top, surface emission t_sfc_emis + reflection, upward.
+        tr: per-layer transmittance, B: per-layer source (flux units)."""
+        top = jnp.broadcast_to(fdn_top, tr.shape[1:]).astype(tr.dtype)
+
+        def sweep(F, xs):
+            tr_k, B_k = xs
+            F = F * tr_k + (1. - tr_k) * B_k
+            return F, F
+
+        _, dns = jax.lax.scan(sweep, top, (tr[::-1], B[::-1]))
+        flux_dn = jnp.concatenate([dns[::-1], top[None]], axis=0)
+        sfc = (self.emis_sfc * t_sfc_emis
+               + (1. - self.emis_sfc) * flux_dn[0])
+        _, ups = jax.lax.scan(sweep, sfc, (tr, B))
+        flux_up = jnp.concatenate([sfc[None], ups], axis=0)
+        return flux_up, flux_dn
+
     def _longwave(self, ctx, T, wv_path, dry_path, lwp, t_sfc, fdn_top):
-        """No-scattering LW with per-layer Planck emission (Rte_lw structure,
-        one band).  Returns (flux_up, flux_dn) at the ktot+1 half levels."""
+        """Two-band stand-in LW: gray optics + Planck emission per layer.
+        Returns (flux_up, flux_dn) at the ktot+1 half levels."""
         tau = (DIFFUSIVITY * (K_LW_H2O * wv_path + K_LW_DRY * dry_path)
                + K_LW_CLD * lwp)
         tr = jnp.exp(-tau)
         B = cst.sigma_b * T ** 4
+        return self._lw_solve(tr, B, cst.sigma_b * t_sfc ** 4, fdn_top)
 
-        # downward sweep (top half level -> surface)
-        def dn_scan(F, xs):
-            tr_k, B_k = xs
-            F = F * tr_k + (1. - tr_k) * B_k
-            return F, F
+    # -- table-driven k-distribution paths (coefficients_{lw,sw}.nc) ----------
+    def _column_inputs(self, ctx, T, s, thermo):
+        """Domain-column interpolation inputs for the k-distribution."""
+        from .rrtmgp_optics import col_amounts
+        ks, ke = ctx.ks, ctx.ke
+        play = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        plev = jnp.asarray(thermo.prefh, dtype=ctx.dtype)[ks:ke + 1][:, None, None]
+        p_ = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        exn = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p_, exn)
+        qv = s["qt"][ks:ke] - ql - qi
+        col_dry, cols = col_amounts(play, plev, qv, self.gas_vmr)
+        return play, T, col_dry, cols
 
-        top = jnp.full(T.shape[1:], fdn_top, T.dtype)
-        _, dns = jax.lax.scan(dn_scan, top, (tr[::-1], B[::-1]))
-        flux_dn = jnp.concatenate([dns[::-1], top[None]], axis=0)
+    def _bg_inputs(self, dtype):
+        from .rrtmgp_optics import col_amounts
+        p = jnp.asarray(self.bg["p"], dtype=dtype)
+        T = jnp.asarray(self.bg["T"], dtype=dtype)
+        qv = jnp.asarray(self.bg["qv"], dtype=dtype)
+        pl = jnp.concatenate([p[:1] * 1.02, 0.5 * (p[:-1] + p[1:]),
+                              p[-1:] * 0.5])
+        col_dry, cols = col_amounts(p, pl, qv, self.gas_vmr)
+        return p, T, col_dry, cols
 
-        # surface emission + reflection, then upward sweep
-        sfc = (self.emis_sfc * cst.sigma_b * t_sfc ** 4
-               + (1. - self.emis_sfc) * flux_dn[0])
+    def _lw_table_flux(self, ctx, T, lwp, t_sfc, thermo, s):
+        """LW fluxes with RRTMGP gas optics: lax.scan over g-points, each
+        with interpolated tau + Planck sources; gray cloud optical depth
+        rides on every g-point.  Reference: radiation_rrtmgp.cxx
+        exec_longwave (:775-900), column-blocked there, g-point-blocked
+        here so the working set stays one g-point wide."""
+        kd = self.kdist_lw
+        play, tlay, col_dry, cols = self._column_inputs(ctx, T, s, thermo)
+        idx = kd.interp_indices(play, tlay)
+        idx0 = {k: v[:1] for k, v in idx.items()}
+        cols0 = {k: v[:1] for k, v in cols.items()}
+        tsfc_b = jnp.broadcast_to(t_sfc, tlay.shape[1:])[None]
 
-        def up_scan(F, xs):
-            tr_k, B_k = xs
-            F = F * tr_k + (1. - tr_k) * B_k
-            return F, F
+        # background column (1-D): per-gpt downward emission at domain top
+        pb, Tb, cdb, colsb = self._bg_inputs(tlay.dtype)
+        idxb = kd.interp_indices(pb, Tb)
+        order = jnp.argsort(pb)   # low p (space) first
 
-        _, ups = jax.lax.scan(up_scan, sfc, (tr, B))
-        flux_up = jnp.concatenate([sfc[None], ups], axis=0)
-        return flux_up, flux_dn
+        tau_cld = K_LW_CLD * lwp  # gray cloud, all g-points
+
+        def body(carry, g):
+            up_sum, dn_sum = carry
+            # background downward sweep (1-D)
+            tau_b = kd.tau_gpt(g, idxb, colsb, dtype=tlay.dtype)
+            src_b = kd.planck_gpt(g, idxb, colsb, Tb, dtype=tlay.dtype)
+            tr_b = jnp.exp(-DIFFUSIVITY * tau_b)
+
+            def bg_sweep(F, i):
+                F = F * tr_b[i] + (1. - tr_b[i]) * src_b[i]
+                return F, None
+            fdn_top, _ = jax.lax.scan(bg_sweep, jnp.zeros((), tlay.dtype),
+                                      order)
+
+            tau = kd.tau_gpt(g, idx, cols, dtype=tlay.dtype) + tau_cld
+            lay_src = kd.planck_gpt(g, idx, cols, tlay, dtype=tlay.dtype)
+            sfc_src = kd.planck_gpt(g, idx0, cols0, tsfc_b,
+                                    dtype=tlay.dtype)[0]
+            tr = jnp.exp(-DIFFUSIVITY * tau)
+            up, dn = self._lw_solve(tr, lay_src, sfc_src, fdn_top)
+            return (up_sum + up, dn_sum + dn), None
+
+        nlev = tlay.shape[0] + 1
+        zero = jnp.zeros((nlev,) + tlay.shape[1:], tlay.dtype)
+        (up, dn), _ = jax.lax.scan(body, (zero, zero),
+                                   jnp.arange(kd.n_gpt))
+        return up, dn
+
+    def _sw_table_flux(self, ctx, T, lwp, mu0, thermo, s):
+        """SW fluxes with RRTMGP gas optics + per-g-point solar source."""
+        kd = self.kdist_sw
+        play, tlay, col_dry, cols = self._column_inputs(ctx, T, s, thermo)
+        idx = kd.interp_indices(play, tlay)
+        mu = jnp.maximum(mu0, 1e-3)
+
+        # background column transmittance per gpt (1-D direct beam)
+        pb, Tb, cdb, colsb = self._bg_inputs(tlay.dtype)
+        idxb = kd.interp_indices(pb, Tb)
+
+        tau_cld = 1.5e-3 * lwp / (REFF * cst.rho_w)
+        ssa_cld_tau = SSA_CLOUD * tau_cld
+
+        def body(carry, g):
+            up_sum, dn_sum, dir_sum = carry
+            tau_b = (kd.tau_gpt(g, idxb, colsb, dtype=tlay.dtype)
+                     + kd.rayleigh_gpt(g, idxb, colsb, cdb, dtype=tlay.dtype))
+            toa_g = (jnp.asarray(kd.solar_source, dtype=tlay.dtype)[g]
+                     * self.tsi_scaling * jnp.maximum(mu0, 0.)
+                     * jnp.exp(-jnp.sum(tau_b) / mu))
+            tau_gas = kd.tau_gpt(g, idx, cols, dtype=tlay.dtype)
+            tau_ray = kd.rayleigh_gpt(g, idx, cols, col_dry,
+                                      dtype=tlay.dtype)
+            tau = tau_gas + tau_ray + tau_cld
+            ssa = (tau_ray + ssa_cld_tau) / jnp.maximum(tau, 1e-30)
+            g_as = jnp.where(tau_cld > 0.,
+                             G_CLOUD * ssa_cld_tau
+                             / jnp.maximum(ssa * tau, 1e-30), 0.)
+            up, dn, dirh = self._sw_solve(tau, ssa, g_as, mu0, toa_g)
+            return (up_sum + up, dn_sum + dn, dir_sum + dirh), None
+
+        nlev = tlay.shape[0] + 1
+        zero = jnp.zeros((nlev,) + tlay.shape[1:], tlay.dtype)
+        (up, dn, dirh), _ = jax.lax.scan(body, (zero, zero, zero),
+                                         jnp.arange(kd.n_gpt))
+        return up, dn, dirh
 
     def _shortwave(self, ctx, wv_path, dry_path, lwp, mu0, toa_dir):
-        """Delta-two-stream SW (Rte_sw structure, one band): direct-beam
-        attenuation plus layer-by-layer adding for the diffuse field."""
+        """Two-band stand-in SW: build (tau, ssa, g) then run the generic
+        delta-two-stream solve."""
         tau_gas = K_SW_H2O * wv_path + TAU_SW_RAY * dry_path / (cst.p0 / cst.grav)
         tau_cld = 1.5e-3 * lwp / (REFF * cst.rho_w)   # lwp g/m2 -> tau
         tau = tau_gas + tau_cld
@@ -178,6 +304,11 @@ class RadiationRrtmgp:
                                    * dry_path / (cst.p0 / cst.grav)) / (tau + 1e-30), 0.)
         g_as = jnp.where(tau_cld > 0., G_CLOUD * SSA_CLOUD * tau_cld
                          / (ssa * tau + 1e-30), 0.)
+        return self._sw_solve(tau, ssa, g_as, mu0, toa_dir)
+
+    def _sw_solve(self, tau, ssa, g_as, mu0, toa_dir):
+        """Delta-two-stream SW (Rte_sw structure): direct-beam attenuation
+        plus layer-by-layer adding for the diffuse field."""
         # delta scaling
         f = g_as * g_as
         tau_d = (1. - ssa * f) * tau
@@ -232,22 +363,41 @@ class RadiationRrtmgp:
         return flux_up, flux_dn, dir_half
 
     # -- model hook --------------------------------------------------------------
-    def exec(self, ctx, s, t, aux, time_s, thermo):
-        if "thl" not in s:
-            return t
-        ks, ke = ctx.ks, ctx.ke
-        T, wv_path, dry_path, lwp, rho, dz, exn = self._domain_paths(ctx, s, thermo)
+    _SFC_KEYS = ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn")
 
+    def init_state(self, sfc, ctx, dtype):
+        """Extend the carried surface state with the held radiation fields
+        (reference thlt_rad field + surface fluxes, recomputed every
+        dt_rad and constant in between)."""
+        if self.dt_rad <= 0.:
+            return sfc
+        sfc = dict(sfc)
+        sfc["rad_tend"] = np.zeros((ctx.ktot, ctx.jtot, ctx.itot),
+                                   dtype=dtype)
+        for k_ in self._SFC_KEYS:
+            sfc["rad_" + k_] = np.zeros((ctx.jtot, ctx.itot), dtype=dtype)
+        # next compute time: 0 -> radiation runs on the first step
+        sfc["rad_time_next"] = np.zeros((), dtype=dtype)
+        return sfc
+
+    def _compute(self, ctx, s, time_s, thermo):
+        """One full radiation solve: (thl tendency, surface-flux dict)."""
+        T, wv_path, dry_path, lwp, rho, dz, exn = self._domain_paths(ctx, s, thermo)
         tend = jnp.zeros_like(T)
-        sfc_out = {}
+        zero2d = jnp.zeros_like(T[0])
+        sfc_out = {k_: zero2d for k_ in self._SFC_KEYS}
 
         t_sfc = (jnp.asarray(self.t_sfc, dtype=ctx.dtype)
                  if self.t_sfc > 0. else T[0])
 
         if self.sw_longwave:
-            fdn_top = self._bg_lw()
-            lw_up, lw_dn = self._longwave(ctx, T, wv_path, dry_path, lwp,
-                                          t_sfc, fdn_top)
+            if self.kdist_lw is not None:
+                lw_up, lw_dn = self._lw_table_flux(ctx, T, lwp, t_sfc,
+                                                   thermo, s)
+            else:
+                fdn_top = self._bg_lw()
+                lw_up, lw_dn = self._longwave(ctx, T, wv_path, dry_path,
+                                              lwp, t_sfc, fdn_top)
             net = lw_up - lw_dn
             tend = tend - (net[1:] - net[:-1]) / (rho * cst.cp * exn * dz)
             sfc_out["lw_flux_up"] = lw_up[0]
@@ -258,11 +408,16 @@ class RadiationRrtmgp:
                 mu0 = self.mu0
             else:
                 mu0 = calc_zenith(self.lat, self.lon, time_s / 86400.)
-            toa = 1365.0 * self.tsi_scaling * jnp.maximum(mu0, 0.)
-            toa = toa * self._bg_sw_trans()
             day = mu0 > 0.
-            sw_up, sw_dn, sw_dir = self._shortwave(
-                ctx, wv_path, dry_path, lwp, jnp.asarray(mu0, ctx.dtype), toa)
+            if self.kdist_sw is not None:
+                sw_up, sw_dn, sw_dir = self._sw_table_flux(
+                    ctx, T, lwp, jnp.asarray(mu0, ctx.dtype), thermo, s)
+            else:
+                toa = 1365.0 * self.tsi_scaling * jnp.maximum(mu0, 0.)
+                toa = toa * self._bg_sw_trans()
+                sw_up, sw_dn, sw_dir = self._shortwave(
+                    ctx, wv_path, dry_path, lwp,
+                    jnp.asarray(mu0, ctx.dtype), toa)
             zero = jnp.zeros_like(sw_up)
             sw_up = jnp.where(day, sw_up, zero)
             sw_dn = jnp.where(day, sw_dn, zero)
@@ -270,6 +425,39 @@ class RadiationRrtmgp:
             tend = tend - (net[1:] - net[:-1]) / (rho * cst.cp * exn * dz)
             sfc_out["sw_flux_up"] = sw_up[0]
             sfc_out["sw_flux_dn"] = sw_dn[0]
+        return tend, sfc_out
+
+    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
+        if "thl" not in s:
+            return t, sfc
+        ks, ke = ctx.ks, ctx.ke
+
+        if self.dt_rad <= 0. or "rad_time_next" not in sfc:
+            tend, sfc_out = self._compute(ctx, s, time_s, thermo)
+        else:
+            # dt_rad gating (radiation_rrtmgp.cxx exec): recompute when the
+            # clock passes rad_time_next, otherwise hold the previous
+            # tendency and surface fluxes.
+            do = jnp.asarray(time_s, ctx.dtype) >= sfc["rad_time_next"]
+
+            def yes(_):
+                tend, fl = self._compute(ctx, s, time_s, thermo)
+                return (tend,) + tuple(fl[k_] for k_ in self._SFC_KEYS)
+
+            def no(_):
+                return ((sfc["rad_tend"],)
+                        + tuple(sfc["rad_" + k_] for k_ in self._SFC_KEYS))
+
+            out = jax.lax.cond(do, yes, no, operand=None)
+            tend = out[0]
+            sfc_out = dict(zip(self._SFC_KEYS, out[1:]))
+            sfc = dict(sfc)
+            sfc["rad_tend"] = tend
+            for k_ in self._SFC_KEYS:
+                sfc["rad_" + k_] = sfc_out[k_]
+            sfc["rad_time_next"] = jnp.where(
+                do, jnp.asarray(time_s, ctx.dtype) + ctx.dtype(self.dt_rad),
+                sfc["rad_time_next"])
 
         t = dict(t)
         t["thl"] = t["thl"].at[ks:ke].add(tend)
@@ -277,7 +465,7 @@ class RadiationRrtmgp:
         # (same-trace; no host round trip)
         for k_, v in sfc_out.items():
             aux[k_ + "_sfc"] = v
-        return t
+        return t, sfc
 
     def get_surface_radiation(self):
         """Fallback zeros; the live planes reach the land-surface scheme

@@ -404,8 +404,9 @@ def build_tendency_diag(model):
         t = record("thermo", model.thermo.exec(ctx, s, dict(t), aux), t)
         t2, aux = model.micro.exec(ctx, s, dict(t), aux, dt)
         t = record("micro", t2, t)
-        t = record("rad", model.radiation.exec(ctx, s, dict(t), aux, time_s,
-                                               model.thermo), t)
+        t_rad, _sfc_rad = model.radiation.exec(ctx, s, dict(t), sfc, aux,
+                                               time_s, model.thermo)
+        t = record("rad", t_rad, t)
         t = record("advec", model.advec.exec(ctx, s, dict(t), aux), t)
         t = record("diff", model.diff.exec(ctx, s, dict(t), aux, sfc), t)
         t = record("buffer", model.buffer(ctx, s, dict(t), aux), t)

@@ -186,7 +186,7 @@ adaptivestep=false
     t = {n: jnp.zeros_like(v) for n, v in s.items()}
     total0 = float(jnp.sum(s["s1"][ks:ke]))
     for _ in range(16):
-        out = m._step_fn(s, t, {}, m.pres_params, jnp.asarray(0.25),
+        out = m._step_fn(s, {}, m.pres_params, jnp.asarray(0.25),
                          jnp.asarray(0.0))
         s, t = out[0], out[1]
     s1 = np.asarray(s["s1"])[ks:ke]

@@ -99,7 +99,7 @@ def test_plume_exits_without_wrap(model):
     tz = jnp.asarray(0.0)
     total0 = float(jnp.sum(s["s1"][ks:ke]))
     for _ in range(64):  # 16 time units: blob advects ~16 m, fully exits
-        out = m._step_fn(s, t, sfc, m.pres_params, dt, tz)
+        out = m._step_fn(s, sfc, m.pres_params, dt, tz)
         s, t, sfc = out[0], out[1], out[2]
     s1 = np.asarray(s["s1"])[ks:ke]
 
@@ -149,7 +149,7 @@ def test_periodic_control_wraps(tmp_path):
     dt = jnp.asarray(0.25)
     tz = jnp.asarray(0.0)
     for _ in range(64):
-        out = m._step_fn(s, t, {}, m.pres_params, dt, tz)
+        out = m._step_fn(s, {}, m.pres_params, dt, tz)
         s, t = out[0], out[1]
     s1 = np.asarray(s["s1"])[ks:ke]
     assert s1[:, :, :10].max() > 0.5, "periodic control should wrap"

@@ -142,7 +142,7 @@ def test_flow_over_hill(model):
     dt = jnp.asarray(0.5)
     tz = jnp.asarray(0.0)
     for _ in range(40):
-        s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt, tz)
+        s, sfc, aux = m._step_fn(s, sfc, m.pres_params, dt, tz)
     w = np.asarray(s["w"])
     assert np.isfinite(w).all()
     # hill crest at i=16 (x=320); sample w above the slopes at z~160 (k index)

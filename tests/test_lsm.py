@@ -192,7 +192,7 @@ def test_full_model_steps(model):
     dt = jnp.asarray(2.0)
     tz = jnp.asarray(0.0)
     for _ in range(5):
-        s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt, tz)
+        s, sfc, aux = m._step_fn(s, sfc, m.pres_params, dt, tz)
     for name in ("u", "w", "thl", "qt", "t_soil", "theta_soil", "wl"):
         a = np.asarray(s[name])
         assert np.isfinite(a).all(), name
@@ -276,7 +276,7 @@ def test_heterogeneous_full_step(het_model):
     m.build_step()
     s, t, sfc = m.as_device_state(m.load_state())
     dt = jnp.asarray(2.0)
-    s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt, jnp.asarray(0.0))
+    s, sfc, aux = m._step_fn(s, sfc, m.pres_params, dt, jnp.asarray(0.0))
     for name in ("u", "thl", "qt", "t_soil", "theta_soil", "wl"):
         assert np.isfinite(np.asarray(s[name])).all(), name
 
@@ -288,7 +288,7 @@ def test_restart_files_roundtrip(model, tmp_path):
     s, t, sfc = m.as_device_state(state_np)
     dt = jnp.asarray(2.0)
     tz = jnp.asarray(0.0)
-    s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt, tz)
+    s, sfc, aux = m._step_fn(s, sfc, m.pres_params, dt, tz)
     wd = str(tmp_path)
     st = {n: np.asarray(s[n]) for n in m.fields.all_prognostic_names}
     m.fields.save(st, 7, wd)

@@ -201,3 +201,108 @@ def test_folded_buffer_coriolis_match(setup):
             b = np.asarray(t_f[name])[ks:ke]
             err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
             assert err < 1e-12, (tiled, name, err)
+
+
+def test_fold_ghosts_matches(setup):
+    """Ghost-free clamped-index kernels + wall patches must reproduce the
+    ghost-filled pipeline exactly — proven with NaN ghost planes, so ANY
+    accidental ghost read would poison the result."""
+    m, ctx, s, sfc, fused = setup
+    aux = m.diff.exec_viscosity(ctx, s, sfc, {})
+    t0 = {n: jnp.zeros_like(s[n]) for n in s}
+
+    # reference (ghost-filled) pipeline
+    t_ref = m.thermo.exec(ctx, s, dict(t0), aux)
+    t_ref = m.advec.exec(ctx, s, t_ref, aux)
+    t_ref = m.diff.exec(ctx, s, t_ref, aux, sfc)
+
+    # poison the ghost planes
+    ks, ke = ctx.ks, ctx.ke
+    s_bad = {}
+    for n, a in s.items():
+        a = a.at[:ks].set(jnp.nan)
+        a = a.at[ke + (1 if n == "w" else 0):].set(jnp.nan)
+        s_bad[n] = a
+
+    f = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                  fold_ghosts=True,
+                  top_grad_th=float(m.boundary.bcs["th"].top))
+    aux_f = fused_exec_viscosity(f, ctx, s_bad, sfc, {})
+    assert np.all(np.isfinite(np.asarray(aux_f["evisc_int"])))
+    ev_ref = np.asarray(aux["evisc"])[ks:ke]
+    ev_f = np.asarray(aux_f["evisc_int"])
+    assert np.allclose(ev_ref, ev_f, rtol=1e-12, atol=1e-14), \
+        np.abs(ev_ref - ev_f).max()
+
+    t_f = fused_tendencies(f, ctx, s_bad, dict(t0), aux_f, sfc)
+    for name in ("u", "v", "w", "th"):
+        a = np.asarray(t_ref[name])[ks:ke]
+        b = np.asarray(t_f[name])[ks:ke]
+        assert np.all(np.isfinite(b)), name
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-12, (name, err)
+
+
+def test_sharded_fused_matches_single_device():
+    """Fused kernels under a 2x4 mesh (shard_map + ppermute halo exchange)
+    must reproduce the single-device fused step bitwise (f64, CPU)."""
+    import jax
+    from microhh_tpu.parallel import mesh as pmesh
+
+    INI_RUN = INI.replace("endtime=3600", "endtime=12").replace(
+        "savetime=3600", "savetime=12")
+
+    def build(mesh):
+        m = Model(Ini(INI_RUN), "run", "fused_sh")
+        m.force_fused = True
+        if mesh is not None:
+            m.set_mesh(mesh)
+        m.finish_setup()
+        m.build_step()
+        return m
+
+    def initial(m):
+        g = m.grid
+        rng = np.random.RandomState(7)
+        s = {}
+        for name in m.fields.prognostic_names:
+            a = np.zeros((g.kcells, g.jtot, g.itot))
+            a[g.kstart:g.kend] = 0.2 * rng.randn(g.ktot, g.jtot, g.itot)
+            s[name] = a
+        s["th"][g.kstart:g.kend] += 300. + 0.003 * g.z[g.kstart:g.kend, None, None]
+        s["w"][g.kstart] = 0.
+        s["w"][g.kend] = 0.
+        s = {k: jnp.asarray(v) for k, v in s.items()}
+        sfc = {k: jnp.asarray(v) for k, v in
+               m.boundary.init_surface_state().items()}
+        return s, sfc
+
+    # single device
+    m1 = build(None)
+    assert m1._maybe_build_fused() is not None
+    s1, sfc1 = initial(m1)
+    dt = jnp.asarray(0.5)
+    o1 = m1._step_raw(s1, sfc1, m1.pres_params, dt, jnp.asarray(0.0))
+    u1 = np.asarray(o1[0]["u"])
+    th1 = np.asarray(o1[0]["th"])
+
+    # 2x4 mesh
+    mesh = pmesh.make_mesh(2, 4)
+    m2 = build(mesh)
+    f2 = m2._maybe_build_fused()
+    assert f2 is not None and f2.sharded_mesh is mesh
+    s2, sfc2 = initial(m2)
+    s2, _t, sfc2 = pmesh.shard_state(s2, {k: jnp.zeros_like(v) for k, v in s2.items()}, sfc2, mesh)
+    with mesh:
+        o2 = jax.jit(m2._step_raw)(s2, sfc2, m2.pres_params, dt,
+                                   jnp.asarray(0.0))
+    u2 = np.asarray(o2[0]["u"])
+    th2 = np.asarray(o2[0]["th"])
+
+    # interior only: the ghost planes differ by design (the single-device
+    # fold_ghosts path leaves them stale; the sharded path fills them)
+    ks, ke = m1.ctx.ks, m1.ctx.ke
+    assert np.allclose(u1[ks:ke], u2[ks:ke], rtol=0, atol=1e-13), \
+        np.abs(u1[ks:ke] - u2[ks:ke]).max()
+    assert np.allclose(th1[ks:ke], th2[ks:ke], rtol=0, atol=1e-11), \
+        np.abs(th1[ks:ke] - th2[ks:ke]).max()

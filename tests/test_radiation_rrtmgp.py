@@ -122,7 +122,7 @@ def test_radiative_tendency_and_surface_fluxes(model):
 
     t = {n: jnp.zeros_like(v) for n, v in s.items()}
     aux = {}
-    t2 = m.radiation.exec(ctx, s, t, aux, 43200., m.thermo)
+    t2, _sfc = m.radiation.exec(ctx, s, t, {}, aux, 43200., m.thermo)
 
     tend = np.asarray(t2["thl"])[ks:ke]
     assert np.isfinite(tend).all()
@@ -163,8 +163,8 @@ def test_cloud_shades_the_surface(model):
 
     t0 = {n: jnp.zeros_like(v) for n, v in base.items()}
     aux_c, aux_k = {}, {}
-    m.radiation.exec(ctx, clear, dict(t0), aux_c, 43200., m.thermo)
-    m.radiation.exec(ctx, cloudy, dict(t0), aux_k, 43200., m.thermo)
+    m.radiation.exec(ctx, clear, dict(t0), {}, aux_c, 43200., m.thermo)
+    m.radiation.exec(ctx, cloudy, dict(t0), {}, aux_k, 43200., m.thermo)
     sw_clear = np.asarray(aux_c["sw_flux_dn_sfc"]).mean()
     sw_cloud = np.asarray(aux_k["sw_flux_dn_sfc"]).mean()
     assert sw_cloud < 0.6 * sw_clear, (sw_clear, sw_cloud)
@@ -185,7 +185,7 @@ def test_full_model_run(model):
     t = {n: jnp.zeros_like(v) for n, v in s.items()}
     dt = jnp.asarray(2.0)
     for step in range(5):
-        s, t, sfc, aux = m._step_fn(s, t, sfc, m.pres_params, dt,
+        s, sfc, aux = m._step_fn(s, sfc, m.pres_params, dt,
                                     jnp.asarray(43200.))
     assert np.isfinite(np.asarray(s["thl"])).all()
     assert np.isfinite(np.asarray(s["w"])).all()

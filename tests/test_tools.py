@@ -46,3 +46,46 @@ def test_namelist_roundtrip(tmp_path):
     mht.replace_namelist_value(str(ini), "itot", 64, "grid")
     nl = mht.Read_namelist(str(ini))
     assert nl["grid"]["itot"] == 64
+
+
+@pytest.mark.slow
+def test_restart_bitwise_moist(tmp_path):
+    """Two-leg bitwise restart for a MOIST run (bomex-style: saturation
+    adjustment, anelastic basestate, thl/qt state) — covers the restart
+    chain beyond the dry default-boundary case."""
+    os.environ["MICROHH_PLATFORM"] = "cpu"
+    for f in os.listdir(os.path.join(CASES, "bomex")):
+        shutil.copy(os.path.join(CASES, "bomex", f), tmp_path)
+    opts = {
+        "grid": {"itot": 8, "jtot": 8, "ktot": 16},
+        "time": {"endtime": 60., "savetime": 30., "outputiter": 10},
+        "stats": {"swstats": 0},
+    }
+    nerror, wdir, wdir2 = mht.run_restart(
+        "bomex", opts, case_dir=str(tmp_path), precision="double")
+    assert nerror == 0, "moist restart files differ bitwise"
+    assert os.path.exists(os.path.join(wdir2, "qt.0000060"))
+
+
+@pytest.mark.slow
+def test_restart_bitwise_lsm(tmp_path):
+    """Two-leg bitwise restart for a LAND-SURFACE run (cabauw-style): soil
+    temperature/moisture columns, the wl reservoir and the skin/flux 2-D
+    state must all round-trip through the restart files
+    (boundary_surface_lsm save/load)."""
+    os.environ["MICROHH_PLATFORM"] = "cpu"
+    for f in os.listdir(os.path.join(CASES, "cabauw_lsm")):
+        shutil.copy(os.path.join(CASES, "cabauw_lsm", f), tmp_path)
+    opts = {
+        "grid": {"itot": 8, "jtot": 8, "ktot": 16},
+        "time": {"endtime": 60., "savetime": 30., "outputiter": 10},
+        "stats": {"swstats": 0},
+        "cross": {"swcross": 0},
+    }
+    nerror, wdir, wdir2 = mht.run_restart(
+        "cabauw_lsm", opts, case_dir=str(tmp_path), precision="double")
+    assert nerror == 0, "LSM restart files differ bitwise"
+    # soil + reservoir state files exist and were compared
+    names = os.listdir(mht_dir := wdir)
+    assert any(n.startswith("t_soil.") for n in names), names
+    assert any(n.startswith("wl.") for n in names), names
