@@ -326,15 +326,30 @@ class Model:
             cfl = self.advec.cfl_max(ctx, s)
             if cfl is not None:
                 out["cfl_rate"] = cfl
-            s_g = self.boundary.set_ghost_cells(ctx, s, sfc)
-            aux = self.diff.exec_viscosity(ctx, s_g, sfc, {})
-            dn = self.diff.get_dn(ctx, s_g, aux)
+            if fused is not None:
+                # reuse the fused evisc kernel (one HBM pass) for dnmul
+                from .ops.pallas_fused import fused_exec_viscosity
+                s_in = s if fold_ghosts else \
+                    self.boundary.set_ghost_cells(ctx, s, sfc)
+                aux = fused_exec_viscosity(fused, ctx, s_in, sfc, {})
+                if "evisc_int" in aux:
+                    aux = {"evisc": _pad_limits(aux["evisc_int"])}
+                dn = self.diff.get_dn(ctx, s_in, aux)
+            else:
+                s_g = self.boundary.set_ghost_cells(ctx, s, sfc)
+                aux = self.diff.exec_viscosity(ctx, s_g, sfc, {})
+                dn = self.diff.get_dn(ctx, s_g, aux)
             if dn is not None:
                 out["dn_rate"] = dn
             mrate = self.micro.get_time_limit_rate(ctx, s)
             if mrate is not None:
                 out["micro_rate"] = mrate
             return out
+
+        def _pad_limits(ev_int):
+            # get_dn only reads the interior; pad cheaply to kcells
+            return jnp.pad(ev_int, ((ctx.ks, ctx.kcells - ctx.ke),
+                                    (0, 0), (0, 0)))
 
         def diagnostics(s, sfc):
             # Ghost cells are filled before the checks, like the reference's
@@ -470,9 +485,11 @@ class Model:
         if tj is None:
             return None
         row = ctx.itot * np.dtype(self.dtype).itemsize
-        # 15 windows, double-buffered, plus four output blocks
+        # 15 windows, double-buffered, plus four output blocks.  The bound
+        # is empirical: 8.8MB of window scratch (tj=128 at itot=512)
+        # crashes the Mosaic compiler; 6.6MB (tj=128 at 384) compiles.
         while tj >= 8 and (30 * (tj + 2 * HALO_J) * row + 4 * tj * row
-                           > 12 * 1024 * 1024):
+                           > 7 * 1024 * 1024):
             tj //= 2
         if tj < 8 or ctx.jtot % tj != 0:
             return None

@@ -116,3 +116,56 @@ def auto_mesh_shape(n_devices):
         if n_devices % npx == 0:
             best = (n_devices // npx, npx)
     return best
+
+
+# ---------------------------------------------------------------------------
+#  multi-host / multi-slice
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Start the jax.distributed runtime for multi-host runs (the analog of
+    the reference's MPI_Init, ``src/master_parallel.cxx:57-86``).  On cloud
+    TPU pods the arguments auto-detect; pass them explicitly elsewhere."""
+    import jax
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process run or already initialized
+
+
+def make_multislice_mesh(n_slices, npy, npx, devices=None):
+    """3-axis ('dcn', 'y', 'x') mesh for multi-slice TPU runs.
+
+    The slow DCN axis stacks extra y-pencil rows on top of the per-slice
+    ICI mesh: fields shard P(None, ('dcn','y'), 'x'), so halo exchanges
+    cross DCN only at one row of the process grid per slice — the same
+    surface-to-volume contact the reference's 2-D rank grid gives a row of
+    nodes (SURVEY §5.8).  On real pods use mesh_utils'
+    hybrid mesh so the DCN axis maps to actual slice boundaries; on a flat
+    device list (tests) the axis is a plain outer reshape."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_slices * npy * npx
+    if len(devices) < n:
+        raise ValueError("need %d devices, have %d" % (n, len(devices)))
+    try:
+        from jax.experimental import mesh_utils
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (npy, npx), (n_slices, 1),
+            devices=devices[:n], allow_split_physical_axes=True)
+        devs = devs.reshape(n_slices, npy, npx)
+    except Exception:
+        devs = np.asarray(devices[:n]).reshape(n_slices, npy, npx)
+    return Mesh(devs, ("dcn", "y", "x"))
+
+
+def multislice_field_sharding(mesh):
+    """(kcells, jtot, itot) fields on a ('dcn','y','x') mesh: j splits over
+    DCN x ICI, i over ICI."""
+    return NamedSharding(mesh, P(None, ("dcn", "y"), "x"))

@@ -107,33 +107,35 @@ def test_cross_and_dump_files(tmp_path):
 
 
 def test_restart_bitwise(tmp_path):
-    """Run 0 -> 0.4 in one go vs restart from 0.2: identical restart files
-    (reference run_restart + compare_bitwise, microhh_tools.py:1004-1040)."""
+    """REAL two-leg restart: run 0 -> 0.4 in one go, then restart a second
+    leg at 0.2 from the mid-time files; the 0.4 restart files must be
+    bitwise identical (reference run_restart + compare_bitwise,
+    microhh_tools.py:1004-1040)."""
     wd1 = str(tmp_path / "full")
     wd2 = str(tmp_path / "restart")
     os.makedirs(wd1)
     os.makedirs(wd2)
-    ini_norand = INI.replace("iotimeprec", "iotimeprec")  # same ini
 
     run_cli(wd1, "init", INI)
-    # copy initial files to the restart dir
-    import shutil
-    for f in os.listdir(wd1):
-        shutil.copy(os.path.join(wd1, f), wd2)
-
     run_cli(wd1, "run", INI)
 
-    # second leg: start from the mid-time restart of leg 1... to keep the
-    # trigger times simple (iotimeprec=0 with sub-second times), instead run
-    # the same full leg in wd2 and compare bitwise determinism of the run.
-    m2 = run_cli(wd2, "run", INI)
-    g = m2.grid
-    for name in ("u", "v", "w", "s1"):
-        files1 = sorted(f for f in os.listdir(wd1) if f.startswith(name + "."))
-        for f in files1:
-            a = open(os.path.join(wd1, f), "rb").read()
-            b = open(os.path.join(wd2, f), "rb").read()
-            assert a == b, "restart file %s differs between identical runs" % f
+    # stage leg 2 from the mid-time save (iotimeprec=-1 -> iotime 2 = 0.2 s)
+    import shutil
+    for f in os.listdir(wd1):
+        if f.endswith(".0000002") or f.startswith("grid."):
+            shutil.copy(os.path.join(wd1, f), wd2)
+    ini2 = INI.replace("starttime=0", "starttime=0.2")
+    run_cli(wd2, "run", ini2)
+
+    nchecked = 0
+    for name in ("u", "v", "w", "s1", "time"):
+        f = name + ".0000004"
+        assert os.path.exists(os.path.join(wd2, f)), f
+        a = open(os.path.join(wd1, f), "rb").read()
+        b = open(os.path.join(wd2, f), "rb").read()
+        assert a == b, "restart file %s differs between legs" % f
+        nchecked += 1
+    assert nchecked == 5
 
 
 def test_post_mode(tmp_path):

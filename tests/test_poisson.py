@@ -266,3 +266,58 @@ dt=0.1
     scale = np.abs(x_lu).max()
     assert np.abs(x_eig - x_lu).max() / scale < 1e-10, \
         np.abs(x_eig - x_lu).max() / scale
+
+
+def test_multislice_mesh_step():
+    """3-axis ('dcn','y','x') multi-slice mesh: a jitted LES step with
+    fields sharded P(None, ('dcn','y'), 'x') compiles and runs on the
+    virtual 8-device mesh (DCN as the outer axis, SURVEY §5.8)."""
+    import jax
+    import jax.numpy as jnp
+    from microhh_tpu.parallel import mesh as pmesh
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+
+    mesh = pmesh.make_multislice_mesh(2, 2, 2)
+    assert mesh.axis_names == ("dcn", "y", "x")
+
+    ini = Ini("""
+[grid]
+itot=8
+jtot=8
+ktot=8
+xsize=1.
+ysize=1.
+zsize=1.
+swspatialorder=2
+[fields]
+visc=0.01
+slist=s1
+[boundary]
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[time]
+starttime=0
+endtime=1.
+savetime=1.
+dt=0.1
+""")
+    m = Model(ini, "run", "ms")
+    m.finish_setup()
+    m.build_step()
+    fs = pmesh.multislice_field_sharding(mesh)
+    rng = np.random.RandomState(0)
+    s = {}
+    for name in m.fields.all_prognostic_names:
+        a = np.zeros((m.grid.kcells, 8, 8))
+        a[m.grid.kstart:m.grid.kend] = 0.1 * rng.randn(m.grid.ktot, 8, 8)
+        s[name] = jax.device_put(jnp.asarray(a), fs)
+    with mesh:
+        out = jax.jit(m._step_raw)(s, {}, m.pres_params,
+                                   jnp.asarray(0.05), jnp.asarray(0.0))
+        jax.block_until_ready(out[0]["u"])
+    assert np.isfinite(np.asarray(out[0]["u"])).all()
