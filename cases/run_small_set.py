@@ -30,6 +30,7 @@ ENDTIME = {
     "rayleightaylor": 1., "andren1994": 20., "eady": 400., "SBL_DNN": 2.,
     "jaenschwalde": 60., "drycblslope": 0.2, "vanheerwaarden2016": 2.,
     "weakscaling": 0.1, "sullivan2011": 60., "gabls4s3": 60.,
+    "SBL_Smag": 2., "SBL_DNNglobalScales": 2., "SBL_DNNstatsScales": 2.,
 }
 
 
