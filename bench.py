@@ -31,20 +31,28 @@ def _run_size(ge, size, ktot, nsteps):
     s, t, sfc = ge._initial_state(model)
     dt = jnp.asarray(2.0, dtype=model.dtype)
     time0 = jnp.asarray(0.0, dtype=model.dtype)
-    step = model._step_fn
     pp = model.pres_params
 
-    # warmup (compile) + one settled step
-    s, sfc, _ = step(s, sfc, pp, dt, time0)
-    jax.block_until_ready(s["u"])
+    # One device dispatch for all nsteps (lax.scan over the step) — the
+    # per-call host->device round trip otherwise costs ~2-3 ms/step
+    # through the remote-chip tunnel.
+    def chunk(s, sfc):
+        def body(carry, _):
+            s, sfc = carry
+            s, sfc, _aux = model._step_raw(s, sfc, pp, dt, time0)
+            return (s, sfc), 0
+        (s, sfc), _ = jax.lax.scan(body, (s, sfc), None, length=nsteps)
+        return s, sfc
+
+    chunk_j = jax.jit(chunk, donate_argnums=(0, 1))
+    s1, sfc1 = chunk_j(s, sfc)   # warmup/compile
+    jax.block_until_ready(s1["u"])
 
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        s, sfc, _ = step(s, sfc, pp, dt, time0)
-    jax.block_until_ready(s["u"])
+    s2, sfc2 = chunk_j(s1, sfc1)
+    jax.block_until_ready(s2["u"])
     t1 = time.perf_counter()
-    # free device buffers before the next size is attempted
-    del s, t, sfc, step, pp, model
+    del s, t, sfc, s1, sfc1, s2, sfc2, pp, model, chunk_j
     gc.collect()
     return (t1 - t0) / nsteps
 

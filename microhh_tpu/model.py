@@ -244,7 +244,12 @@ class Model:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
             if getattr(self.thermo, "swupdatebasestate", False):
                 aux = self.thermo.update_basestate(ctx, s, dict(aux))
-            if fused is not None:
+            if fused is not None and fused.generic:
+                from .ops.pallas_fused import fused_generic_viscosity
+                aux = fused_generic_viscosity(fused, ctx, s, sfc, aux,
+                                              self.thermo)
+                t = self.thermo.exec(ctx, s, t, aux)
+            elif fused is not None:
                 from .ops.pallas_fused import (fused_exec_viscosity,
                                                fused_tendencies)
                 aux = fused_exec_viscosity(fused, ctx, s, sfc, aux)
@@ -276,7 +281,10 @@ class Model:
                 s_cons["w"] = set_ghost_cells_w(ctx, s["w"], conservation=True)
             else:
                 s_cons = s
-            if fused is not None:
+            if fused is not None and fused.generic:
+                from .ops.pallas_fused import fused_generic_tendencies
+                t = fused_generic_tendencies(fused, ctx, s, t, aux, sfc)
+            elif fused is not None:
                 t = fused_tendencies(fused, ctx, s, t, aux, sfc)
             else:
                 t = self.advec.exec(ctx, s_cons, t, aux)
@@ -328,10 +336,15 @@ class Model:
                 out["cfl_rate"] = cfl
             if fused is not None:
                 # reuse the fused evisc kernel (one HBM pass) for dnmul
-                from .ops.pallas_fused import fused_exec_viscosity
+                from .ops.pallas_fused import (fused_exec_viscosity,
+                                               fused_generic_viscosity)
                 s_in = s if fold_ghosts else \
                     self.boundary.set_ghost_cells(ctx, s, sfc)
-                aux = fused_exec_viscosity(fused, ctx, s_in, sfc, {})
+                if fused.generic:
+                    aux = fused_generic_viscosity(fused, ctx, s_in, sfc, {},
+                                                  self.thermo)
+                else:
+                    aux = fused_exec_viscosity(fused, ctx, s_in, sfc, {})
                 if "evisc_int" in aux:
                     aux = {"evisc": _pad_limits(aux["evisc_int"])}
                 dn = self.diff.get_dn(ctx, s_in, aux)
@@ -396,11 +409,13 @@ class Model:
         has_thermo = isinstance(self.thermo, ThermoDry)
         if not (ctx.spatial_order == 2
                 and type(self.advec) is Advec2
-                and type(self.diff) is DiffSmag2
-                and ((has_thermo and ctx.scalar_names == ("th",))
-                     or (isinstance(self.thermo, ThermoDisabled)
-                         and ctx.scalar_names == ()))):
+                and type(self.diff) is DiffSmag2):
             return None
+        specialized = ((has_thermo and ctx.scalar_names == ("th",))
+                       or (isinstance(self.thermo, ThermoDisabled)
+                           and ctx.scalar_names == ()))
+        if not specialized:
+            return self._maybe_build_fused_generic(ctx)
         interpret = jax.default_backend() != "tpu"
         if interpret and not getattr(self, "force_fused", False):
             return None  # CPU: keep the jnp path (tests use force_fused)
@@ -496,6 +511,40 @@ class Model:
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
                          interpret=interpret, tiled=True, tj=tj,
                          buffer=fold_buffer, force=fold_force)
+
+    def _maybe_build_fused_generic(self, ctx):
+        """Fused kernels for any thermo (N2 computed in XLA) and any scalar
+        list: per-field uv/w/scalar passes + the evisc_n2 kernel.  Covers
+        the moist/vapor/buoy LES hot paths (bomex, rico, SBL_Smag, ...)."""
+        import jax as _jax
+        from .ops.pallas_fused import FusedLES2
+        interpret = _jax.default_backend() != "tpu"
+        if interpret and not getattr(self, "force_fused", False):
+            return None
+        if self.mesh is not None:
+            return None  # sharded generic mode: future work
+        if not getattr(self.diff, "surface", False):
+            return None  # wall patches assume the MO surface layer
+        if ctx.scalar_names and not hasattr(self.thermo, "get_n2"):
+            return None
+        # every scalar needs a surface flux plane for the wall patch
+        if not getattr(self.boundary, "is_surface", False):
+            return None
+        plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
+        if plane * 26 > 14 * 1024 * 1024:
+            return None  # largest generic kernel holds 13 blocks x2
+        from .ops.force import Force
+        fold_force = None
+        if (isinstance(self.force, Force) and self.force.swlspres == "geo"
+                and self.force.swls == "0" and self.force.swwls == "0"
+                and self.force.swnudge == "0"):
+            fold_force = self.force
+        self._skip_buffer = False
+        self._skip_force = fold_force is not None
+        fused = FusedLES2(ctx, self.diff, self.thermo, False,
+                          interpret=interpret, force=fold_force)
+        fused.generic = True
+        return fused
 
     # ------------------------------------------------------------------
     #  run mode

@@ -98,7 +98,7 @@ def _cc(cc_ref, slot):
 # ==========================================================================
 
 def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
-                u_dn, u, u_up, v_dn, v, v_up, w, w1, th_dn, th_up):
+                u_dn, u, u_up, v_dn, v, v_up, w, w1, th_dn, th_up, n2=None):
     dzi = _cc(cc_ref, C_DZI)
     dzhi = _cc(cc_ref, C_DZHI)
     dzhi1 = _cc(cc_ref, C_DZHI1)
@@ -121,6 +121,10 @@ def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
 
     strain2 = 2. * (dudx ** 2 + dvdy ** 2 + dwdz ** 2 + horiz + vert_x + vert_y) + cst.dsmall
 
+    if n2 is not None:
+        # externally-computed buoyancy frequency (moist/buoy thermo)
+        rit = jnp.minimum(n2 / strain2 / tPr, 1. - cst.dsmall)
+        return mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
     if has_thermo:
         thref = _cc(cc_ref, C_THREFH)  # full-level thref in the evisc table
         # C_TOPS patches the clamped th_up on the last row (ghost-free
@@ -233,6 +237,61 @@ def _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
     return wt, tht
 
 
+def _w_math(dxi, dyi, visc, cc_ref,
+            u_dn, u, v_dn, v, w_dn, w, w_up, e_dn, e):
+    """advec_2 + diff_smag2 for w alone (the generic fused mode's w pass;
+    buoyancy stays in the thermo op)."""
+    dzi = _cc(cc_ref, C_DZI)
+    dzhi = _cc(cc_ref, C_DZHI)
+    dzi_m1 = _cc(cc_ref, C_DZI_M1)
+    rho = _cc(cc_ref, C_RHO)
+    rhoh = _cc(cc_ref, C_RHOH)
+    rho_m1 = _cc(cc_ref, C_Z)  # slot reused for rho[k-1]
+
+    adv_w = -((_i2(_ip(u_dn), _ip(u)) * _i2(w, _ip(w))
+               - _i2(u_dn, u) * _i2(_im(w), w)) * dxi
+              + (_i2(_jp(v_dn), _jp(v)) * _i2(w, _jp(w))
+                 - _i2(v_dn, v) * _i2(_jm(w), w)) * dyi
+              + (rho * _i2(w, w_up) ** 2 - rho_m1 * _i2(w_dn, w) ** 2)
+              / rhoh * dzhi)
+    ev_xw = 0.25 * (_im(e_dn) + _im(e) + e_dn + e) + visc
+    ev_yw = 0.25 * (_jm(e_dn) + _jm(e) + e_dn + e) + visc
+    dif_w = ((_ip(ev_xw) * ((_ip(w) - w) * dxi + (_ip(u) - _ip(u_dn)) * dzhi)
+              - ev_xw * ((w - _im(w)) * dxi + (u - u_dn) * dzhi)) * dxi
+             + (_jp(ev_yw) * ((_jp(w) - w) * dyi + (_jp(v) - _jp(v_dn)) * dzhi)
+                - ev_yw * ((w - _jm(w)) * dyi + (v - v_dn) * dzhi)) * dyi
+             + (rho * (e + visc) * (w_up - w) * dzi
+                - rho_m1 * (e_dn + visc) * (w - w_dn) * dzi_m1) / rhoh * 2. * dzhi)
+    wt = adv_w + dif_w
+    fb = _cc(cc_ref, C_FACZH)
+    return wt - fb * w
+
+
+def _scalar_math(tPr, dxi, dyi, svisc, cc_ref,
+                 u, v, w, w_up, a_dn, a, a_up, e_dn, e, e_up):
+    """advec_2 + diff_smag2 (diff_c) for one generic scalar."""
+    dzi = _cc(cc_ref, C_DZI)
+    dzhi = _cc(cc_ref, C_DZHI)
+    dzhi1 = _cc(cc_ref, C_DZHI1)
+    rho = _cc(cc_ref, C_RHO)
+    rhoh = _cc(cc_ref, C_RHOH)
+    rhoh1 = _cc(cc_ref, C_RHOH1)
+    adv_s = -((_ip(u) * _i2(a, _ip(a)) - u * _i2(_im(a), a)) * dxi
+              + (_jp(v) * _i2(a, _jp(a)) - v * _i2(_jm(a), a)) * dyi
+              + (rhoh1 * w_up * _i2(a, a_up) - rhoh * w * _i2(a_dn, a)) / rho * dzi)
+    se = 0.5 * (e + _ip(e)) / tPr + svisc
+    sw_ = 0.5 * (_im(e) + e) / tPr + svisc
+    sn = 0.5 * (e + _jp(e)) / tPr + svisc
+    ss = 0.5 * (_jm(e) + e) / tPr + svisc
+    st_ = 0.5 * (e + e_up) / tPr + svisc
+    sb = 0.5 * (e_dn + e) / tPr + svisc
+    dif_s = ((se * (_ip(a) - a) - sw_ * (a - _im(a))) * dxi * dxi
+             + (sn * (_jp(a) - a) - ss * (a - _jm(a))) * dyi * dyi
+             + (rhoh1 * st_ * (a_up - a) * dzhi1
+                - rhoh * sb * (a - a_dn) * dzhi) / rho * dzi)
+    return adv_s + dif_s
+
+
 # ==========================================================================
 #  full-plane kernel bodies
 # ==========================================================================
@@ -242,6 +301,29 @@ def _evisc_body(tPr, dxi, dyi, has_thermo, cc_ref,
     out_ref[0] = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
                              um[0], uc[0], up[0], vm[0], vc[0], vp[0],
                              wc[0], wp[0], thm[0], thp[0])
+
+
+def _evisc_n2_body(tPr, dxi, dyi, cc_ref,
+                   um, uc, up, vm, vc, vp, wc, wp, n2c, out_ref):
+    """Eddy viscosity with an externally-computed N2 plane (moist/buoy
+    thermo: sat_adjust etc. run in XLA, the stability correction here)."""
+    out_ref[0] = _evisc_math(tPr, dxi, dyi, False, cc_ref,
+                             um[0], uc[0], up[0], vm[0], vc[0], vp[0],
+                             wc[0], wp[0], uc[0], uc[0], n2=n2c[0])
+
+
+def _w_body(dxi, dyi, visc, cc_ref,
+            um, uc, vm, vc, wm, wc, wp, em, ec, wt_ref):
+    wt_ref[0] = _w_math(dxi, dyi, visc, cc_ref,
+                        um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
+                        em[0], ec[0])
+
+
+def _scalar_body(tPr, dxi, dyi, svisc, cc_ref,
+                 uc, vc, wc, wp, am, ac, ap, em, ec, ep, at_ref):
+    at_ref[0] = _scalar_math(tPr, dxi, dyi, svisc, cc_ref,
+                             uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
+                             em[0], ec[0], ep[0])
 
 
 def _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans, cc_ref,
@@ -502,6 +584,7 @@ class FusedLES2:
     manual-DMA variant with tile height ``tj``."""
 
     sharded_mesh = None  # set by Model for the shard_map-wrapped variant
+    generic = False      # per-field kernels + XLA thermo (any scalar list)
 
     def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
                  tiled=False, tj=64, buffer=None, force=None,
@@ -694,6 +777,90 @@ class FusedLES2:
             interpret=self.interpret,
         )(cc, u, v, w, th_in)
 
+    # -- generic entry points (any thermo / any scalar list) ----------------
+    def evisc_n2(self, u, v, w, n2_int):
+        """Evisc with an externally-computed interior N2 field (kt, j, i)."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_evisc, dtype=u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        body = functools.partial(_evisc_n2_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi))
+        n2_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot), lambda k: (k, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs = ([cc_spec]
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((0, 1), ks, ke, "w")
+                    + [n2_spec])
+        return pl.pallas_call(
+            body, grid=(kt,), in_specs=in_specs,
+            out_specs=self._out_spec_full(), out_shape=shape,
+            interpret=self.interpret,
+        )(cc, u, u, u, v, v, v, w, w, n2_int)
+
+    def tend_uv(self, u, v, w, evisc_full):
+        """uv pass alone (generic mode)."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
+                                    float(ctx.dxi), float(ctx.dyi),
+                                    self.smag.visc, self._extras())
+        specs_uv = ([cc_spec]
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((0, 1), ks, ke, "w")
+                    + self._field_specs((-1, 0, 1), ks, ke, "e"))
+        return pl.pallas_call(
+            body_uv, grid=(kt,), in_specs=specs_uv,
+            out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+            interpret=self.interpret,
+        )(cc, u, u, u, v, v, v, w, w, evisc_full, evisc_full, evisc_full)
+
+    def tend_w(self, u, v, w, evisc_full):
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        body = functools.partial(_w_body, float(ctx.dxi), float(ctx.dyi),
+                                 self.smag.visc)
+        specs = ([cc_spec]
+                 + self._field_specs((-1, 0), ks, ke, "c")
+                 + self._field_specs((-1, 0), ks, ke, "c")
+                 + self._field_specs((-1, 0, 1), ks, ke, "w")
+                 + self._field_specs((-1, 0), ks, ke, "e"))
+        return pl.pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=self._out_spec_full(), out_shape=shape,
+            interpret=self.interpret,
+        )(cc, u, u, v, v, w, w, w, evisc_full, evisc_full)
+
+    def tend_scalar(self, a, u, v, w, evisc_full, svisc):
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        body = functools.partial(_scalar_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 float(svisc))
+        specs = ([cc_spec]
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0, 1), ks, ke, "w")
+                 + self._field_specs((-1, 0, 1), ks, ke, "c")
+                 + self._field_specs((-1, 0, 1), ks, ke, "e"))
+        return pl.pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=self._out_spec_full(), out_shape=shape,
+            interpret=self.interpret,
+        )(cc, u, v, w, w, a, a, a, evisc_full, evisc_full, evisc_full)
+
     def tendencies(self, u, v, w, th, evisc_full):
         ctx = self.ctx
         ks, kt = ctx.ks, ctx.ktot
@@ -781,6 +948,35 @@ def _pad_k(ctx, interior):
     return jnp.pad(interior, ((ctx.ks, ctx.kcells - ctx.ke), (0, 0), (0, 0)))
 
 
+def _surface_evisc_row(smag, ctx, s, sfc, stratified):
+    """MO surface-layer evisc bottom row (diff_smag2.cxx calc_strain2
+    surface rows + calc_evisc bottom): 2-D work in XLA, replacing the
+    kernel's interior-formula row 0."""
+    from .stencil import im, ip, jm, jp
+    u, v, w = s["u"], s["v"], s["w"]
+    ks = ctx.ks
+    dxi, dyi = ctx.dxi, ctx.dyi
+    u0, v0 = u[ks], v[ks]
+    dudx = (ip(u0) - u0) * dxi
+    dvdy = (jp(v0) - v0) * dyi
+    dwdz = (w[ks + 1] - w[ks]) * ctx.dzi[ks]
+    c = (u0 - jm(u0)) * dyi + (v0 - im(v0)) * dxi
+    horiz = 0.125 * (c ** 2 + ip(c) ** 2 + jp(c) ** 2 + ip(jp(c)) ** 2)
+    wsl = w[ks:ks + 2]
+    dwdx = (wsl - im(wsl)) * dxi
+    dwdy = (wsl - jm(wsl)) * dyi
+    s2b = 2. * (dudx ** 2 + dvdy ** 2 + dwdz ** 2 + horiz
+                + 0.5 * sfc["dudz_mo"] ** 2
+                + 0.125 * (dwdx[0] ** 2 + ip(dwdx)[0] ** 2 + dwdx[1] ** 2 + ip(dwdx)[1] ** 2)
+                + 0.5 * sfc["dvdz_mo"] ** 2
+                + 0.125 * (dwdy[0] ** 2 + jp(dwdy)[0] ** 2 + dwdy[1] ** 2 + jp(dwdy)[1] ** 2)
+                ) + cst.dsmall
+    if stratified:
+        rit = jnp.minimum(sfc["dbdz_mo"] / s2b / smag.tPr, 1. - cst.dsmall)
+        return smag.mlen2[0] * jnp.sqrt(s2b) * jnp.sqrt(1. - rit)
+    return smag.mlen2[0] * jnp.sqrt(s2b)
+
+
 def fused_exec_viscosity(fused, ctx, s, sfc, aux):
     """evisc via the Pallas kernel + surface bottom-row patch
     (diff_smag2.cxx calc_strain2 surface rows + calc_evisc bottom)."""
@@ -799,29 +995,8 @@ def fused_exec_viscosity(fused, ctx, s, sfc, aux):
         ev = fused.evisc(u, v, w, th)
 
     if smag.surface:
-        dxi, dyi = ctx.dxi, ctx.dyi
-        from .stencil import im, ip, jm, jp
-        u0, v0 = u[ks], v[ks]
-        dudx = (ip(u0) - u0) * dxi
-        dvdy = (jp(v0) - v0) * dyi
-        dwdz = (w[ks + 1] - w[ks]) * ctx.dzi[ks]
-        c = (u0 - jm(u0)) * dyi + (v0 - im(v0)) * dxi
-        horiz = 0.125 * (c ** 2 + ip(c) ** 2 + jp(c) ** 2 + ip(jp(c)) ** 2)
-        wsl = w[ks:ks + 2]
-        dwdx = (wsl - im(wsl)) * dxi
-        dwdy = (wsl - jm(wsl)) * dyi
-        s2b = 2. * (dudx ** 2 + dvdy ** 2 + dwdz ** 2 + horiz
-                    + 0.5 * sfc["dudz_mo"] ** 2
-                    + 0.125 * (dwdx[0] ** 2 + ip(dwdx)[0] ** 2 + dwdx[1] ** 2 + ip(dwdx)[1] ** 2)
-                    + 0.5 * sfc["dvdz_mo"] ** 2
-                    + 0.125 * (dwdy[0] ** 2 + jp(dwdy)[0] ** 2 + dwdy[1] ** 2 + jp(dwdy)[1] ** 2)
-                    ) + cst.dsmall
-        if fused.has_thermo:
-            rit = jnp.minimum(sfc["dbdz_mo"] / s2b / smag.tPr, 1. - cst.dsmall)
-            ev0 = smag.mlen2[0] * jnp.sqrt(s2b) * jnp.sqrt(1. - rit)
-        else:
-            ev0 = smag.mlen2[0] * jnp.sqrt(s2b)
-        ev = ev.at[0].set(ev0)
+        ev = ev.at[0].set(_surface_evisc_row(smag, ctx, s, sfc,
+                                             fused.has_thermo))
 
     aux = dict(aux)
     if fused.fold_ghosts:
@@ -927,7 +1102,9 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
                     corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["th_fluxbot"]) / rho[ka] * dzi[ka]
                 else:
                     fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
-                    corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+                    fz_top = -smag._fluxtop("th", ctx)
+                    corr = ((rhoh[ka + 1] * fz_top - rhoh[ka] * fz_bot)
+                            / rho[ka] * dzi[ka])
                 old_vert = ((rhoh[ka + 1] * st_ * (F(a, ka + 1) - a[ka]) * dzhi[ka + 1]
                              - rhoh[ka] * sb * (a[ka] - F(a, ka - 1)) * dzhi[ka])
                             / rho[ka] * dzi[ka])
@@ -940,4 +1117,126 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     t["w"] = t["w"] + _pad_k(ctx, wt)
     if fused.has_thermo:
         t["th"] = t["th"] + _pad_k(ctx, tht)
+    return t
+
+
+# ==========================================================================
+#  generic fused mode: any thermo (N2 from XLA) + any scalar list
+# ==========================================================================
+
+def fused_generic_viscosity(fused, ctx, s, sfc, aux, thermo):
+    """Eddy viscosity for the generic mode: the thermo computes N2 in XLA
+    (sat_adjust for moist, background-N2 for buoy, ...) and the kernel does
+    the strain + stability math; the MO surface row is patched like the dry
+    path.  Mirrors DiffSmag2.exec_viscosity exactly."""
+    smag = fused.smag
+    u, v, w = s["u"], s["v"], s["w"]
+    ks, ke = ctx.ks, ctx.ke
+    stratified = thermo is not None and getattr(thermo, "scalars", ())
+    if stratified:
+        n2 = thermo.get_n2(ctx, s)
+        ev = fused.evisc_n2(u, v, w, n2)
+    else:
+        ev = fused.evisc(u, v, w, None)
+    if smag.surface:
+        ev = ev.at[0].set(_surface_evisc_row(smag, ctx, s, sfc,
+                                             bool(stratified)))
+    evisc = jnp.zeros_like(u)
+    evisc = evisc.at[ks:ke].set(ev)
+    evisc = evisc.at[ks - 1].set(ev[0])
+    evisc = evisc.at[ke].set(ev[-1])
+    aux = dict(aux)
+    aux["evisc"] = evisc
+    return aux
+
+
+def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
+    """advec_2 + diff_smag2 tendencies for u, v, w and EVERY scalar via the
+    per-field kernels, with the surface-model wall rows patched in XLA
+    (flux replacement, diff_smag2.cxx diff_u/diff_c).  Buoyancy is NOT
+    included (the thermo op adds it, as in the jnp pipeline)."""
+    smag = fused.smag
+    u, v, w = s["u"], s["v"], s["w"]
+    evisc = aux["evisc"]
+    ks, ke = ctx.ks, ctx.ke
+    dxi, dyi = ctx.dxi, ctx.dyi
+    visc = smag.visc
+
+    ut, vt = fused.tend_uv(u, v, w, evisc)
+    wt = fused.tend_w(u, v, w, evisc)
+    wt = wt.at[0].set(0.)  # half level ks is the wall
+    scalar_t = {name: fused.tend_scalar(s[name], u, v, w, evisc,
+                                        smag.viscs.get(name, visc))
+                for name in ctx.scalar_names}
+
+    if smag.surface:
+        from .stencil import im, jm
+        e = evisc
+        rho = ctx.rhoref
+        rhoh = ctx.rhorefh
+        dzi = ctx.dzi
+        dzhi = ctx.dzhi
+
+        # ---- u / v wall rows (vertical flux replacement) ----
+        for row, ka in (("bot", ks), ("top", ke - 1)):
+            ev_t = 0.25 * (im(e)[ka] + e[ka] + im(e)[ka + 1] + e[ka + 1]) + visc
+            ev_b = 0.25 * (im(e)[ka - 1] + e[ka - 1] + im(e)[ka] + e[ka]) + visc
+            if row == "bot":
+                fz_top = ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["u_fluxbot"]) / rho[ka] * dzi[ka]
+            else:
+                fz_bot = ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi)
+                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+            old_vert = ((rhoh[ka + 1] * ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                         - rhoh[ka] * ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
+                        / rho[ka] * dzi[ka])
+            idx = 0 if row == "bot" else ctx.ktot - 1
+            ut = ut.at[idx].add(corr - old_vert)
+
+        for row, ka in (("bot", ks), ("top", ke - 1)):
+            ev_t = 0.25 * (jm(e)[ka] + e[ka] + jm(e)[ka + 1] + e[ka + 1]) + visc
+            ev_b = 0.25 * (jm(e)[ka - 1] + e[ka - 1] + jm(e)[ka] + e[ka]) + visc
+            if row == "bot":
+                fz_top = ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["v_fluxbot"]) / rho[ka] * dzi[ka]
+            else:
+                fz_bot = ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi)
+                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+            old_vert = ((rhoh[ka + 1] * ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                         - rhoh[ka] * ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
+                        / rho[ka] * dzi[ka])
+            idx = 0 if row == "bot" else ctx.ktot - 1
+            vt = vt.at[idx].add(corr - old_vert)
+
+        # ---- every scalar's wall rows ----
+        for name in ctx.scalar_names:
+            a = s[name]
+            at = scalar_t[name]
+            svisc = smag.viscs.get(name, visc)
+            for row, ka in (("bot", ks), ("top", ke - 1)):
+                st_ = 0.5 * (e[ka] + e[ka + 1]) / smag.tPr + svisc
+                sb = 0.5 * (e[ka - 1] + e[ka]) / smag.tPr + svisc
+                if row == "bot":
+                    fz_top = st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
+                    corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc[name + "_fluxbot"]) / rho[ka] * dzi[ka]
+                else:
+                    # top flux = -fluxtop (flux BC value; 0 otherwise),
+                    # matching DiffSmag2.exec's flux_z[ke] override
+                    fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
+                    fz_top = -smag._fluxtop(name, ctx)
+                    corr = ((rhoh[ka + 1] * fz_top - rhoh[ka] * fz_bot)
+                            / rho[ka] * dzi[ka])
+                old_vert = ((rhoh[ka + 1] * st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
+                             - rhoh[ka] * sb * (a[ka] - a[ka - 1]) * dzhi[ka])
+                            / rho[ka] * dzi[ka])
+                idx = 0 if row == "bot" else ctx.ktot - 1
+                at = at.at[idx].add(corr - old_vert)
+            scalar_t[name] = at
+
+    t = dict(t)
+    t["u"] = t["u"] + _pad_k(ctx, ut)
+    t["v"] = t["v"] + _pad_k(ctx, vt)
+    t["w"] = t["w"] + _pad_k(ctx, wt)
+    for name in ctx.scalar_names:
+        t[name] = t[name] + _pad_k(ctx, scalar_t[name])
     return t

@@ -306,3 +306,64 @@ def test_sharded_fused_matches_single_device():
         np.abs(u1[ks:ke] - u2[ks:ke]).max()
     assert np.allclose(th1[ks:ke], th2[ks:ke], rtol=0, atol=1e-11), \
         np.abs(th1[ks:ke] - th2[ks:ke]).max()
+
+
+MOIST_INI = INI.replace("""[thermo]
+swthermo=dry
+swbasestate=boussinesq
+thref0=300.
+pbot=100000.""", """[thermo]
+swthermo=moist
+swbasestate=boussinesq
+thvref0=300.
+pbot=100000.""").replace("sbot=0.1", "sbot[thl]=0.1\nsbot[qt]=4e-5") \
+    .replace("stop=0.003", "stop[thl]=0.003\nstop[qt]=0.")
+
+
+def test_generic_fused_moist_matches():
+    """Generic fused mode (evisc_n2 + per-field uv/w/scalar kernels) must
+    reproduce the jnp DiffSmag2 + Advec2 pipeline exactly for a MOIST
+    config (thl + qt, sat_adjust N2 in XLA)."""
+    m = Model(Ini(MOIST_INI), "run", "fusedm")
+    m.force_fused = True
+    m.finish_setup()
+    ctx = m.ctx
+    g = m.grid
+    rng = np.random.RandomState(11)
+    s = {}
+    for name in m.fields.prognostic_names:
+        a = np.zeros((g.kcells, g.jtot, g.itot))
+        a[g.kstart:g.kend] = 0.2 * rng.randn(g.ktot, g.jtot, g.itot)
+        s[name] = a
+    s["thl"][g.kstart:g.kend] += 295. + 0.003 * g.z[g.kstart:g.kend, None, None]
+    s["qt"][g.kstart:g.kend] = np.abs(s["qt"][g.kstart:g.kend]) * 1e-3 + 5e-3
+    s["w"][g.kstart] = 0.
+    s["w"][g.kend] = 0.
+    s = {k: jnp.asarray(v) for k, v in s.items()}
+    sfc = {k: jnp.asarray(v) for k, v in m.boundary.init_surface_state().items()}
+    s = m.boundary.set_ghost_cells(ctx, s, sfc)
+    sfc = m.boundary.exec(ctx, s, sfc, {})
+    s = m.boundary.set_ghost_cells(ctx, s, sfc)
+
+    fused = m._maybe_build_fused()
+    assert fused is not None and fused.generic
+
+    from microhh_tpu.ops.pallas_fused import (fused_generic_viscosity,
+                                              fused_generic_tendencies)
+    aux_ref = m.diff.exec_viscosity(ctx, s, sfc, {})
+    aux_f = fused_generic_viscosity(fused, ctx, s, sfc, {}, m.thermo)
+    ks, ke = ctx.ks, ctx.ke
+    a = np.asarray(aux_ref["evisc"])
+    b = np.asarray(aux_f["evisc"])
+    assert np.allclose(a[ks:ke], b[ks:ke], rtol=1e-12, atol=1e-14), \
+        np.abs(a[ks:ke] - b[ks:ke]).max()
+
+    t0 = {n: jnp.zeros_like(s[n]) for n in s}
+    t_ref = m.advec.exec(ctx, s, dict(t0), aux_ref)
+    t_ref = m.diff.exec(ctx, s, t_ref, aux_ref, sfc)
+    t_f = fused_generic_tendencies(fused, ctx, s, dict(t0), aux_f, sfc)
+    for name in ("u", "v", "w", "thl", "qt"):
+        ar = np.asarray(t_ref[name])[ks:ke]
+        bf = np.asarray(t_f[name])[ks:ke]
+        err = np.abs(ar - bf).max() / max(np.abs(ar).max(), 1e-30)
+        assert err < 1e-12, (name, err)
