@@ -510,7 +510,8 @@ class Model:
             return None
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
                          interpret=interpret, tiled=True, tj=tj,
-                         buffer=fold_buffer, force=fold_force)
+                         buffer=fold_buffer, force=fold_force,
+                         fold_ghosts=fold_ghosts, top_grad_th=top_grad_th)
 
     def _maybe_build_fused_generic(self, ctx):
         """Fused kernels for any thermo (N2 computed in XLA) and any scalar

@@ -443,18 +443,24 @@ def _wth_stream_math(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc,
 # ==========================================================================
 
 def _window_copies(hbm_refs, koffs, scratch, sems, ks, TJ, jtot,
-                   slot, k_idx, jt_idx):
+                   slot, k_idx, jt_idx, bounds=None):
     """The DMA descriptors for one grid step's windows into buffer `slot`:
     per (field, k-offset), TJ body rows of j-tile `jt_idx` at level
     ``ks + k_idx + koff`` plus HALO_J-row periodic halos, as three
-    contiguous copies (offsets 8-aligned by construction)."""
+    contiguous copies (offsets 8-aligned by construction).  ``bounds``:
+    optional per-window (base, lo, hi) for the ghost-free variant — the
+    level index becomes clip(k_idx + base + koff, lo, hi)."""
     j0 = pl.multiple_of(jt_idx * TJ, 8)
     top = pl.multiple_of(
         jax.lax.rem(jnp.int32(j0 - HALO_J + jtot), jnp.int32(jtot)), 8)
     bot = pl.multiple_of(jax.lax.rem(jnp.int32(j0 + TJ), jnp.int32(jtot)), 8)
     copies = []
     for wdx, (ref, koff) in enumerate(zip(hbm_refs, koffs)):
-        k_abs = k_idx + ks + koff
+        if bounds is None:
+            k_abs = k_idx + ks + koff
+        else:
+            base, lo, hi = bounds[wdx]
+            k_abs = jnp.clip(k_idx + base + koff, lo, hi)
         copies.append(pltpu.make_async_copy(
             ref.at[k_abs, pl.ds(top, HALO_J)],
             scratch.at[slot, wdx, pl.ds(0, HALO_J)], sems.at[slot, wdx, 0]))
@@ -468,7 +474,8 @@ def _window_copies(hbm_refs, koffs, scratch, sems, ks, TJ, jtot,
     return copies
 
 
-def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
+def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot,
+                   bounds=None):
     """Double-buffered window fetch over the sequential (k, jt) grid:
     wait for this step's windows (prefetched by the previous step), then
     start the NEXT step's windows into the other buffer — overlapping HBM
@@ -483,7 +490,7 @@ def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
 
     def start(s_, ki, ji):
         for c in _window_copies(hbm_refs, koffs, scratch, sems,
-                                ks, TJ, jtot, s_, ki, ji):
+                                ks, TJ, jtot, s_, ki, ji, bounds):
             c.start()
 
     @pl.when(n == 0)
@@ -500,17 +507,37 @@ def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot):
         start(nslot, k_n, jt_n)
 
     for c in _window_copies(hbm_refs, koffs, scratch, sems,
-                            ks, TJ, jtot, slot, k, jt):
+                            ks, TJ, jtot, slot, k, jt, bounds):
         c.wait()
     return slot
 
 
-def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, ks, TJ, jtot, cc_ref,
-                      u_ref, v_ref, w_ref, th_ref, out_ref, scratch, sems):
+def _tiled_bounds(fold, ks, ke, kinds):
+    """(base, lo, hi) per window for the ghost-free tiled variant (see
+    _field_specs): 'c' clamps to interior cell levels, 'w' to half levels,
+    'e' indexes the interior evisc array directly."""
+    if not fold:
+        return None
+    out = []
+    for kind in kinds:
+        if kind == "c":
+            out.append((ks, ks, ke - 1))
+        elif kind == "w":
+            out.append((ks, ks, ke))
+        else:  # 'e': interior (ktot) array
+            out.append((0, 0, ke - ks - 1))
+    return out
+
+
+def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, fold, ks, ke, TJ, jtot,
+                      cc_ref, u_ref, v_ref, w_ref, th_ref, out_ref,
+                      scratch, sems):
     refs = [u_ref, u_ref, u_ref, v_ref, v_ref, v_ref, w_ref, w_ref,
             th_ref, th_ref]
     koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 1]
-    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    bounds = _tiled_bounds(fold, ks, ke,
+                           ["c"] * 6 + ["w"] * 2 + ["c"] * 2)
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot, bounds)
     s = scratch[slot]
     ev = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
                      s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
@@ -518,44 +545,18 @@ def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, ks, TJ, jtot, cc_ref,
     out_ref[0] = ev[HALO_J:HALO_J + TJ]
 
 
-def _uv_tiled_body(tPr, dxi, dyi, visc, has_thermo, ks, TJ, jtot, cc_ref,
-                   u_ref, v_ref, w_ref, e_ref, ut_ref, vt_ref, scratch, sems):
-    refs = [u_ref] * 3 + [v_ref] * 3 + [w_ref] * 2 + [e_ref] * 3
-    koffs = [-1, 0, 1, -1, 0, 1, 0, 1, -1, 0, 1]
-    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
-    s = scratch[slot]
-    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
-                      s[0], s[1], s[2], s[3], s[4], s[5], s[6], s[7],
-                      s[8], s[9], s[10])
-    ut_ref[0] = ut[HALO_J:HALO_J + TJ]
-    vt_ref[0] = vt[HALO_J:HALO_J + TJ]
-
-
-def _wth_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, ks, TJ, jtot,
-                    cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
-                    wt_ref, tht_ref, scratch, sems):
-    refs = ([u_ref] * 2 + [v_ref] * 2 + [w_ref] * 3 + [th_ref] * 3
-            + [e_ref] * 3)
-    koffs = [-1, 0, -1, 0, -1, 0, 1, -1, 0, 1, -1, 0, 1]
-    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
-    s = scratch[slot]
-    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
-                        s[0], s[1], s[2], s[3], s[4], s[5], s[6],
-                        s[7], s[8], s[9], s[10], s[11], s[12])
-    wt_ref[0] = wt[HALO_J:HALO_J + TJ]
-    tht_ref[0] = tht[HALO_J:HALO_J + TJ]
-
-
-def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, ks, TJ,
-                    jtot, cc_ref, u_ref, v_ref, w_ref, th_ref, e_ref,
-                    ut_ref, vt_ref, wt_ref, tht_ref, scratch, sems):
+def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
+                    ks, ke, TJ, jtot, cc_ref, u_ref, v_ref, w_ref, th_ref,
+                    e_ref, ut_ref, vt_ref, wt_ref, tht_ref, scratch, sems):
     """Merged u/v/w/th tendency pass: one window fetch per (field, k-offset)
     feeds BOTH the uv and wth math — 15 HBM window reads instead of the
     split passes' 24."""
     refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
             + [e_ref] * 3)
     koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
-    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot)
+    bounds = _tiled_bounds(fold, ks, ke,
+                           ["c"] * 6 + ["w"] * 3 + ["c"] * 3 + ["e"] * 3)
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot, bounds)
     s = scratch[slot]
     u_dn, u, u_up = s[0], s[1], s[2]
     v_dn, v, v_up = s[3], s[4], s[5]
@@ -602,7 +603,7 @@ class FusedLES2:
         # copies); the remaining wall rows are replaced by the XLA patches
         # in fused_tendencies / fused_exec_viscosity, which mirror the
         # clamp semantics.  Skips two full ghost-fill passes per substep.
-        self.fold_ghosts = fold_ghosts and not tiled
+        self.fold_ghosts = fold_ghosts
         # Folded ops: a Buffer (non-swupdate) and/or a geo-Coriolis Force.
         self.fold_buffer = buffer is not None
         self.fold_coriolis = force is not None
@@ -767,7 +768,8 @@ class FusedLES2:
 
         body = functools.partial(_evisc_tiled_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
-                                 self.has_thermo, ks, self.tj, ctx.jtot)
+                                 self.has_thermo, self.fold_ghosts,
+                                 ks, ctx.ke, self.tj, ctx.jtot)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         return pl.pallas_call(
             body, grid=(kt, ctx.jtot // self.tj),
@@ -929,7 +931,8 @@ class FusedLES2:
         body = functools.partial(_all_tiled_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, svisc, self.has_thermo,
-                                 self._extras(), ks, self.tj, ctx.jtot)
+                                 self._extras(), self.fold_ghosts,
+                                 ks, ctx.ke, self.tj, ctx.jtot)
         ut, vt, wt, tht = pl.pallas_call(
             body, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
             out_specs=[self._out_spec_tiled()] * 4, out_shape=[shape] * 4,

@@ -224,23 +224,24 @@ def test_fold_ghosts_matches(setup):
         a = a.at[ke + (1 if n == "w" else 0):].set(jnp.nan)
         s_bad[n] = a
 
-    f = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
-                  fold_ghosts=True,
-                  top_grad_th=float(m.boundary.bcs["th"].top))
-    aux_f = fused_exec_viscosity(f, ctx, s_bad, sfc, {})
-    assert np.all(np.isfinite(np.asarray(aux_f["evisc_int"])))
-    ev_ref = np.asarray(aux["evisc"])[ks:ke]
-    ev_f = np.asarray(aux_f["evisc_int"])
-    assert np.allclose(ev_ref, ev_f, rtol=1e-12, atol=1e-14), \
-        np.abs(ev_ref - ev_f).max()
+    for tiled in (False, True):
+        f = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                      tiled=tiled, tj=8, fold_ghosts=True,
+                      top_grad_th=float(m.boundary.bcs["th"].top))
+        aux_f = fused_exec_viscosity(f, ctx, s_bad, sfc, {})
+        assert np.all(np.isfinite(np.asarray(aux_f["evisc_int"])))
+        ev_ref = np.asarray(aux["evisc"])[ks:ke]
+        ev_f = np.asarray(aux_f["evisc_int"])
+        assert np.allclose(ev_ref, ev_f, rtol=1e-12, atol=1e-14), \
+            (tiled, np.abs(ev_ref - ev_f).max())
 
-    t_f = fused_tendencies(f, ctx, s_bad, dict(t0), aux_f, sfc)
-    for name in ("u", "v", "w", "th"):
-        a = np.asarray(t_ref[name])[ks:ke]
-        b = np.asarray(t_f[name])[ks:ke]
-        assert np.all(np.isfinite(b)), name
-        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
-        assert err < 1e-12, (name, err)
+        t_f = fused_tendencies(f, ctx, s_bad, dict(t0), aux_f, sfc)
+        for name in ("u", "v", "w", "th"):
+            a = np.asarray(t_ref[name])[ks:ke]
+            b = np.asarray(t_f[name])[ks:ke]
+            assert np.all(np.isfinite(b)), (tiled, name)
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 1e-12, (tiled, name, err)
 
 
 def test_sharded_fused_matches_single_device():
