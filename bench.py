@@ -104,6 +104,15 @@ def main():
         "sizes_attempted": attempted,
         "sizes_failed": failed,
     }
+    # round-over-round comparison point at 256^3 alongside the north star
+    if size > 256 and os.environ.get("BENCH_SECONDARY", "1") == "1":
+        try:
+            sec256 = _run_size(ge, 256, 256, nsteps)
+            out["secondary_256"] = {"value": sec256, "unit": "s/step",
+                                    "updates_per_s": 256 ** 3 / sec256,
+                                    "vs_baseline": 256 ** 3 / sec256 / baseline_agg}
+        except Exception as e:
+            out["secondary_256"] = {"error": "%s" % type(e).__name__}
     print(json.dumps(out))
 
 

@@ -312,18 +312,21 @@ def _evisc_n2_body(tPr, dxi, dyi, cc_ref,
                              wc[0], wp[0], uc[0], uc[0], n2=n2c[0])
 
 
-def _w_body(dxi, dyi, visc, cc_ref,
+def _w_body(dxi, dyi, visc, cc_ref, tw,
             um, uc, vm, vc, wm, wc, wp, em, ec, wt_ref):
-    wt_ref[0] = _w_math(dxi, dyi, visc, cc_ref,
-                        um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
-                        em[0], ec[0])
+    wt = _w_math(dxi, dyi, visc, cc_ref,
+                 um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
+                 em[0], ec[0])
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)  # wall half level
+    wt_ref[0] = tw[0] + wt
 
 
-def _scalar_body(tPr, dxi, dyi, svisc, cc_ref,
+def _scalar_body(tPr, dxi, dyi, svisc, cc_ref, ta,
                  uc, vc, wc, wp, am, ac, ap, em, ec, ep, at_ref):
-    at_ref[0] = _scalar_math(tPr, dxi, dyi, svisc, cc_ref,
-                             uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
-                             em[0], ec[0], ep[0])
+    at_ref[0] = ta[0] + _scalar_math(
+        tPr, dxi, dyi, svisc, cc_ref,
+        uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
+        em[0], ec[0], ep[0])
 
 
 def _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans, cc_ref,
@@ -352,29 +355,33 @@ def _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo):
 
 
 def _tend_uv_body(tPr, dxi, dyi, visc, extras, cc_ref,
-                  um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
+                  tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
                   ut_ref, vt_ref):
+    """uv tendencies ACCUMULATED onto the aliased carried-tendency blocks
+    (tu/tv alias ut_ref/vt_ref, so the XLA-side pad+add pass disappears)."""
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       um[0], uc[0], up[0], vm[0], vc[0], vp[0],
                       wc[0], wp[0], em[0], ec[0], ep[0])
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
                        cc_ref, uc[0], vc[0], ut, vt)
-    ut_ref[0] = ut
-    vt_ref[0] = vt
+    ut_ref[0] = tu[0] + ut
+    vt_ref[0] = tv[0] + vt
 
 
 def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
-                   um, uc, vm, vc, wm, wc, wp, thm, thc, thp, em, ec, ep,
-                   wt_ref, tht_ref):
+                   tw, tth, um, uc, vm, vc, wm, wc, wp, thm, thc, thp,
+                   em, ec, ep, wt_ref, tht_ref):
     wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
                         um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
                         thm[0], thc[0], thp[0], em[0], ec[0], ep[0])
     fold_buffer = extras[0]
     wt, tht = _extra_wth(fold_buffer, cc_ref, wc[0], thc[0], wt, tht,
                          has_thermo)
-    wt_ref[0] = wt
-    tht_ref[0] = tht
+    # half level ks is the wall: no w tendency on the first row
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)
+    wt_ref[0] = tw[0] + wt
+    tht_ref[0] = tth[0] + tht
 
 
 # ==========================================================================
@@ -802,56 +809,69 @@ class FusedLES2:
             interpret=self.interpret,
         )(cc, u, u, u, v, v, v, w, w, n2_int)
 
-    def tend_uv(self, u, v, w, evisc_full):
-        """uv pass alone (generic mode)."""
+    def _t_spec_shape(self, dtype):
+        ctx = self.ctx
+        ks = ctx.ks
+        spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                            lambda k: (k + ks, 0, 0),
+                            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot), dtype)
+        return spec, shape
+
+    def tend_uv(self, u, v, w, evisc_full, tu, tv):
+        """uv pass alone (generic mode), accumulated onto the aliased
+        carried tendencies; returns FULL (kcells) arrays."""
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
         cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
         body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                     float(ctx.dxi), float(ctx.dyi),
                                     self.smag.visc, self._extras())
-        specs_uv = ([cc_spec]
+        specs_uv = ([cc_spec] + [t_spec] * 2
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((0, 1), ks, ke, "w")
                     + self._field_specs((-1, 0, 1), ks, ke, "e"))
         return pl.pallas_call(
             body_uv, grid=(kt,), in_specs=specs_uv,
-            out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+            out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
+            input_output_aliases={1: 0, 2: 1},
             interpret=self.interpret,
-        )(cc, u, u, u, v, v, v, w, w, evisc_full, evisc_full, evisc_full)
+        )(cc, tu, tv, u, u, u, v, v, v, w, w,
+          evisc_full, evisc_full, evisc_full)
 
-    def tend_w(self, u, v, w, evisc_full):
+    def tend_w(self, u, v, w, evisc_full, tw):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
         cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_w_body, float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc)
-        specs = ([cc_spec]
+        specs = ([cc_spec] + [t_spec]
                  + self._field_specs((-1, 0), ks, ke, "c")
                  + self._field_specs((-1, 0), ks, ke, "c")
                  + self._field_specs((-1, 0, 1), ks, ke, "w")
                  + self._field_specs((-1, 0), ks, ke, "e"))
         return pl.pallas_call(
             body, grid=(kt,), in_specs=specs,
-            out_specs=self._out_spec_full(), out_shape=shape,
+            out_specs=t_spec, out_shape=t_shape,
+            input_output_aliases={1: 0},
             interpret=self.interpret,
-        )(cc, u, u, v, v, w, w, w, evisc_full, evisc_full)
+        )(cc, tw, u, u, v, v, w, w, w, evisc_full, evisc_full)
 
-    def tend_scalar(self, a, u, v, w, evisc_full, svisc):
+    def tend_scalar(self, a, u, v, w, evisc_full, svisc, ta):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
         cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_scalar_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  float(svisc))
-        specs = ([cc_spec]
+        specs = ([cc_spec] + [t_spec]
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0, 1), ks, ke, "w")
@@ -859,11 +879,16 @@ class FusedLES2:
                  + self._field_specs((-1, 0, 1), ks, ke, "e"))
         return pl.pallas_call(
             body, grid=(kt,), in_specs=specs,
-            out_specs=self._out_spec_full(), out_shape=shape,
+            out_specs=t_spec, out_shape=t_shape,
+            input_output_aliases={1: 0},
             interpret=self.interpret,
-        )(cc, u, v, w, w, a, a, a, evisc_full, evisc_full, evisc_full)
+        )(cc, ta, u, v, w, w, a, a, a, evisc_full, evisc_full, evisc_full)
 
-    def tendencies(self, u, v, w, th, evisc_full):
+    def tendencies(self, u, v, w, th, evisc_full, t_in=None):
+        """Tendencies.  t_in: carried-tendency dict for the aliased
+        accumulate-in-kernel variant (full-plane path); when given, the
+        returned arrays are FULL (kcells) accumulated tendencies.  Without
+        it, interior (ktot) tendency increments are returned."""
         ctx = self.ctx
         ks, kt = ctx.ks, ctx.ktot
         svisc = self.smag.viscs.get("th", self.smag.visc) if self.has_thermo else self.smag.visc
@@ -889,41 +914,67 @@ class FusedLES2:
                                         (u, v, w, th_in, evisc_full), 2)
             return ut, vt, wt, tht
 
+        if not self.tiled and t_in is None:
+            # interior-increment variant (sharded path; tests): distinct
+            # zero buffers per field so the in/out aliasing stays 1:1
+            # (XLA may not dedupe donated aliased operands).
+            iota = jnp.arange(4, dtype=u.dtype) * 0.
+            tzs = [jnp.full((ctx.kcells, ctx.jtot, ctx.itot), iota[i])
+                   for i in range(4)]
+            out = self.tendencies(u, v, w, th, evisc_full,
+                                  t_in={"u": tzs[0], "v": tzs[1],
+                                        "w": tzs[2], "th": tzs[3]})
+            ke = ctx.ke
+            return tuple(o[ks:ke] for o in out)
+
         if not self.tiled:
             # Two passes (uv, wth) — a single merged pass would need ~18MB
             # of scoped VMEM at 256^2 planes (measured OOM at the 16MB
-            # limit); the split fits.  Folded buffer/Coriolis ride along.
+            # limit); the split fits.  Folded buffer/Coriolis ride along,
+            # and the carried tendencies are ALIASED in/out so the kernels
+            # accumulate directly (no separate pad+add HBM pass; ghost
+            # rows pass through untouched in the aliased buffers).
             ke = ctx.ke
+            t_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                                  lambda k: (k + ks, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            t_shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot),
+                                           u.dtype)
             body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
                                         self.smag.visc, self._extras())
-            specs_uv = ([cc_spec]
+            specs_uv = ([cc_spec] + [t_spec] * 2
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((0, 1), ks, ke, "w")
                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
             ut, vt = pl.pallas_call(
                 body_uv, grid=(kt,), in_specs=specs_uv,
-                out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+                out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
+                input_output_aliases={1: 0, 2: 1},
                 interpret=self.interpret,
-            )(cc, u, u, u, v, v, v, w, w, evisc_full, evisc_full, evisc_full)
+            )(cc, t_in["u"], t_in["v"], u, u, u, v, v, v, w, w,
+              evisc_full, evisc_full, evisc_full)
 
             body_wth = functools.partial(_tend_wth_body, self.smag.tPr,
                                          float(ctx.dxi), float(ctx.dyi),
                                          self.smag.visc, svisc,
                                          self.has_thermo, self._extras())
-            specs_wth = ([cc_spec]
+            specs_wth = ([cc_spec] + [t_spec] * 2
                          + self._field_specs((-1, 0), ks, ke, "c")
                          + self._field_specs((-1, 0), ks, ke, "c")
                          + self._field_specs((-1, 0, 1), ks, ke, "w")
                          + self._field_specs((-1, 0, 1), ks, ke, "c")
                          + self._field_specs((-1, 0, 1), ks, ke, "e"))
+            tth_in = (t_in["th"] if self.has_thermo
+                      else jnp.zeros_like(t_in["w"]))
             wt, tht = pl.pallas_call(
                 body_wth, grid=(kt,), in_specs=specs_wth,
-                out_specs=[self._out_spec_full()] * 2, out_shape=[shape] * 2,
+                out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
+                input_output_aliases={1: 0, 2: 1},
                 interpret=self.interpret,
-            )(cc, u, u, v, v, w, w, w, th_in, th_in, th_in,
-              evisc_full, evisc_full, evisc_full)
+            )(cc, t_in["w"], tth_in, u, u, v, v, w, w, w, th_in, th_in,
+              th_in, evisc_full, evisc_full, evisc_full)
             return ut, vt, wt, tht
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1028,6 +1079,7 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     dxi, dyi = ctx.dxi, ctx.dyi
     visc = smag.visc
 
+    accumulated = False
     if fused.sharded_mesh is not None:
         from ..parallel.halo import sharded_planes_call
         th_in = th if th is not None else u
@@ -1035,9 +1087,14 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
             fused.sharded_mesh,
             lambda uu, vv, ww, tt, ee: fused.tendencies(uu, vv, ww, tt, ee),
             4, u, v, w, th_in, evisc)
+        wt = wt.at[0].set(0.)  # half level ks is the wall
+    elif not fused.tiled:
+        # aliased accumulate-in-kernel: full (kcells) carried tendencies
+        ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc, t_in=t)
+        accumulated = True
     else:
         ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc)
-    wt = wt.at[0].set(0.)  # half level ks is the wall
+        wt = wt.at[0].set(0.)  # half level ks is the wall
 
     if smag.surface:
         from .stencil import im, ip, jm, jp
@@ -1074,7 +1131,7 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
             old_vert = ((rhoh[ka + 1] * ev_t * ((F(u, ka + 1) - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
                          - rhoh[ka] * ev_b * ((u[ka] - F(u, ka - 1)) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
                         / rho[ka] * dzi[ka])
-            idx = 0 if row == "bot" else ctx.ktot - 1
+            idx = ka if accumulated else (0 if row == "bot" else ctx.ktot - 1)
             ut = ut.at[idx].add(corr - old_vert)
 
         # ---- v rows ----
@@ -1090,7 +1147,7 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
             old_vert = ((rhoh[ka + 1] * ev_t * ((F(v, ka + 1) - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
                          - rhoh[ka] * ev_b * ((v[ka] - F(v, ka - 1)) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
                         / rho[ka] * dzi[ka])
-            idx = 0 if row == "bot" else ctx.ktot - 1
+            idx = ka if accumulated else (0 if row == "bot" else ctx.ktot - 1)
             vt = vt.at[idx].add(corr - old_vert)
 
         # ---- th rows ----
@@ -1111,10 +1168,15 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
                 old_vert = ((rhoh[ka + 1] * st_ * (F(a, ka + 1) - a[ka]) * dzhi[ka + 1]
                              - rhoh[ka] * sb * (a[ka] - F(a, ka - 1)) * dzhi[ka])
                             / rho[ka] * dzi[ka])
-                idx = 0 if row == "bot" else ctx.ktot - 1
+                idx = ka if accumulated else (0 if row == "bot" else ctx.ktot - 1)
                 tht = tht.at[idx].add(corr - old_vert)
 
     t = dict(t)
+    if accumulated:
+        t["u"], t["v"], t["w"] = ut, vt, wt
+        if fused.has_thermo:
+            t["th"] = tht
+        return t
     t["u"] = t["u"] + _pad_k(ctx, ut)
     t["v"] = t["v"] + _pad_k(ctx, vt)
     t["w"] = t["w"] + _pad_k(ctx, wt)
@@ -1165,11 +1227,11 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
     dxi, dyi = ctx.dxi, ctx.dyi
     visc = smag.visc
 
-    ut, vt = fused.tend_uv(u, v, w, evisc)
-    wt = fused.tend_w(u, v, w, evisc)
-    wt = wt.at[0].set(0.)  # half level ks is the wall
+    t = dict(t)
+    ut, vt = fused.tend_uv(u, v, w, evisc, t["u"], t["v"])
+    wt = fused.tend_w(u, v, w, evisc, t["w"])
     scalar_t = {name: fused.tend_scalar(s[name], u, v, w, evisc,
-                                        smag.viscs.get(name, visc))
+                                        smag.viscs.get(name, visc), t[name])
                 for name in ctx.scalar_names}
 
     if smag.surface:
@@ -1193,8 +1255,7 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
             old_vert = ((rhoh[ka + 1] * ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
                          - rhoh[ka] * ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
                         / rho[ka] * dzi[ka])
-            idx = 0 if row == "bot" else ctx.ktot - 1
-            ut = ut.at[idx].add(corr - old_vert)
+            ut = ut.at[ka].add(corr - old_vert)
 
         for row, ka in (("bot", ks), ("top", ke - 1)):
             ev_t = 0.25 * (jm(e)[ka] + e[ka] + jm(e)[ka + 1] + e[ka + 1]) + visc
@@ -1208,8 +1269,7 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
             old_vert = ((rhoh[ka + 1] * ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
                          - rhoh[ka] * ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
                         / rho[ka] * dzi[ka])
-            idx = 0 if row == "bot" else ctx.ktot - 1
-            vt = vt.at[idx].add(corr - old_vert)
+            vt = vt.at[ka].add(corr - old_vert)
 
         # ---- every scalar's wall rows ----
         for name in ctx.scalar_names:
@@ -1232,14 +1292,10 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
                 old_vert = ((rhoh[ka + 1] * st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
                              - rhoh[ka] * sb * (a[ka] - a[ka - 1]) * dzhi[ka])
                             / rho[ka] * dzi[ka])
-                idx = 0 if row == "bot" else ctx.ktot - 1
-                at = at.at[idx].add(corr - old_vert)
+                at = at.at[ka].add(corr - old_vert)
             scalar_t[name] = at
 
-    t = dict(t)
-    t["u"] = t["u"] + _pad_k(ctx, ut)
-    t["v"] = t["v"] + _pad_k(ctx, vt)
-    t["w"] = t["w"] + _pad_k(ctx, wt)
+    t["u"], t["v"], t["w"] = ut, vt, wt
     for name in ctx.scalar_names:
-        t[name] = t[name] + _pad_k(ctx, scalar_t[name])
+        t[name] = scalar_t[name]
     return t
