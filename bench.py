@@ -57,6 +57,9 @@ def _run_size(ge, size, ktot, nsteps):
     return (t1 - t0) / nsteps
 
 
+T_START = time.perf_counter()
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as ge
@@ -105,7 +108,10 @@ def main():
         "sizes_failed": failed,
     }
     # round-over-round comparison point at 256^3 alongside the north star
-    if size > 256 and os.environ.get("BENCH_SECONDARY", "1") == "1":
+    # (skipped when the headline already consumed most of the wall budget)
+    elapsed = time.perf_counter() - T_START
+    if (size > 256 and os.environ.get("BENCH_SECONDARY", "1") == "1"
+            and elapsed < float(os.environ.get("BENCH_BUDGET_S", "900"))):
         try:
             sec256 = _run_size(ge, 256, 256, nsteps)
             out["secondary_256"] = {"value": sec256, "unit": "s/step",
