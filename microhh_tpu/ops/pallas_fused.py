@@ -553,11 +553,14 @@ def _evisc_tiled_body(tPr, dxi, dyi, has_thermo, fold, ks, ke, TJ, jtot,
 
 
 def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
-                    ks, ke, TJ, jtot, cc_ref, u_ref, v_ref, w_ref, th_ref,
+                    ks, ke, TJ, jtot, cc_ref,
+                    tu, tv, tw, tth,
+                    u_ref, v_ref, w_ref, th_ref,
                     e_ref, ut_ref, vt_ref, wt_ref, tht_ref, scratch, sems):
     """Merged u/v/w/th tendency pass: one window fetch per (field, k-offset)
     feeds BOTH the uv and wth math — 15 HBM window reads instead of the
-    split passes' 24."""
+    split passes' 24.  The carried tendencies alias in/out, so the pass
+    ACCUMULATES (ghost planes pass through untouched)."""
     refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
             + [e_ref] * 3)
     koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
@@ -579,10 +582,11 @@ def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
                        cc_ref, u, v, ut, vt)
     wt, tht = _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo)
-    ut_ref[0] = ut[HALO_J:HALO_J + TJ]
-    vt_ref[0] = vt[HALO_J:HALO_J + TJ]
-    wt_ref[0] = wt[HALO_J:HALO_J + TJ]
-    tht_ref[0] = tht[HALO_J:HALO_J + TJ]
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)  # wall half level
+    ut_ref[0] = tu[0] + ut[HALO_J:HALO_J + TJ]
+    vt_ref[0] = tv[0] + vt[HALO_J:HALO_J + TJ]
+    wt_ref[0] = tw[0] + wt[HALO_J:HALO_J + TJ]
+    tht_ref[0] = tth[0] + tht[HALO_J:HALO_J + TJ]
 
 
 class FusedLES2:
@@ -979,17 +983,41 @@ class FusedLES2:
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         grid = (kt, ctx.jtot // self.tj)
+        TJ = self.tj
+        t_spec = pl.BlockSpec((1, TJ, ctx.itot),
+                              lambda k, jt: (k + ks, jt, 0),
+                              memory_space=pltpu.VMEM)
+        t_shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot),
+                                       u.dtype)
+        if t_in is None:
+            # distinct zero buffers per field so the in/out aliasing stays
+            # 1:1 (identical constants could be CSE'd into one buffer)
+            iota = jnp.arange(4, dtype=u.dtype) * 0.
+            tz = [jnp.full((ctx.kcells, ctx.jtot, ctx.itot), iota[i])
+                  for i in range(4)]
+            t_in = {"u": tz[0], "v": tz[1], "w": tz[2], "th": tz[3]}
+            trim = True
+        else:
+            trim = False
+        tth_in = (t_in["th"] if self.has_thermo
+                  else jnp.zeros_like(t_in["w"]))
         body = functools.partial(_all_tiled_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, svisc, self.has_thermo,
                                  self._extras(), self.fold_ghosts,
                                  ks, ctx.ke, self.tj, ctx.jtot)
         ut, vt, wt, tht = pl.pallas_call(
-            body, grid=grid, in_specs=[cc_spec] + [any_spec] * 5,
-            out_specs=[self._out_spec_tiled()] * 4, out_shape=[shape] * 4,
+            body, grid=grid,
+            in_specs=[cc_spec] + [t_spec] * 4 + [any_spec] * 5,
+            out_specs=[t_spec] * 4, out_shape=[t_shape] * 4,
+            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
             scratch_shapes=self._tiled_scratch(15, u.dtype),
             interpret=self.interpret,
-        )(cc, u, v, w, th_in, evisc_full)
+        )(cc, t_in["u"], t_in["v"], t_in["w"], tth_in,
+          u, v, w, th_in, evisc_full)
+        if trim:
+            ke = ctx.ke
+            return ut[ks:ke], vt[ks:ke], wt[ks:ke], tht[ks:ke]
         return ut, vt, wt, tht
 
 
@@ -1088,13 +1116,10 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
             lambda uu, vv, ww, tt, ee: fused.tendencies(uu, vv, ww, tt, ee),
             4, u, v, w, th_in, evisc)
         wt = wt.at[0].set(0.)  # half level ks is the wall
-    elif not fused.tiled:
+    else:
         # aliased accumulate-in-kernel: full (kcells) carried tendencies
         ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc, t_in=t)
         accumulated = True
-    else:
-        ut, vt, wt, tht = fused.tendencies(u, v, w, th, evisc)
-        wt = wt.at[0].set(0.)  # half level ks is the wall
 
     if smag.surface:
         from .stencil import im, ip, jm, jp
