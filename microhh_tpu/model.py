@@ -522,8 +522,6 @@ class Model:
         interpret = _jax.default_backend() != "tpu"
         if interpret and not getattr(self, "force_fused", False):
             return None
-        if self.mesh is not None:
-            return None  # sharded generic mode: future work
         if not getattr(self.diff, "surface", False):
             return None  # wall patches assume the MO surface layer
         if ctx.scalar_names and not hasattr(self.thermo, "get_n2"):
@@ -531,20 +529,35 @@ class Model:
         # every scalar needs a surface flux plane for the wall patch
         if not getattr(self.boundary, "is_surface", False):
             return None
-        plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
-        if plane * 26 > 14 * 1024 * 1024:
-            return None  # largest generic kernel holds 13 blocks x2
         from .ops.force import Force
         fold_force = None
         if (isinstance(self.force, Force) and self.force.swlspres == "geo"
                 and self.force.swls == "0" and self.force.swwls == "0"
                 and self.force.swnudge == "0"):
             fold_force = self.force
+        ctx_k = ctx
+        mesh = None
+        if self.mesh is not None:
+            # per-shard kernels on halo-padded planes (parallel/halo.py)
+            from .parallel.halo import HALO
+            npy = self.mesh.shape.get("y", 1)
+            npx = self.mesh.shape.get("x", 1)
+            if ctx.jtot % npy or ctx.itot % npx:
+                return None
+            import copy
+            ctx_k = copy.copy(ctx)
+            ctx_k.jtot = ctx.jtot // npy + 2 * HALO
+            ctx_k.itot = ctx.itot // npx + 2 * HALO
+            mesh = self.mesh
+        plane = ctx_k.jtot * ctx_k.itot * np.dtype(self.dtype).itemsize
+        if plane * 26 > 14 * 1024 * 1024:
+            return None  # largest generic kernel holds 13 blocks x2
         self._skip_buffer = False
         self._skip_force = fold_force is not None
-        fused = FusedLES2(ctx, self.diff, self.thermo, False,
+        fused = FusedLES2(ctx_k, self.diff, self.thermo, False,
                           interpret=interpret, force=fold_force)
         fused.generic = True
+        fused.sharded_mesh = mesh
         return fused
 
     # ------------------------------------------------------------------

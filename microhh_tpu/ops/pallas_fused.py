@@ -1223,7 +1223,20 @@ def fused_generic_viscosity(fused, ctx, s, sfc, aux, thermo):
     u, v, w = s["u"], s["v"], s["w"]
     ks, ke = ctx.ks, ctx.ke
     stratified = thermo is not None and getattr(thermo, "scalars", ())
-    if stratified:
+    if fused.sharded_mesh is not None:
+        from ..parallel.halo import sharded_planes_call
+        if stratified:
+            n2 = thermo.get_n2(ctx, s)  # global XLA (rolls -> collectives)
+            ev = sharded_planes_call(
+                fused.sharded_mesh,
+                lambda uu, vv, ww, nn: fused.evisc_n2(uu, vv, ww, nn),
+                1, u, v, w, n2)[0]
+        else:
+            ev = sharded_planes_call(
+                fused.sharded_mesh,
+                lambda uu, vv, ww: fused.evisc(uu, vv, ww, None),
+                1, u, v, w)[0]
+    elif stratified:
         n2 = thermo.get_n2(ctx, s)
         ev = fused.evisc_n2(u, v, w, n2)
     else:
@@ -1253,11 +1266,33 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
     visc = smag.visc
 
     t = dict(t)
-    ut, vt = fused.tend_uv(u, v, w, evisc, t["u"], t["v"])
-    wt = fused.tend_w(u, v, w, evisc, t["w"])
-    scalar_t = {name: fused.tend_scalar(s[name], u, v, w, evisc,
-                                        smag.viscs.get(name, visc), t[name])
-                for name in ctx.scalar_names}
+    if fused.sharded_mesh is not None:
+        from ..parallel.halo import sharded_planes_call
+        mesh = fused.sharded_mesh
+        ut, vt = sharded_planes_call(
+            mesh,
+            lambda uu, vv, ww, ee, tu, tv: fused.tend_uv(uu, vv, ww, ee,
+                                                         tu, tv),
+            2, u, v, w, evisc, t["u"], t["v"])
+        wt = sharded_planes_call(
+            mesh,
+            lambda uu, vv, ww, ee, tw: fused.tend_w(uu, vv, ww, ee, tw),
+            1, u, v, w, evisc, t["w"])[0]
+        scalar_t = {}
+        for name in ctx.scalar_names:
+            sv = smag.viscs.get(name, visc)
+            scalar_t[name] = sharded_planes_call(
+                mesh,
+                lambda aa, uu, vv, ww, ee, ta, sv=sv:
+                    fused.tend_scalar(aa, uu, vv, ww, ee, sv, ta),
+                1, s[name], u, v, w, evisc, t[name])[0]
+    else:
+        ut, vt = fused.tend_uv(u, v, w, evisc, t["u"], t["v"])
+        wt = fused.tend_w(u, v, w, evisc, t["w"])
+        scalar_t = {name: fused.tend_scalar(s[name], u, v, w, evisc,
+                                            smag.viscs.get(name, visc),
+                                            t[name])
+                    for name in ctx.scalar_names}
 
     if smag.surface:
         from .stencil import im, jm

@@ -368,3 +368,64 @@ def test_generic_fused_moist_matches():
         bf = np.asarray(t_f[name])[ks:ke]
         err = np.abs(ar - bf).max() / max(np.abs(ar).max(), 1e-30)
         assert err < 1e-12, (name, err)
+
+
+def test_sharded_generic_moist_matches():
+    """Generic (moist) fused mode under a 2x4 mesh must match the
+    single-device generic step bitwise in the interior."""
+    import jax
+    from microhh_tpu.parallel import mesh as pmesh
+
+    INI_RUN = MOIST_INI.replace("endtime=3600", "endtime=12").replace(
+        "savetime=3600", "savetime=12")
+
+    def build(mesh):
+        m = Model(Ini(INI_RUN), "run", "fused_shm")
+        m.force_fused = True
+        if mesh is not None:
+            m.set_mesh(mesh)
+        m.finish_setup()
+        m.build_step()
+        return m
+
+    def initial(m):
+        g = m.grid
+        rng = np.random.RandomState(13)
+        s = {}
+        for name in m.fields.prognostic_names:
+            a = np.zeros((g.kcells, g.jtot, g.itot))
+            a[g.kstart:g.kend] = 0.2 * rng.randn(g.ktot, g.jtot, g.itot)
+            s[name] = a
+        s["thl"][g.kstart:g.kend] += 295.
+        s["qt"][g.kstart:g.kend] = np.abs(s["qt"][g.kstart:g.kend]) * 1e-3 + 5e-3
+        s["w"][g.kstart] = 0.
+        s["w"][g.kend] = 0.
+        s = {k: jnp.asarray(v) for k, v in s.items()}
+        sfc = {k: jnp.asarray(v) for k, v in
+               m.boundary.init_surface_state().items()}
+        return s, sfc
+
+    m1 = build(None)
+    f1 = m1._maybe_build_fused()
+    assert f1 is not None and f1.generic and f1.sharded_mesh is None
+    s1, sfc1 = initial(m1)
+    dt = jnp.asarray(0.5)
+    o1 = m1._step_raw(s1, sfc1, m1.pres_params, dt, jnp.asarray(0.0))
+
+    mesh = pmesh.make_mesh(2, 4)
+    m2 = build(mesh)
+    f2 = m2._maybe_build_fused()
+    assert f2 is not None and f2.generic and f2.sharded_mesh is mesh
+    s2, sfc2 = initial(m2)
+    s2, _t, sfc2 = pmesh.shard_state(
+        s2, {k: jnp.zeros_like(v) for k, v in s2.items()}, sfc2, mesh)
+    with mesh:
+        o2 = jax.jit(m2._step_raw)(s2, sfc2, m2.pres_params, dt,
+                                   jnp.asarray(0.0))
+
+    ks, ke = m1.ctx.ks, m1.ctx.ke
+    for name in ("u", "w", "thl", "qt"):
+        a = np.asarray(o1[0][name])[ks:ke]
+        b = np.asarray(o2[0][name])[ks:ke]
+        assert np.allclose(a, b, rtol=0, atol=1e-11), \
+            (name, np.abs(a - b).max())
