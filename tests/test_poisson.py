@@ -321,3 +321,64 @@ dt=0.1
                                    jnp.asarray(0.05), jnp.asarray(0.0))
         jax.block_until_ready(out[0]["u"])
     assert np.isfinite(np.asarray(out[0]["u"])).all()
+
+
+def test_pres2_dft_matches_fft():
+    """The DFT-by-matmul spectral path must reproduce the rfft2 + eigen
+    solve to roundoff (f64)."""
+    import os
+    from microhh_tpu.config import Ini
+    from microhh_tpu.grid import Grid
+    from microhh_tpu.fields import Fields
+    from microhh_tpu.ops.pres_2 import Pres2
+
+    ini = Ini("""
+[grid]
+itot=32
+jtot=24
+ktot=20
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=2
+[fields]
+visc=1e-5
+[boundary]
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0
+stop=0
+[time]
+endtime=1
+savetime=1
+dt=0.1
+""")
+    g = Grid(ini)
+    kt = g.ktot
+    dz = g.zsize / kt
+    g.set_z(np.linspace(0.5 * dz, g.zsize - 0.5 * dz, kt))
+    f = Fields(ini, g)
+    p2 = Pres2(ini, g, f, dtype=np.float64)
+    p2.set_values()
+    pp = p2.device_params()
+
+    rng = np.random.RandomState(3)
+    rhs = jnp.asarray(rng.randn(kt, g.jtot, g.itot))
+
+    class Ctx:
+        pass
+
+    os.environ["MICROHH_DFT_POISSON"] = "1"
+    try:
+        x_dft = np.asarray(p2.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ["MICROHH_DFT_POISSON"] = "0"
+    try:
+        x_fft = np.asarray(p2.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ.pop("MICROHH_DFT_POISSON", None)
+    scale = np.abs(x_fft).max()
+    assert np.abs(x_dft - x_fft).max() / scale < 1e-11, \
+        np.abs(x_dft - x_fft).max() / scale
