@@ -382,3 +382,63 @@ dt=0.1
     scale = np.abs(x_fft).max()
     assert np.abs(x_dft - x_fft).max() / scale < 1e-11, \
         np.abs(x_dft - x_fft).max() / scale
+
+
+def test_pres4_dft_matches_fft():
+    """pres_4's DFT-by-matmul path must reproduce the rfft2 eigen solve."""
+    import os
+    from microhh_tpu.config import Ini
+    from microhh_tpu.grid import Grid
+    from microhh_tpu.fields import Fields
+    from microhh_tpu.ops.pres_4 import Pres4
+
+    kmax = 24
+    ini = Ini("""
+[grid]
+itot=32
+jtot=16
+ktot=%d
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=4
+[fields]
+visc=1e-5
+[boundary]
+mbcbot=noslip
+mbctop=noslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0
+stop=0
+[time]
+endtime=1
+savetime=1
+dt=0.1
+""" % kmax)
+    g = Grid(ini)
+    dz = g.zsize / kmax
+    g.set_z(np.linspace(0.5 * dz, g.zsize - 0.5 * dz, kmax))
+    f = Fields(ini, g)
+    p4 = Pres4(ini, g, f, dtype=np.float64)
+    p4.set_values()
+    assert p4._eig_ok
+    pp = p4.device_params()
+    rng = np.random.RandomState(9)
+    rhs = jnp.asarray(rng.randn(kmax, g.jtot, g.itot))
+
+    class Ctx:
+        pass
+
+    os.environ["MICROHH_DFT_POISSON"] = "1"
+    try:
+        x_dft = np.asarray(p4.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ["MICROHH_DFT_POISSON"] = "0"
+    try:
+        x_fft = np.asarray(p4.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ.pop("MICROHH_DFT_POISSON", None)
+    scale = np.abs(x_fft).max()
+    assert np.abs(x_dft - x_fft).max() / scale < 1e-11, \
+        np.abs(x_dft - x_fft).max() / scale
