@@ -10,7 +10,7 @@ higher-order interpolation:
 * 2i5  — 6th-order centered + 5th-order upwind-dissipative (|vel| *
          interp5_ws) horizontal and vertical, vertical ladder
          2nd/4th/6th from the walls inward.
-* 2i62 — 6th+5th-upwind horizontal, plain 2nd-order vertical.
+* 2i62 — 6th-order centered horizontal (no upwind), plain 2nd-order vertical.
 * 2i53 — 6th+5th-upwind horizontal, 4th-order WS + 3rd-order upwind
          vertical (interp4_ws/interp3_ws, ``src/advec_2i53.cxx:155-530``),
          2nd order at the first half-level off each wall.
@@ -113,8 +113,13 @@ def _zh_ladder(scheme, q, ks, ke):
         X = X.at[1].set(i2z(ks + 1))
         X = X.at[kt - 1].set(i2z(ke - 1))
         if kt > 3:
-            X = X.at[2].set(i4z(ks + 2, ks + 3)[0])
-            X = X.at[kt - 2].set(i4z(ke - 2, ke - 1)[0])
+            # second face off each wall: 4th-order WS + 3rd-order upwind
+            # (advec_2i5.cxx:239-242,284-287 — NOT the plain-centered ci
+            # interpolant; interp4_ws/interp3_ws with 7/12,1/12 weights)
+            X = X.at[2].set(i4z_ws(ks + 2, ks + 3)[0])
+            U = U.at[2].set(i3z_ws(ks + 2, ks + 3)[0])
+            X = X.at[kt - 2].set(i4z_ws(ke - 2, ke - 1)[0])
+            U = U.at[kt - 2].set(i3z_ws(ke - 2, ke - 1)[0])
         if kt > 5:
             X = X.at[3:kt - 2].set(i6z(ks + 3, ke - 2))
             U = U.at[3:kt - 2].set(i5z(ks + 3, ke - 2))
@@ -190,15 +195,22 @@ class AdvecInterp:
         self.fluxlimit_list = ini.get_list(str, "advec", "fluxlimit_list",
                                            default=[])
 
-    # horizontal face value + optional upwind part, at the LEFT face (-1/2)
+    # horizontal face value + optional upwind part, at the LEFT face (-1/2).
+    # 2i4 is 4th-order centered; 2i62 is 6th-order centered with NO upwind
+    # dissipation anywhere (advec_2i62.cxx has no interp5_ws/interp3_ws);
+    # 2i5/2i53 are 6th-order centered + 5th-order upwind.
     def _hx(self, q):
         if self.scheme == "2i4":
             return i4h_x(q), None
+        if self.scheme == "2i62":
+            return i6h_x(q), None
         return i6h_x(q), i5h_x(q)
 
     def _hy(self, q):
         if self.scheme == "2i4":
             return i4h_y(q), None
+        if self.scheme == "2i62":
+            return i6h_y(q), None
         return i6h_y(q), i5h_y(q)
 
     def _hterms(self, velR_x, velR_y, q):
@@ -293,8 +305,12 @@ class AdvecInterp:
                                          + fd.ci2 * w[ks + 2:ke] + fd.ci3 * w[ks + 3:ke + 1])
         else:  # 2i5
             if kt > 2:
-                Xc = Xc.at[1].set(fd.ci0 * w[ks] + fd.ci1 * w[ks + 1] + fd.ci2 * w[ks + 2] + fd.ci3 * w[ks + 3])
-                Xc = Xc.at[kt - 2].set(fd.ci0 * w[ke - 3] + fd.ci1 * w[ke - 2] + fd.ci2 * w[ke - 1] + fd.ci3 * w[ke])
+                # second center off each wall: 4th-order WS + 3rd upwind
+                # (advec_2i5.cxx:530-533,574-577)
+                Xc = Xc.at[1].set(fd.interp4_ws(w[ks], w[ks + 1], w[ks + 2], w[ks + 3]))
+                Uc = Uc.at[1].set(fd.interp3_ws(w[ks], w[ks + 1], w[ks + 2], w[ks + 3]))
+                Xc = Xc.at[kt - 2].set(fd.interp4_ws(w[ke - 3], w[ke - 2], w[ke - 1], w[ke]))
+                Uc = Uc.at[kt - 2].set(fd.interp3_ws(w[ke - 3], w[ke - 2], w[ke - 1], w[ke]))
             if kt > 4:
                 Xc = Xc.at[2:kt - 2].set(
                     (37. / 60.) * (w[ks + 2:ke - 2] + w[ks + 3:ke - 1])
@@ -328,6 +344,7 @@ class AdvecInterp:
 
     def cfl_max(self, ctx, s):
         ks, ke = ctx.ks, ctx.ke
+        kt = ke - ks
         u, v, w = s["u"], s["v"], s["w"]
         if self.scheme == "2i4":
             uc = fd.ci0 * im(u) + fd.ci1 * u + fd.ci2 * ip(u) + fd.ci3 * ip(u, 2)
@@ -335,8 +352,27 @@ class AdvecInterp:
         else:
             uc = ip(i6h_x(u))
             vc = jp(i6h_y(v))
+        # |w| at centers: per-scheme vertical ladder matching the reference CFL
+        # (advec_2i5.cxx:89-143, advec_2i53.cxx:83-113, advec_2i4.cxx:69-99,
+        # advec_2i62.cxx:94-96)
+        wc = i2(w[ks:ke], w[ks + 1:ke + 1])
+        if self.scheme == "2i4" and kt > 2:
+            wc = wc.at[1:kt - 1].set(fd.interp4c(
+                w[ks:ke - 2], w[ks + 1:ke - 1], w[ks + 2:ke], w[ks + 3:ke + 1]))
+        elif self.scheme == "2i53" and kt > 2:
+            wc = wc.at[1:kt - 1].set(fd.interp4_ws(
+                w[ks:ke - 2], w[ks + 1:ke - 1], w[ks + 2:ke], w[ks + 3:ke + 1]))
+        elif self.scheme == "2i5":
+            if kt > 2:
+                wc = wc.at[1].set(fd.interp4_ws(w[ks], w[ks + 1], w[ks + 2], w[ks + 3]))
+                wc = wc.at[kt - 2].set(fd.interp4_ws(w[ke - 3], w[ke - 2], w[ke - 1], w[ke]))
+            if kt > 4:
+                wc = wc.at[2:kt - 2].set(
+                    (37. / 60.) * (w[ks + 2:ke - 2] + w[ks + 3:ke - 1])
+                    - (8. / 60.) * (w[ks + 1:ke - 3] + w[ks + 4:ke])
+                    + (1. / 60.) * (w[ks:ke - 4] + w[ks + 5:ke + 1]))
         c = (jnp.abs(uc)[ks:ke] * ctx.dxi + jnp.abs(vc)[ks:ke] * ctx.dyi
-             + jnp.abs(i2(w[ks:ke], w[ks + 1:ke + 1])) * ctx.dzi[ks:ke][:, None, None])
+             + jnp.abs(wc) * ctx.dzi[ks:ke][:, None, None])
         return jnp.max(c)
 
 
