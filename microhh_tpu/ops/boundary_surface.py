@@ -10,8 +10,9 @@ TPU-first re-design notes:
   with one vectorized ``searchsorted`` over the whole surface plane (see
   most.py) instead of a per-point warm-started linear search or Newton loop —
   branch-free, no data-dependent iteration under jit.
-* Only constant z0 is currently supported (``swconstantz0=true``, the
-  default); heterogeneous z0/Charnock is a later milestone.
+* z0 may be constant (``swconstantz0=true``, default), a 2-D map loaded from
+  ``z0m.0000000``/``z0h.0000000``, or Charnock sea-surface roughness updated
+  from the previous substep's ustar (``swcharnock=true``).
 """
 
 import numpy as np

@@ -179,9 +179,11 @@ class MicrophysNsw6:
         q_scrt = 6.e-4
         beta_1 = jnp.minimum(BETA_SAUT, BETA_SAUT * jnp.exp(GAMMA_SAUT * (T - cst.T0)))
         beta_2 = jnp.minimum(BETA_GAUT, BETA_GAUT * jnp.exp(GAMMA_GAUT * (T - cst.T0)))
+        # no epsilon in the inner denominator (microphys_nsw6.cxx:333): at
+        # ql==0 the expression is 0/inf == 0 and the mask discards it anyway
         P_raut = w(has_liq,
                    16.7 / rho * (rho * ql) ** 2
-                   / (5. + 3.66e-2 * 1.e-6 * Nc0 / (D_d * rho * ql + Q_TINY)))
+                   / (5. + 3.66e-2 * 1.e-6 * Nc0 / (D_d * rho * ql)))
         P_saut = w(has_ice, jnp.maximum(beta_1 * qi, 0.))
         P_gaut = w(has_snow, jnp.maximum(beta_2 * (qs_ - q_scrt), 0.))
 

@@ -19,8 +19,15 @@ Implemented subset (documented):
   in rte-rrtmgp's Gas_optics_rrtmgp).
 * SW: per-g-point TOA source (``solar_source_quiet`` et al. or legacy
   ``solar_source``) and Rayleigh optical depth from ``rayl_lower/upper``.
-* NOT implemented: minor-gas contributions (``kminor_*``) — a relative
-  correction on top of the major term; their tables are parsed but unused.
+* MINOR-gas contributions (``kminor_lower/upper``): per-interval (eta, T)
+  bilinear interpolation with the density/ scaling-gas/ complement scaling
+  of rte-rrtmgp's ``compute_tau_minor_absorption``; the per-g-point
+  contributor lists are flattened to fixed-width slot tables at load time
+  so the g-point ``lax.scan`` body stays gather + FMA only.
+* CLOUD optics (``cloud_coefficients_{lw,sw}.nc``): the LUT variant of
+  rte-rrtmgp's Cloud_optics — per-band linear interpolation in liquid/ice
+  effective radius of lut_ext/ssa/asy times the water path
+  (``compute_cld_from_table``; loaded as in radiation_rrtmgp.cxx:353-397).
 
 All per-layer interpolation is pure gather + FMA math over (lay, col)
 arrays; the g-point loop is a ``lax.scan`` accumulating band fluxes so the
@@ -133,6 +140,72 @@ class KDistribution:
             g2b[self.band2gpt[b, 0] - 1:self.band2gpt[b, 1]] = b
         self.gpt_band = g2b
         self.log_press_ref = np.log(self.press_ref)
+
+        # minor-gas contributors (radiation_rrtmgp.cxx:148-229); flattened
+        # into per-g-point fixed-width slot tables for branch-free gathers.
+        self.minor = {}
+        if "kminor_lower" in v:
+            gas_minor = self._opt_names(v, "gas_minor")
+            ident_minor = self._opt_names(v, "identifier_minor")
+            for atm in ("lower", "upper"):
+                self.minor[atm] = self._build_minor(v, atm, gas_minor,
+                                                    ident_minor)
+
+    def _opt_names(self, v, key):
+        var = v[key]
+        if isinstance(var, (list, tuple)):
+            return list(var)
+        return _names(var)
+
+    def _build_minor(self, v, atm, gas_minor, ident_minor):
+        """Slot tables for one atmosphere: for every g-point, the (<=S)
+        minor contributors covering it, as padded int/bool arrays."""
+        kminor = np.asarray(v["kminor_" + atm][:], dtype=np.float64)
+        gases = self._opt_names(v, "minor_gases_" + atm)
+        limits = np.asarray(v["minor_limits_gpt_" + atm][:], dtype=np.int64)
+        swd = np.asarray(v["minor_scales_with_density_" + atm][:]).astype(bool)
+        sbc = np.asarray(v["scale_by_complement_" + atm][:]).astype(bool)
+        sgas = self._opt_names(v, "scaling_gas_" + atm)
+        kstart = np.asarray(v["kminor_start_" + atm][:], dtype=np.int64)
+
+        def gas_idx0(name):
+            """0-based index into gas_names via the identifier->gas map;
+            -1 when the gas is not in this k-distribution."""
+            name = name.strip()
+            if not name:
+                return -1
+            if name in ident_minor:
+                name = gas_minor[ident_minor.index(name)]
+            try:
+                return self.gas_names.index(name)
+            except ValueError:
+                return -1
+
+        slots = [[] for _ in range(self.n_gpt)]
+        for i in range(len(gases)):
+            gi = gas_idx0(gases[i])
+            si = gas_idx0(sgas[i]) if i < len(sgas) else -1
+            lo, hi = int(limits[i, 0]), int(limits[i, 1])   # 1-based incl.
+            for g in range(lo - 1, hi):
+                contrib = int(kstart[i]) - 1 + (g - (lo - 1))
+                slots[g].append((contrib, gi, bool(swd[i]), bool(sbc[i]), si))
+        S = max(1, max(len(s) for s in slots))
+        n = self.n_gpt
+        tab = {"kminor": kminor,
+               "contrib": np.zeros((n, S), np.int32),
+               "gas": np.full((n, S), -1, np.int32),
+               "swd": np.zeros((n, S), bool),
+               "sbc": np.zeros((n, S), bool),
+               "sgas": np.full((n, S), -1, np.int32),
+               "nslot": S}
+        for g, sl in enumerate(slots):
+            for s_, (c, gi, w, b, si) in enumerate(sl):
+                tab["contrib"][g, s_] = c
+                tab["gas"][g, s_] = gi
+                tab["swd"][g, s_] = w
+                tab["sbc"][g, s_] = b
+                tab["sgas"][g, s_] = si
+        return tab
 
     def gas_index(self, name):
         return self.gas_names.index(name) + 1  # 1-based like the file
