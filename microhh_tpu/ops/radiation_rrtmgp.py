@@ -7,23 +7,29 @@ those data files), a background column above the domain top, cloud optics,
 no-scattering LW and two-stream SW solvers, heating rates, and surface
 fluxes consumed by the land-surface scheme.
 
-This TPU build reproduces the component structure and API end-to-end —
-per-column solvers over the full (domain + background) column, cloud
-optics, zenith-angle handling, surface fluxes, clear-sky diagnostics — but
-because the k-distribution coefficient files are absent from the reference
-checkout, the spectral gas optics is a documented TWO-BAND stand-in:
+This TPU build reproduces the component structure end-to-end.  When the
+standard rte-rrtmgp data files sit in the case directory —
+``coefficients_{lw,sw}.nc`` (k-distributions) and
+``cloud_coefficients_{lw,sw}.nc`` (cloud-optics LUTs) — the full spectral
+path runs: per-g-point major + MINOR gas optics (kminor lower/upper with
+density/scaling-gas/complement scaling), Planck fractions, per-g-point
+solar source, Rayleigh, and per-band LUT cloud optics with Martin (1994)
+effective radii (see rrtmgp_optics.py; oracle-tested against a numpy
+transliteration of the rte-rrtmgp kernels in tests/oracle_ref/rrtmgp_ref.py).
 
-* LW: gray water-vapor + pressure-broadened continuum optical depth with a
-  diffusivity-factor no-scattering solve (Planck emission per layer),
-  identical solver structure to ``Rte_lw`` with one g-point;
+Without the data files (the reference checkout's rte-rrtmgp-cpp submodule
+is empty, so no tables ship with it) a documented TWO-BAND gray stand-in
+keeps radiatively-driven cases runnable:
+
+* LW: gray water-vapor + continuum with a diffusivity-factor no-scattering
+  solve, identical solver structure to ``Rte_lw`` with one g-point;
 * SW: one band with Rayleigh + water-vapor absorption and delta-two-stream
-  cloud scattering (Joseph et al. 1976), like ``Rte_sw`` with one g-point.
+  cloud scattering, like ``Rte_sw`` with one g-point.
 
-Drop real RRTMGP NetCDF coefficient files next to the case and a future
-loader can swap the stand-in for table-driven optics without touching the
-solvers.  All solves are vectorized over whole (j, i) planes of columns —
-columns are independent, so the TPU sees batched elementwise math plus two
-`lax`-style cumulative sweeps per band.
+All solves are vectorized over whole (j, i) planes of columns — columns
+are independent, so the TPU sees batched elementwise math plus `lax.scan`
+cumulative sweeps, with the g-point loop scanned so the working set stays
+one g-point wide.
 """
 
 import numpy as np
@@ -73,6 +79,8 @@ class RadiationRrtmgp:
         self._sfc = None
         self.kdist_lw = None
         self.kdist_sw = None
+        self.cloud_lw = None
+        self.cloud_sw = None
         # trace gases as constant volume mixing ratios for the k-distribution
         self.gas_vmr = {"co2": ini.get_float("radiation", "co2", default=397e-6),
                         "o3": ini.get_float("radiation", "o3", default=0.),
@@ -91,13 +99,21 @@ class RadiationRrtmgp:
         stand-in runs."""
         import os
         self.thermo = thermo
-        from .rrtmgp_optics import KDistribution
+        from .rrtmgp_optics import KDistribution, CloudOptics
         lw_path = os.path.join(workdir, "coefficients_lw.nc")
         sw_path = os.path.join(workdir, "coefficients_sw.nc")
         if os.path.exists(lw_path):
             self.kdist_lw = KDistribution(lw_path)
         if os.path.exists(sw_path):
             self.kdist_sw = KDistribution(sw_path)
+        # cloud-optics LUTs (radiation_rrtmgp.cxx:1224,1267)
+        self.cloud_lw = self.cloud_sw = None
+        cl_path = os.path.join(workdir, "cloud_coefficients_lw.nc")
+        cs_path = os.path.join(workdir, "cloud_coefficients_sw.nc")
+        if os.path.exists(cl_path):
+            self.cloud_lw = CloudOptics(cl_path)
+        if os.path.exists(cs_path):
+            self.cloud_sw = CloudOptics(cs_path)
         if input_nc is not None and "radiation" in getattr(input_nc, "groups", {}):
             rad = input_nc.groups["radiation"]
             self.bg = {
@@ -131,6 +147,31 @@ class RadiationRrtmgp:
         dry_path = rho * dz * (p / cst.p0)
         lwp = rho * (ql + qi) * dz * 1e3              # g m-2 per layer
         return T, wv_path, dry_path, lwp, rho, dz, exn
+
+    def _cloud_fields(self, ctx, s, thermo):
+        """Separate liquid/ice water paths [g m-2] + effective radii
+        [micron] via the Martin et al. (1994) parametrization with the
+        reference's fixed Nc0/Ni0 (radiation_rrtmgp.cxx:1981-2024)."""
+        ks, ke = ctx.ks, ctx.ke
+        p = jnp.asarray(thermo.pref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        exn = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        dz = ctx.dz[ks:ke][:, None, None]
+        ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p, exn)
+        clwp = rho * ql * dz                          # kg m-2
+        ciwp = rho * qi * dz
+        sig_g = 1.34
+        fac = np.exp(np.log(sig_g) ** 2)
+        Nc0, Ni0 = 100.e6, 1.e5
+        four3pi_cw = (4. / 3.) * np.pi * Nc0 * cst.rho_w
+        four3pi_ii = (4. / 3.) * np.pi * Ni0 * cst.rho_i
+        rel = jnp.where(clwp > 0.,
+                        1e6 * fac * ((clwp / dz) / four3pi_cw) ** (1. / 3.), 0.)
+        rel = jnp.clip(rel, 2.5, 21.5)
+        rei = jnp.where(ciwp > 0.,
+                        1e6 * ((ciwp / dz) / four3pi_ii) ** (1. / 3.), 0.)
+        rei = jnp.clip(rei, 10., 180.)
+        return clwp * 1e3, ciwp * 1e3, rel, rei       # paths in g m-2
 
     def _bg_lw(self):
         """Background-column LW: gray downward emission at the domain top
@@ -227,12 +268,22 @@ class RadiationRrtmgp:
         idxb = kd.interp_indices(pb, Tb)
         order = jnp.argsort(pb)   # low p (space) first
 
-        tau_cld = K_LW_CLD * lwp  # gray cloud, all g-points
+        # cloud optics: banded LUT when tables are present, gray fallback
+        if self.cloud_lw is not None:
+            clwp_g, ciwp_g, rel, rei = self._cloud_fields(ctx, s, thermo)
+            tau_c, taussa_c, _ = self.cloud_lw.cloud_optics(
+                clwp_g, ciwp_g, rel, rei, dtype=tlay.dtype)
+            tau_cld_band = tau_c - taussa_c   # 1scl absorption optical depth
+        else:
+            tau_cld_band = None
+            tau_cld = K_LW_CLD * lwp          # gray cloud, all g-points
+        gpt_band = jnp.asarray(kd.gpt_band)
 
         def body(carry, g):
             up_sum, dn_sum = carry
             # background downward sweep (1-D)
-            tau_b = kd.tau_gpt(g, idxb, colsb, dtype=tlay.dtype)
+            tau_b = kd.tau_gpt(g, idxb, colsb, cdb, pb, Tb,
+                               dtype=tlay.dtype)
             src_b = kd.planck_gpt(g, idxb, colsb, Tb, dtype=tlay.dtype)
             tr_b = jnp.exp(-DIFFUSIVITY * tau_b)
 
@@ -242,7 +293,10 @@ class RadiationRrtmgp:
             fdn_top, _ = jax.lax.scan(bg_sweep, jnp.zeros((), tlay.dtype),
                                       order)
 
-            tau = kd.tau_gpt(g, idx, cols, dtype=tlay.dtype) + tau_cld
+            cld = (tau_cld if tau_cld_band is None
+                   else tau_cld_band[..., gpt_band[g]])
+            tau = kd.tau_gpt(g, idx, cols, col_dry, play, tlay,
+                             dtype=tlay.dtype) + cld
             lay_src = kd.planck_gpt(g, idx, cols, tlay, dtype=tlay.dtype)
             sfc_src = kd.planck_gpt(g, idx0, cols0, tsfc_b,
                                     dtype=tlay.dtype)[0]
@@ -267,24 +321,43 @@ class RadiationRrtmgp:
         pb, Tb, cdb, colsb = self._bg_inputs(tlay.dtype)
         idxb = kd.interp_indices(pb, Tb)
 
-        tau_cld = 1.5e-3 * lwp / (REFF * cst.rho_w)
-        ssa_cld_tau = SSA_CLOUD * tau_cld
+        if self.cloud_sw is not None:
+            clwp_g, ciwp_g, rel, rei = self._cloud_fields(ctx, s, thermo)
+            tau_c_b, taussa_c_b, taussag_c_b = self.cloud_sw.cloud_optics(
+                clwp_g, ciwp_g, rel, rei, dtype=tlay.dtype)
+        else:
+            tau_c_b = None
+            tau_cld = 1.5e-3 * lwp / (REFF * cst.rho_w)
+            ssa_cld_tau = SSA_CLOUD * tau_cld
+        gpt_band = jnp.asarray(kd.gpt_band)
 
         def body(carry, g):
             up_sum, dn_sum, dir_sum = carry
-            tau_b = (kd.tau_gpt(g, idxb, colsb, dtype=tlay.dtype)
+            tau_b = (kd.tau_gpt(g, idxb, colsb, cdb, pb, Tb,
+                                dtype=tlay.dtype)
                      + kd.rayleigh_gpt(g, idxb, colsb, cdb, dtype=tlay.dtype))
             toa_g = (jnp.asarray(kd.solar_source, dtype=tlay.dtype)[g]
                      * self.tsi_scaling * jnp.maximum(mu0, 0.)
                      * jnp.exp(-jnp.sum(tau_b) / mu))
-            tau_gas = kd.tau_gpt(g, idx, cols, dtype=tlay.dtype)
+            tau_gas = kd.tau_gpt(g, idx, cols, col_dry, play, tlay,
+                                 dtype=tlay.dtype)
             tau_ray = kd.rayleigh_gpt(g, idx, cols, col_dry,
                                       dtype=tlay.dtype)
-            tau = tau_gas + tau_ray + tau_cld
-            ssa = (tau_ray + ssa_cld_tau) / jnp.maximum(tau, 1e-30)
-            g_as = jnp.where(tau_cld > 0.,
-                             G_CLOUD * ssa_cld_tau
-                             / jnp.maximum(ssa * tau, 1e-30), 0.)
+            if tau_c_b is not None:
+                b = gpt_band[g]
+                tc = tau_c_b[..., b]
+                tcs = taussa_c_b[..., b]
+                tcsg = taussag_c_b[..., b]
+                tau = tau_gas + tau_ray + tc
+                ssa_tau = tau_ray + tcs
+                ssa = ssa_tau / jnp.maximum(tau, 1e-30)
+                g_as = tcsg / jnp.maximum(ssa_tau, 1e-30)
+            else:
+                tau = tau_gas + tau_ray + tau_cld
+                ssa = (tau_ray + ssa_cld_tau) / jnp.maximum(tau, 1e-30)
+                g_as = jnp.where(tau_cld > 0.,
+                                 G_CLOUD * ssa_cld_tau
+                                 / jnp.maximum(ssa * tau, 1e-30), 0.)
             up, dn, dirh = self._sw_solve(tau, ssa, g_as, mu0, toa_g)
             return (up_sum + up, dn_sum + dn, dir_sum + dirh), None
 
@@ -307,9 +380,13 @@ class RadiationRrtmgp:
         return self._sw_solve(tau, ssa, g_as, mu0, toa_dir)
 
     def _sw_solve(self, tau, ssa, g_as, mu0, toa_dir):
-        """Delta-two-stream SW (Rte_sw structure): direct-beam attenuation
-        plus layer-by-layer adding for the diffuse field."""
-        # delta scaling
+        """Delta-scaled Meador-Weaver two-stream + adding, the rte-rrtmgp
+        ``sw_two_stream``/``sw_source_2str``/``adding`` structure: per-layer
+        diffuse R/T, direct-beam reflectance/transmittance sources with the
+        standard gamma3/gamma4 partition, then an upward albedo/source
+        accumulation and a downward diffuse sweep.  Layer index 0 is the
+        lowest layer; half levels run surface..TOA."""
+        # delta scaling (mo_optical_props delta_scale)
         f = g_as * g_as
         tau_d = (1. - ssa * f) * tau
         ssa_d = (1. - f) * ssa / (1. - ssa * f + 1e-30)
@@ -321,46 +398,76 @@ class RadiationRrtmgp:
         dir_half = toa_dir * jnp.exp(-jnp.concatenate(
             [tau_acc, jnp.zeros_like(tau_acc[:1])], axis=0) / mu)
 
-        # two-stream layer reflectance/transmittance (practical improved
-        # flux method, Zdunkowski) for the diffuse field
-        g1 = 0.75 * (2. - ssa_d * (1. + g_d))
-        g2 = 0.75 * ssa_d * (1. - g_d)
-        k = jnp.sqrt(jnp.maximum(g1 * g1 - g2 * g2, 1e-12))
-        e = jnp.exp(-k * tau_d)
-        denom = k + g1 + (k - g1) * e * e
-        R = g2 * (1. - e * e) / denom
-        Tt = 2. * k * e / denom
-        # direct->diffuse source per layer (single-scattering approximation)
-        s_beam = dir_half[1:]                                  # beam entering layer top
-        S = ssa_d * (1. - jnp.exp(-tau_d / mu)) * s_beam
+        # Meador-Weaver / Zdunkowski PIFM two-stream coefficients
+        gamma1 = (8. - ssa_d * (5. + 3. * g_d)) * 0.25
+        gamma2 = 3. * (ssa_d * (1. - g_d)) * 0.25
+        gamma3 = (2. - 3. * mu * g_d) * 0.25
+        gamma4 = 1. - gamma3
+        alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+        alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+        k = jnp.sqrt(jnp.maximum(gamma1 * gamma1 - gamma2 * gamma2, 1e-12))
+        ek = jnp.exp(-k * tau_d)
+        ek2 = ek * ek
+        RT = 1. / (k * (1. + ek2) + gamma1 * (1. - ek2))
+        Rdif = RT * gamma2 * (1. - ek2)
+        Tdif = RT * 2. * k * ek
 
-        # adding method: albedo of everything below each interface
-        def add_up(alb, xs):
-            R_k, T_k = xs
-            alb_new = R_k + T_k * T_k * alb / (1. - R_k * alb)
-            return alb_new, alb
+        Tnoscat = jnp.exp(-tau_d / mu)
+        k_mu = k * mu
+        k_g3 = k * gamma3
+        k_g4 = k * gamma4
+        res = 1. - k_mu * k_mu
+        res = jnp.where(jnp.abs(res) < 1e-12,
+                        jnp.where(res >= 0., 1e-12, -1e-12), res)
+        RT2 = ssa_d * RT / res
+        Rdir = RT2 * ((1. - k_mu) * (alpha2 + k_g3)
+                      - (1. + k_mu) * (alpha2 - k_g3) * ek2
+                      - 2. * (k_g3 - alpha2 * k_mu) * ek * Tnoscat)
+        Tdir = -RT2 * ((1. + k_mu) * (alpha1 + k_g4) * Tnoscat
+                       - (1. - k_mu) * (alpha1 - k_g4) * ek2 * Tnoscat
+                       - 2. * (k_g4 + alpha1 * k_mu) * ek)
+        # physical bounds (as in rte-rrtmgp): the direct beam can yield at
+        # most (1 - Tnoscat) of scattered flux
+        Rdir = jnp.clip(Rdir, 0., 1. - Tnoscat)
+        Tdir = jnp.clip(Tdir, 0., 1. - Tnoscat - Rdir)
+
+        src_up = Rdir * dir_half[1:]       # beam entering each layer top
+        src_dn = Tdir * dir_half[1:]
+
+        # upward accumulation of albedo-below + upwelling source
         alb_sfc = jnp.full(tau.shape[1:], self.sfc_alb_dif, tau.dtype)
-        alb_dir = jnp.full(tau.shape[1:], self.sfc_alb_dir, tau.dtype)
-        _, albs = jax.lax.scan(add_up, alb_sfc, (R, Tt))
-        # downward diffuse sweep from the top
-        def dn_dif(fdn, xs):
-            R_k, T_k, S_k, alb_below = xs
-            fdn_new = (T_k * fdn + S_k) / (1. - R_k * alb_below)
+        src_sfc = self.sfc_alb_dir * dir_half[0]
+
+        def up_acc(carry, xs):
+            alb, src = carry
+            R_k, T_k, su, sd = xs
+            denom = 1. / (1. - R_k * alb)
+            alb_new = R_k + T_k * T_k * alb * denom
+            src_new = su + T_k * denom * (src + alb * sd)
+            return (alb_new, src_new), (alb, src)
+
+        (alb_top, src_top), (albs, srcs) = jax.lax.scan(
+            up_acc, (alb_sfc, src_sfc), (Rdif, Tdif, src_up, src_dn))
+        # albedo/source at half level l (everything below layer l)
+        albs_half = jnp.concatenate([albs, alb_top[None]], axis=0)
+        srcs_half = jnp.concatenate([srcs, src_top[None]], axis=0)
+
+        # downward diffuse sweep from the top (flux_dn_dif[TOA] = 0)
+        def dn_sweep(fdn, xs):
+            R_k, T_k, sd, alb_b, src_b = xs
+            fdn_new = (T_k * fdn + R_k * src_b + sd) / (1. - R_k * alb_b)
             return fdn_new, fdn_new
+
         zero_top = jnp.zeros(tau.shape[1:], tau.dtype)
-        _, dn_rev = jax.lax.scan(dn_dif, zero_top,
-                                 (R[::-1], Tt[::-1], S[::-1], albs[::-1]))
+        _, dn_rev = jax.lax.scan(
+            dn_sweep, zero_top,
+            (Rdif[::-1], Tdif[::-1], src_dn[::-1],
+             albs_half[:-1][::-1], srcs_half[:-1][::-1]))
         dif_dn = jnp.concatenate([dn_rev[::-1], zero_top[None]], axis=0)
-        # upward: surface splits direct/diffuse albedos; aloft the direct
-        # beam is reflected with the diffuse albedo-below (stand-in closure)
-        albs_half = jnp.concatenate([alb_sfc[None], albs], axis=0)
-        dif_up = albs_half * (dif_dn + dir_half)
-        dif_up = dif_up.at[0].set(alb_dir * dir_half[0]
-                                  + alb_sfc * dif_dn[0])
+        dif_up = dif_dn * albs_half + srcs_half
 
         flux_dn = dif_dn + dir_half
-        flux_up = dif_up
-        return flux_up, flux_dn, dir_half
+        return dif_up, flux_dn, dir_half
 
     # -- model hook --------------------------------------------------------------
     _SFC_KEYS = ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn")

@@ -224,9 +224,11 @@ class KDistribution:
         ft = ft - jt
 
         lp = jnp.asarray(self.log_press_ref)
-        # press_ref descends (surface -> TOA); interpolate on log p
-        logp = jnp.log(jnp.clip(play, float(np.exp(lp.min())),
-                                float(np.exp(lp.max()))))
+        # press_ref descends (surface -> TOA); interpolate on log p.
+        # Bounds come from the NUMPY table (inside jit even concrete-array
+        # jnp ops are staged, so float() on them would see a tracer).
+        logp = jnp.log(jnp.clip(play, float(self.press_ref.min()),
+                                float(self.press_ref.max())))
         dlp = lp[1] - lp[0]
         fp = (logp - lp[0]) / dlp
         jp_ = jnp.clip(jnp.floor(fp).astype(jnp.int32), 0, self.n_press - 2)
@@ -275,13 +277,29 @@ class KDistribution:
             out_c.append(cm)
         return out_f, out_j, out_c
 
-    def _interp_table(self, table_g, band, idx, col_gas):
-        """Trilinear (T, p, eta) interpolation of one g-point column of
-        kmajor-layout data.  table_g: (T, p+1, eta) for this g-point."""
-        fe, je, _ = self._eta(band, idx, col_gas)
-        # pressure index: upper atmosphere rows are shifted by one
-        # (kmajor's pressure axis has n_press+1 entries, the extra row
-        # separating the tropospheric and stratospheric tables).
+    def _band_eta(self, g, idx, col_gas):
+        """Band-dependent eta data for traced g-point g: a lax.switch over
+        bands returning (fe, je, col_mix) per temperature neighbor."""
+        band = jnp.asarray(self.gpt_band)[g]
+        nb = self.band2gpt.shape[0]
+
+        def for_band(b):
+            fe, je, cm = self._eta(b, idx, col_gas)
+            return fe[0], fe[1], je[0], je[1], cm[0], cm[1]
+
+        branches = [lambda b=b: for_band(b) for b in range(nb)]
+        fe0, fe1, je0, je1, cm0, cm1 = jax.lax.switch(band, branches)
+        return [fe0, fe1], [je0, je1], [cm0, cm1]
+
+    def tau_gpt(self, g, idx, col_gas, col_dry=None, play=None, tlay=None,
+                dtype=jnp.float64):
+        """Optical depth of g-point ``g`` (traced scalar) over all layers:
+        kmajor trilinear times the combined key-species column, plus the
+        minor-gas contributions when the minor tables and (col_dry, play,
+        tlay) are provided."""
+        km = jnp.asarray(self.kmajor, dtype=dtype)  # (T, p+1, eta, gpt)
+        tab = km[..., g]
+        fe, je, cm = self._band_eta(g, idx, col_gas)
         jp0 = idx["jpress"] + jnp.where(idx["tropo"], 0, 1)
         fp = idx["fpress"]
         acc = 0.
@@ -293,48 +311,75 @@ class KDistribution:
                 jp_ = jp0 + ip_
                 for ie in range(2):
                     we = (1. - fe[it]) if ie == 0 else fe[it]
-                    k = table_g[jt, jp_, je[it] + ie]
-                    acc = acc + wt * wp * we * k
+                    k = tab[jt, jp_, je[it] + ie]
+                    acc = acc + wt * wp * we * k * cm[it]
+
+        if self.minor and col_dry is not None:
+            lo = self._tau_minor(g, idx, fe, je, col_gas, col_dry,
+                                 play, tlay, "lower", dtype)
+            up = self._tau_minor(g, idx, fe, je, col_gas, col_dry,
+                                 play, tlay, "upper", dtype)
+            acc = acc + jnp.where(idx["tropo"], lo, up)
         return acc
 
-    def tau_gpt(self, g, idx, col_gas, dtype=jnp.float64):
-        """Optical depth of g-point ``g`` (traced scalar) over all layers:
-        k interpolated from kmajor times the combined key-species column."""
-        band = jnp.asarray(self.gpt_band)[g]
-        km = jnp.asarray(self.kmajor, dtype=dtype)  # (T, p+1, eta, gpt)
-        tab = km[..., g]
-        # eta/col_mix depend on the band's key species -> switch over bands
-        nb = self.band2gpt.shape[0]
+    def _tau_minor(self, g, idx, fe, je, col_gas, col_dry, play, tlay,
+                   atm, dtype):
+        """Minor-gas optical depth of g-point g for one atmosphere
+        (rte-rrtmgp compute_tau_minor_absorption): per contributor slot a
+        bilinear (eta, T) interpolation of kminor times the scaled minor
+        column (density scaling, optional scaling gas / complement)."""
+        tabset = self.minor[atm]
+        km = jnp.asarray(tabset["kminor"], dtype=dtype)  # (T, eta, contrib)
+        zeros = jnp.zeros_like(col_dry)
+        col_stack = jnp.stack([jnp.broadcast_to(
+            col_gas.get(name, zeros), col_dry.shape).astype(dtype)
+            for name in self.gas_names])
+        col_h2o = col_gas.get("h2o", zeros)
+        vmr_fact = 1. / col_dry
+        dry_fact = 1. / (1. + col_h2o * vmr_fact)
+        dens = 0.01 * play / tlay     # Pa -> hPa density scaling
 
-        def for_band(b):
-            fe, je, cm = self._eta(b, idx, col_gas)
-            jp0 = idx["jpress"] + jnp.where(idx["tropo"], 0, 1)
-            fp = idx["fpress"]
-            acc = 0.
+        acc = 0.
+        for s_ in range(tabset["nslot"]):
+            c = jnp.asarray(tabset["contrib"])[g, s_]
+            gi = jnp.asarray(tabset["gas"])[g, s_]
+            swd = jnp.asarray(tabset["swd"])[g, s_]
+            sbc = jnp.asarray(tabset["sbc"])[g, s_]
+            si = jnp.asarray(tabset["sgas"])[g, s_]
+            kcol = km[:, :, c]                           # (T, eta)
+            kint = 0.
             for it in range(2):
                 wt = (1. - idx["ftemp"]) if it == 0 else idx["ftemp"]
                 jt = idx["jtemp"] + it
-                for ip_ in range(2):
-                    wp = (1. - fp) if ip_ == 0 else fp
-                    jp_ = jp0 + ip_
-                    for ie in range(2):
-                        we = (1. - fe[it]) if ie == 0 else fe[it]
-                        k = tab[jt, jp_, je[it] + ie]
-                        acc = acc + wt * wp * we * k * cm[it]
-            return acc
-
-        branches = [lambda b=b: for_band(b) for b in range(nb)]
-        return jax.lax.switch(band, branches)
+                for ie in range(2):
+                    we = (1. - fe[it]) if ie == 0 else fe[it]
+                    kint = kint + wt * we * kcol[jt, je[it] + ie]
+            scaling = jnp.where(gi >= 0, col_stack[jnp.maximum(gi, 0)], 0.)
+            scaling = scaling * jnp.where(swd, dens, 1.)
+            sg_col = col_stack[jnp.maximum(si, 0)]
+            factor = jnp.where(sbc, 1. - sg_col * vmr_fact * dry_fact,
+                               sg_col * vmr_fact * dry_fact)
+            scaling = scaling * jnp.where(swd & (si >= 0), factor, 1.)
+            acc = acc + kint * scaling
+        return acc
 
     def planck_gpt(self, g, idx, col_gas, tlay, dtype=jnp.float64):
         """Layer Planck source of g-point g: interpolated plank_fraction
         times the band-integrated Planck emission at tlay."""
         band = jnp.asarray(self.gpt_band)[g]
         pf = jnp.asarray(self.planck_frac, dtype=dtype)[..., g]
-        nb = self.band2gpt.shape[0]
-        branches = [lambda b=b: self._interp_table(pf, b, idx, col_gas)
-                    for b in range(nb)]
-        frac = jax.lax.switch(band, branches)
+        fe, je, _ = self._band_eta(g, idx, col_gas)
+        jp0 = idx["jpress"] + jnp.where(idx["tropo"], 0, 1)
+        fp = idx["fpress"]
+        frac = 0.
+        for it in range(2):
+            wt = (1. - idx["ftemp"]) if it == 0 else idx["ftemp"]
+            jt = idx["jtemp"] + it
+            for ip_ in range(2):
+                wp = (1. - fp) if ip_ == 0 else fp
+                for ie in range(2):
+                    we = (1. - fe[it]) if ie == 0 else fe[it]
+                    frac = frac + wt * wp * we * pf[jt, jp0 + ip_, je[it] + ie]
 
         tp = jnp.asarray(self.totplnk, dtype=dtype)  # (nT, bnd)
         ft = (jnp.clip(tlay, TOTPLNK_T0,
@@ -346,16 +391,14 @@ class KDistribution:
         return frac * b_band
 
     def rayleigh_gpt(self, g, idx, col_gas, col_dry, dtype=jnp.float64):
-        """Rayleigh optical depth of g-point g (SW files)."""
+        """Rayleigh optical depth of g-point g (SW files).  rayl tables:
+        (temperature, mixing_fraction, gpt); (T, eta) bilinear times the
+        dry column."""
         if self.rayl is None:
             return 0.
-        band = jnp.asarray(self.gpt_band)[g]
-        # rayl tables: (temperature, mixing_fraction, gpt); interpolate in
-        # (T, eta) and scale by the dry column.
-        nb = self.band2gpt.shape[0]
+        fe, je, _ = self._band_eta(g, idx, col_gas)
 
-        def for_band(b, tab):
-            fe, je, _ = self._eta(b, idx, col_gas)
+        def interp(tab):
             acc = 0.
             for it in range(2):
                 wt = (1. - idx["ftemp"]) if it == 0 else idx["ftemp"]
@@ -367,25 +410,90 @@ class KDistribution:
 
         lo = jnp.asarray(self.rayl[0], dtype=dtype)[..., g]
         hi = jnp.asarray(self.rayl[1], dtype=dtype)[..., g]
-        branches = [lambda b=b: jnp.where(idx["tropo"],
-                                          for_band(b, lo), for_band(b, hi))
-                    for b in range(nb)]
-        k = jax.lax.switch(band, branches)
+        k = jnp.where(idx["tropo"], interp(lo), interp(hi))
         return k * col_dry
 
 
 def col_amounts(play, plev, qv, extra_vmr=None):
-    """Column amounts per layer (molec/m2) from pressure levels and
+    """Column amounts per layer (molec/cm2, the unit the rte-rrtmgp tables
+    expect — mo_gas_optics_rrtmgp get_col_dry) from pressure levels and
     specific humidity; extra gases as constant volume mixing ratios.
 
     Returns (col_dry, col_gas dict keyed by gas name)."""
     dp = jnp.abs(plev[1:] - plev[:-1])
     eps = 0.028964 / 0.018015  # Md/Mv
     h2o_vmr = qv * eps / jnp.maximum(1. - qv, 1e-12)
-    # molecules of dry air per m2
-    col_dry = dp / 9.80665 * _N_PER_KG_DRY / (1. + h2o_vmr * 0.018015 / 0.028964)
+    # molecules of dry air per cm2 (the 1e-4 converts m-2 -> cm-2)
+    col_dry = (dp / 9.80665 * _N_PER_KG_DRY
+               / (1. + h2o_vmr * 0.018015 / 0.028964) * 1e-4)
     cols = {"h2o": h2o_vmr * col_dry}
     if extra_vmr:
         for name, vmr in extra_vmr.items():
             cols[name] = vmr * col_dry
     return col_dry, cols
+
+
+class CloudOptics:
+    """rte-rrtmgp Cloud_optics, LUT variant (radiation_rrtmgp.cxx:353-397;
+    kernel ``compute_cld_from_table``): per-band extinction / single-
+    scattering albedo / asymmetry linear in the liquid (ice) effective
+    radius, times the condensate path in g m-2."""
+
+    def __init__(self, path):
+        from ..utils import nc
+        f = nc.Dataset(path, "r")
+        self._init_from(f.variables)
+        f.close()
+
+    @classmethod
+    def from_vars(cls, variables):
+        self = cls.__new__(cls)
+        self._init_from(variables)
+        return self
+
+    def _init_from(self, v, icergh=1):
+        self.radliq_lwr = _scalar(v["radliq_lwr"])
+        self.radliq_upr = _scalar(v["radliq_upr"])
+        self.radice_lwr = _scalar(v["radice_lwr"])
+        self.radice_upr = _scalar(v["radice_upr"])
+        # file layout (nband, nsize); transpose to (nsize, nband)
+        self.lut_extliq = np.asarray(v["lut_extliq"][:], np.float64).T
+        self.lut_ssaliq = np.asarray(v["lut_ssaliq"][:], np.float64).T
+        self.lut_asyliq = np.asarray(v["lut_asyliq"][:], np.float64).T
+        # ice: (nrghice, nband, nsize); pick the roughness category
+        # (reference uses the Cloud_optics default, category 1)
+        self.lut_extice = np.asarray(v["lut_extice"][:], np.float64)[icergh - 1].T
+        self.lut_ssaice = np.asarray(v["lut_ssaice"][:], np.float64)[icergh - 1].T
+        self.lut_asyice = np.asarray(v["lut_asyice"][:], np.float64)[icergh - 1].T
+        self.n_size_liq, self.n_band = self.lut_extliq.shape
+        self.n_size_ice = self.lut_extice.shape[0]
+
+    def _one_phase(self, wp, re, lwr, upr, nsize, ext, ssa, asy, dtype):
+        step = (upr - lwr) / (nsize - 1)
+        f = (re - lwr) / step
+        j = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, nsize - 2)
+        f = f - j
+        mask = wp > 0.
+
+        def interp(tab):
+            t = jnp.asarray(tab, dtype=dtype)           # (nsize, nband)
+            return (1. - f)[..., None] * t[j] + f[..., None] * t[j + 1]
+
+        tau = jnp.where(mask[..., None], wp[..., None] * interp(ext), 0.)
+        taussa = tau * interp(ssa)
+        taussag = taussa * interp(asy)
+        return tau, taussa, taussag
+
+    def cloud_optics(self, clwp_g, ciwp_g, rel, rei, dtype=jnp.float64):
+        """clwp/ciwp in g m-2, rel/rei in micron (pre-clamped by the
+        caller, radiation_rrtmgp.cxx:2004-2015).  Returns (tau, taussa,
+        taussag) with a trailing band axis."""
+        lt, lts, ltsg = self._one_phase(clwp_g, rel, self.radliq_lwr,
+                                        self.radliq_upr, self.n_size_liq,
+                                        self.lut_extliq, self.lut_ssaliq,
+                                        self.lut_asyliq, dtype)
+        it_, its, itsg = self._one_phase(ciwp_g, rei, self.radice_lwr,
+                                         self.radice_upr, self.n_size_ice,
+                                         self.lut_extice, self.lut_ssaice,
+                                         self.lut_asyice, dtype)
+        return lt + it_, lts + its, ltsg + itsg
