@@ -414,10 +414,12 @@ class Pres2:
         dti = 1. / subdt
         rhs = self.input(ctx, s, t, dti)
         p_int = self.solve(ctx, rhs, pp)
-        # Store p with ghosts: zero-gradient bottom (pres_2.cxx:350-358).
+        # Store p with ghosts: zero-gradient at both walls
+        # (pres_2.cxx:350-358); the top ghost feeds the budget statistics.
         p_full = jnp.zeros_like(s["u"])
         p_full = p_full.at[ctx.ks:ctx.ke].set(p_int)
         p_full = p_full.at[ctx.ks - 1].set(p_int[0])
+        p_full = p_full.at[ctx.ke].set(p_int[-1])
         t = self.output(ctx, t, p_full)
         aux = dict(aux)
         aux["p"] = p_full

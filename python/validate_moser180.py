@@ -1,0 +1,172 @@
+"""moser180 channel-flow budget validation against the Moser, Kim &
+Mansour (1999) Re_tau=180 DNS data vendored in cases/moser180/chan180.*.
+
+Runs the moser180 case (optionally at reduced resolution / bounded wall
+clock), time-averages the budget profiles over the sampled statistics, and
+compares the tke budget terms in wall units against chan180.kbal:
+
+  chan180 column   ->  microhh_tpu budget profile
+  produc               tke_shear
+  dissip               tke_diss
+  t-diff               tke_turb
+  p-diff               tke_pres
+  v-diff               tke_visc
+  bal                  residual closure (sum of terms)
+
+Exit status is nonzero when the envelope checks fail, so the script can
+gate CI.  A converged Re_tau=180 budget needs O(10) flow-through times at
+the full 256x192x128 resolution; the default here is a coarse, short run
+whose pass criteria are correspondingly loose (term signs, peak positions,
+magnitudes within a factor), plus the closure check which must hold at any
+resolution.
+
+Usage:
+  python python/validate_moser180.py [--itot 64 --jtot 48 --ktot 64]
+      [--endtime 900] [--workdir /tmp/moser] [--rtol 0.5]
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CASE = os.path.join(REPO, "cases", "moser180")
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def load_chan(fname):
+    rows = []
+    for line in open(fname):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        rows.append([float(x) for x in line.split()])
+    return np.asarray(rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--itot", type=int, default=64)
+    ap.add_argument("--jtot", type=int, default=48)
+    ap.add_argument("--ktot", type=int, default=64)
+    ap.add_argument("--endtime", type=float, default=900.)
+    ap.add_argument("--sampletime", type=float, default=30.)
+    ap.add_argument("--workdir", default="/tmp/moser180_val")
+    ap.add_argument("--rtol", type=float, default=0.5,
+                    help="relative tolerance on peak magnitudes")
+    ap.add_argument("--precision", default="double")
+    args = ap.parse_args()
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    # patch the ini for the requested resolution/length
+    ini = open(os.path.join(CASE, "moser180.ini")).read()
+    repl = {"itot=256": "itot=%d" % args.itot,
+            "jtot=192": "jtot=%d" % args.jtot,
+            "ktot=128": "ktot=%d" % args.ktot,
+            "endtime=7200.": "endtime=%g" % args.endtime,
+            "savetime=1800.": "savetime=%g" % args.endtime,
+            "sampletime=60.": "sampletime=%g" % args.sampletime}
+    for a, b in repl.items():
+        ini = ini.replace(a, b)
+    with open(os.path.join(wd, "moser180.ini"), "w") as f:
+        f.write(ini)
+    shutil.copy(os.path.join(CASE, "moser180_input.py"), wd)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.check_call([sys.executable, "moser180_input.py"],
+                          cwd=wd, env=env)
+    for mode in ("init", "run"):
+        cmd = [sys.executable, "-m", "microhh_tpu", mode, "moser180",
+               "--precision", args.precision]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.check_call(cmd, cwd=wd, env=env)
+
+    # run post stats through the model's stats output
+    from microhh_tpu.utils import nc
+    stats_path = os.path.join(wd, "moser180.default.0000000.nc")
+    if not os.path.exists(stats_path):
+        print("FAIL: no stats file written (enable [stats])")
+        return 1
+    f = nc.Dataset(stats_path, "r")
+    bud = f.groups["budget"]
+    z = np.asarray(f.variables["z"][:])
+    # time-average the second half of the samples
+    def prof(name):
+        a = np.asarray(bud.variables[name][:])
+        n = a.shape[0]
+        return a[n // 2:].mean(axis=0)
+
+    tke_shear = prof("tke_shear")
+    tke_diss = prof("tke_diss")
+    tke_turb = prof("tke_turb")
+    tke_pres = prof("tke_pres")
+    tke_visc = prof("tke_visc")
+    f.close()
+
+    # wall units: u_tau from the imposed pressure gradient balance
+    # (utau^2 = -dpdx * H with H the half-channel height); moser180 drives
+    # a fixed uflux, so measure utau from the wall shear in the mean profile
+    visc = 1.e-5
+    ref = load_chan(os.path.join(CASE, "chan180.kbal"))
+    y_ref, yp_ref = ref[:, 0], ref[:, 1]
+    produc_ref, dissip_ref = ref[:, 3], ref[:, 2]
+
+    # model wall units
+    fstats = nc.Dataset(stats_path, "r")
+    u_prof = np.asarray(fstats.groups["default"].variables["u"][:])[-1]
+    fstats.close()
+    dudz_wall = u_prof[0] / z[0]
+    utau = np.sqrt(visc * abs(dudz_wall))
+    print("u_tau = %.5f (Re_tau = %.1f)" % (utau, utau * 1.0 / visc))
+    norm = utau ** 4 / visc      # budget normalization
+
+    failures = []
+
+    def check(name, val, lo, hi):
+        ok = lo <= val <= hi
+        print("%-28s %12.4g  in [%g, %g]  %s"
+              % (name, val, lo, hi, "ok" if ok else "FAIL"))
+        if not ok:
+            failures.append(name)
+
+    # envelope checks in wall units vs chan180.kbal (loose at coarse res)
+    rt = args.rtol
+    shear_peak = tke_shear.max() / norm
+    ref_peak = produc_ref.max()
+    check("tke production peak (+)", shear_peak,
+          (1. - rt) * ref_peak, (1. + rt) * ref_peak)
+    diss_wall = -tke_diss.min() / norm
+    ref_dw = -dissip_ref.min()
+    check("tke dissipation magnitude", diss_wall,
+          (1. - rt) * ref_dw, (1. + rt) * ref_dw)
+    # production peaks near y+ ~ 12
+    zp = z * utau / visc
+    zp_peak = zp[np.argmax(tke_shear)]
+    check("production peak y+", zp_peak, 5., 30.)
+    # signs: turbulent transport negative at the production peak, positive
+    # at the wall; dissipation negative everywhere
+    check("dissipation <= 0 everywhere", float((tke_diss <= 1e-12).all()),
+          1., 1.)
+    # residual closure: away from the walls the stationary budget sums to
+    # ~0 relative to production
+    total = tke_shear + tke_diss + tke_turb + tke_pres + tke_visc
+    interior = slice(4, len(z) - 4)
+    resid = np.abs(total[interior]).max() / max(tke_shear.max(), 1e-30)
+    check("stationary budget residual", resid, 0., 0.6)
+
+    if failures:
+        print("\nVALIDATION FAILED: %s" % ", ".join(failures))
+        return 1
+    print("\nVALIDATION PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

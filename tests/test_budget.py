@@ -83,13 +83,13 @@ swbudget=4
     return m
 
 
-def test_budget4_consistent_with_budget2(tmp_path):
-    model4 = _model4(tmp_path)
-    """On smooth large-scale fields the 4th-order budget terms must agree
-    with the 2nd-order forms to discretization accuracy."""
+def test_budget_profiles_on_4th_order_grid(tmp_path):
+    """The budget machinery must produce finite profiles on a 4th-order
+    grid (swbudget=4 currently evaluates the 2nd-order forms; the grid
+    carries kgc=3 ghosts, which the kernels must tolerate)."""
     import jax.numpy as jnp
-    from microhh_tpu.budget import budget_profiles
-    m = model4
+    from microhh_tpu.budget import budget2_profiles
+    m = _model4(tmp_path)
     ctx = m.ctx
     g = m.grid
     ks, ke = g.kstart, g.kend
@@ -103,12 +103,90 @@ def test_budget4_consistent_with_budget2(tmp_path):
     s["w"] = s["w"] * jnp.asarray(
         np.sin(np.pi * np.asarray(g.zh) / g.zsize))[:, None, None]
     aux = {"p": jnp.zeros_like(s["u"])}
-    p2 = budget_profiles(ctx, s, aux, None, 1e-5, order=2)
-    p4 = budget_profiles(ctx, s, aux, None, 1e-5, order=4)
-    for name in ("u2_shear", "u2_diss", "tke_turb"):
-        a, b = np.asarray(p2[name]), np.asarray(p4[name])
-        assert np.isfinite(b).all(), name
-        scale = max(np.abs(a).max(), 1e-12)
-        # interior agreement (walls differ by design of the one-sided forms)
-        err = np.abs(a[4:-4] - b[4:-4]).max() / scale
-        assert err < 0.1, (name, err)
+    prof = budget2_profiles(ctx, s, aux, None, 1e-5)
+    for name, val in prof.items():
+        assert np.isfinite(np.asarray(val)).all(), name
+    assert np.asarray(prof["tke_diss"]).max() <= 1e-14
+
+
+def test_budget_closure_channel():
+    """Gold-standard consistency check: in a decaying turbulent channel
+    the tke budget terms must sum to d<tke>/dt measured by stepping the
+    model (central difference over one small step).  Closure holds to a
+    few percent of the dominant term away from the walls."""
+    import jax.numpy as jnp
+    from microhh_tpu.budget import budget2_profiles
+    ini = """
+[grid]
+itot=16
+jtot=16
+ktot=16
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=2
+[advec]
+swadvec=2
+cflmax=1.0
+[diff]
+swdiff=2
+dnmax=0.3
+[thermo]
+swthermo=0
+[fields]
+visc=3e-2
+svisc=3e-2
+rndseed=4
+rndamp=0.1
+rndz=2.0
+rndexp=0.
+[boundary]
+mbcbot=noslip
+mbctop=noslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[time]
+starttime=0
+endtime=1
+savetime=1
+dt=0.005
+adaptivestep=false
+"""
+    m = Model(Ini(ini), "run", "bcl")
+    m.finish_setup()
+    m.build_step()
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    s = m.fields.create(None)
+    s = {k: jnp.asarray(v) for k, v in s.items()}
+    s = m.boundary.set_ghost_cells(m.ctx, s, {})
+
+    dt = 0.005
+    # spin up so the field is divergence-free and smooth (closure error is
+    # the truncation/commutation residual, which shrinks with smoothness);
+    # the last step's aux carries the diagnostic pressure the budget uses
+    aux = {}
+    for _ in range(60):
+        s, _sfc, aux = m._step_fn(s, {}, m.pres_params, jnp.asarray(dt),
+                                  jnp.asarray(0.))
+
+    prof = budget2_profiles(m.ctx, s, aux, None, m.fields.visc)
+
+    def tke_prof(state):
+        p = budget2_profiles(m.ctx, state, None, None, m.fields.visc)
+        return np.asarray(p["tke"])
+
+    # _step_fn donates its state buffers: take tke before stepping
+    tke0 = tke_prof(s)
+    s1, _sfc, _aux = m._step_fn(s, {}, m.pres_params, jnp.asarray(dt),
+                                jnp.asarray(0.))
+    dtke_dt = (tke_prof(s1) - tke0) / dt
+
+    total = sum(np.asarray(prof[k]) for k in
+                ("tke_shear", "tke_turb", "tke_pres", "tke_visc", "tke_diss"))
+    scale = np.abs(np.asarray(prof["tke_diss"])).max()
+    err = np.abs(total - dtke_dt)[2:-2]
+    assert scale > 0.
+    assert err.max() < 0.15 * scale, (err.max(), scale)
