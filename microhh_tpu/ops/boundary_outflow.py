@@ -21,9 +21,20 @@ semantics bit-for-bit for Advec_2 + Diff_2/Diff_smag2:
 
 Face velocities and evisc stay periodic, exactly as in the reference (only
 the scalars' ghosts are overwritten there).
+
+4th order: the reference specializes to a Dirichlet-0 inflow at the WEST
+edge and extrapolated outflow at the EAST edge, cyclic in y, regardless of
+the ``flow_direction`` config (``boundary_outflow.cxx:244-258``, kernels
+``compute_inflow_4th``/``compute_outflow_4th`` at ``:151-196``).  The same
+tendency-correction trick applies: the ghost columns influence the first /
+last three columns' x-advection (advec_4 flux faces reach i±3) and
+x-diffusion (diff_4 cdg stencil reaches i±3) LINEARLY, so the correction is
+the stencil applied to (ghost_open - ghost_wrapped) deltas.
 """
 
 import jax.numpy as jnp
+
+from .. import fd
 
 EDGES = ("west", "east", "south", "north")
 
@@ -31,19 +42,25 @@ EDGES = ("west", "east", "south", "north")
 class BoundaryOutflow:
     def __init__(self, ini, grid, spatial_order):
         self.grid = grid
+        self.spatial_order = spatial_order
         self.scalars = ini.get_list(str, "boundary", "scalar_outflow", default=[])
         self.direction = {}
         self.inflow_profiles = {}
         if not self.scalars:
             return
-        if spatial_order != 2:
-            raise NotImplementedError(
-                "scalar_outflow is only implemented at 2nd spatial order")
-        for edge in EDGES:
-            d = ini.get_str("boundary", "flow_direction", subitem=edge)
-            if d not in ("inflow", "outflow"):
-                raise ValueError("flow direction %r is invalid" % d)
-            self.direction[edge] = d
+        if spatial_order == 4:
+            swadvec = ini.get_str("advec", "swadvec", default="4")
+            if swadvec not in ("4", "disabled", "0"):
+                raise NotImplementedError(
+                    "4th-order scalar_outflow supports swadvec=4 only")
+            # reference hardcodes west=inflow(0), east=outflow at order 4
+            self.direction = {"west": "inflow", "east": "outflow"}
+        else:
+            for edge in EDGES:
+                d = ini.get_str("boundary", "flow_direction", subitem=edge)
+                if d not in ("inflow", "outflow"):
+                    raise ValueError("flow direction %r is invalid" % d)
+                self.direction[edge] = d
         self.swtimedep = ini.get_bool("boundary", "swtimedep_outflow", default=False)
 
     @property
@@ -55,6 +72,8 @@ class BoundaryOutflow:
         import numpy as np
         if not self.scalars or self.swtimedep:
             return
+        if self.spatial_order == 4:
+            return  # order-4 inflow is Dirichlet 0 (boundary_outflow.cxx:247)
         g = self.grid
         init = input_nc.groups["init"]
         for name in self.scalars:
@@ -69,6 +88,8 @@ class BoundaryOutflow:
         open-boundary fluxes on the edge columns of each outflow scalar."""
         if not self.scalars:
             return t
+        if self.spatial_order == 4:
+            return self._correct_4th(ctx, s, t, sviscs)
         ks, ke = ctx.ks, ctx.ke
         dxi, dyi = ctx.dxi, ctx.dyi
         u, v = s["u"], s["v"]
@@ -161,5 +182,63 @@ class BoundaryOutflow:
                 ta = ta.at[:, -1, :].add((adv_wrap - adv_open) * dyi
                                          + (dif_open - dif_wrap) * dyi)
 
+            t[name] = ta
+        return t
+
+    def _correct_4th(self, ctx, s, t, sviscs):
+        """4th-order x-direction in/outflow as exact linear corrections.
+
+        Ghost deltas d_m = ghost_open(m) - ghost_wrapped(m) feed the
+        advec_4 face fluxes (faces -3/2, -1/2, 1/2 west; N-3/2, N-1/2,
+        N+1/2 east; u faces stay periodic like the reference) and the
+        diff_4 cdg Laplacian on the three edge columns each side."""
+        dxi = ctx.dxi
+        dxidxi = ctx.dxi ** 2
+        u = s["u"]
+        t = dict(t)
+        for name in self.scalars:
+            a = s[name]
+            ta = t[name]
+            svisc = (sviscs or {}).get(name, 0.)
+
+            # -- ghost deltas (k, j) planes -------------------------------
+            # west inflow, Dirichlet value 0 (compute_inflow_4th):
+            a0, a1, a2 = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+            d1 = (9. / 8. * a0 - 14. / 8. * a1 + 5. / 8. * a2) - a[:, :, -1]
+            d2 = (33. / 8. * a0 - 54. / 8. * a1 + 21. / 8. * a2) - a[:, :, -2]
+            d3 = (65. / 8. * a0 - 110. / 8. * a1 + 45. / 8. * a2) - a[:, :, -3]
+            # east outflow extrapolation (compute_outflow_4th):
+            b0, b1, b2 = a[:, :, -1], a[:, :, -2], a[:, :, -3]
+            e1 = (2. * b0 - 3. / 2. * b1 + 1. / 2. * b2) - a[:, :, 0]
+            e2 = (3. * b0 - 7. / 2. * b1 + 3. / 2. * b2) - a[:, :, 1]
+            e3 = (5. * b0 - 15. / 2. * b1 + 7. / 2. * b2) - a[:, :, 2]
+
+            # -- advection: delta face fluxes (u[..., i] is face i-1/2) ---
+            f_m1 = u[:, :, -1] * (fd.ci0 * d3 + fd.ci1 * d2 + fd.ci2 * d1)
+            f_0 = u[:, :, 0] * (fd.ci0 * d2 + fd.ci1 * d1)
+            f_1 = u[:, :, 1] * (fd.ci0 * d1)
+            ta = ta.at[:, :, 0].add(-(fd.cg0 * f_m1 + fd.cg1 * f_0
+                                      + fd.cg2 * f_1) * dxi)
+            ta = ta.at[:, :, 1].add(-(fd.cg0 * f_0 + fd.cg1 * f_1) * dxi)
+            ta = ta.at[:, :, 2].add(-(fd.cg0 * f_1) * dxi)
+
+            g_n1 = u[:, :, -1] * (fd.ci3 * e1)
+            g_n = u[:, :, 0] * (fd.ci2 * e1 + fd.ci3 * e2)
+            g_p1 = u[:, :, 1] * (fd.ci1 * e1 + fd.ci2 * e2 + fd.ci3 * e3)
+            ta = ta.at[:, :, -3].add(-(fd.cg3 * g_n1) * dxi)
+            ta = ta.at[:, :, -2].add(-(fd.cg2 * g_n1 + fd.cg3 * g_n) * dxi)
+            ta = ta.at[:, :, -1].add(-(fd.cg1 * g_n1 + fd.cg2 * g_n
+                                       + fd.cg3 * g_p1) * dxi)
+
+            # -- diffusion: cdg Laplacian deltas (diff_4 _lap_h) ----------
+            c = svisc * dxidxi
+            ta = ta.at[:, :, 0].add(c * (fd.cdg1 * d1 + fd.cdg2 * d2
+                                         + fd.cdg3 * d3))
+            ta = ta.at[:, :, 1].add(c * (fd.cdg2 * d1 + fd.cdg3 * d2))
+            ta = ta.at[:, :, 2].add(c * (fd.cdg3 * d1))
+            ta = ta.at[:, :, -1].add(c * (fd.cdg1 * e1 + fd.cdg2 * e2
+                                          + fd.cdg3 * e3))
+            ta = ta.at[:, :, -2].add(c * (fd.cdg2 * e1 + fd.cdg3 * e2))
+            ta = ta.at[:, :, -3].add(c * (fd.cdg3 * e1))
             t[name] = ta
         return t
