@@ -44,6 +44,9 @@ class Context:
         for name in ("dzi4", "dzhi4"):
             v = getattr(g, name, None)
             setattr(self, name, None if v is None else jnp.asarray(v, dtype=dtype))
+        for name in ("dzhi4bot", "dzhi4top"):
+            v = getattr(g, name, None)
+            setattr(self, name, None if v is None else float(v))
         self.rhoref = jnp.asarray(fields.rhoref, dtype=dtype)
         self.rhorefh = jnp.asarray(fields.rhorefh, dtype=dtype)
         self.scalar_names = tuple(fields.sp.keys())
@@ -239,6 +242,44 @@ class Model:
 
         fold_ghosts = fused is not None and fused.fold_ghosts
 
+        # RK-fold fast path: the fused tendency kernels also produce the
+        # pre-projection state s* = s + cB*dt*t and the scaled carry
+        # cA_next*t in-register, killing the separate whole-state XLA
+        # axpy+scale passes (timeloop.cxx:250-285).  Valid only when NO op
+        # modifies the tendency between the kernels and the RK update.
+        use_rkfold = False
+        if (fused is not None and not fused.generic
+                and fused.sharded_mesh is None
+                and os.environ.get("MICROHH_RKFOLD", "1") == "1"):
+            from .ops.pres_2 import Pres2
+            from .ops.microphys import MicrophysDisabled
+            from .ops.radiation import RadiationDisabled
+            from .ops.force import Force
+            from .ops import DisabledOp
+            pres_ok = isinstance(self.pres, (Pres2,)) or isinstance(
+                self.pres, DisabledOp)
+            force_idle = (getattr(self, "_skip_force", False)
+                          or type(self.force).__name__ == "_NoForce"
+                          or (type(self.force) is Force
+                              and self.force.swlspres == "0"
+                              and self.force.swls == "0"
+                              and self.force.swwls == "0"
+                              and getattr(self.force, "swnudge", "0") == "0"))
+            buffer_idle = (getattr(self, "_skip_buffer", False)
+                           or type(self.buffer).__name__ == "_NoBuffer")
+            use_rkfold = (
+                pres_ok
+                and isinstance(self.micro, MicrophysDisabled)
+                and isinstance(self.radiation, RadiationDisabled)
+                and not getattr(self.boundary, "is_lsm", False)
+                and not self.ib.active and not self.outflow.active
+                and not getattr(self.decay, "dmap", None)
+                and not getattr(self.source, "sw", False)
+                and not getattr(self.limiter, "limitlist", None)
+                and force_idle and buffer_idle)
+        self._use_rkfold = use_rkfold
+        pres_active_rk = use_rkfold and hasattr(self.pres, "exec_star")
+
         def substep(s, t, sfc, aux, pp, dt, time_s, sub):
             if not fold_ghosts:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
@@ -274,6 +315,33 @@ class Model:
                     ctx, s, sfc, names=self.boundary.flux_ghost_names())
             if self.ib.active:
                 s = self.ib.exec_scalars(ctx, s)
+            if use_rkfold:
+                from .ops.pallas_fused import fused_tendencies_rk
+                subdt = cB[sub] * dt
+                can = cA[(sub + 1) % nsub]
+                s_star, t_s = fused_tendencies_rk(fused, ctx, s, t, aux,
+                                                  sfc, subdt, can)
+                aux = dict(aux)
+                aux["subdt"] = subdt
+                if pres_active_rk:
+                    (gx, gy, gz), aux = self.pres.exec_star(
+                        ctx, s_star, aux, subdt, pp)
+                    s_new = dict(s_star)
+                    s_new["u"] = s_star["u"] - subdt * gx
+                    s_new["v"] = s_star["v"] - subdt * gy
+                    s_new["w"] = s_star["w"] - subdt * gz
+                else:
+                    s_new = s_star
+                if can != 0.:
+                    t_new = dict(t_s)
+                    if pres_active_rk:
+                        cv = ctx.dtype(can)
+                        t_new["u"] = t_s["u"] - cv * gx
+                        t_new["v"] = t_s["v"] - cv * gy
+                        t_new["w"] = t_s["w"] - cv * gz
+                else:
+                    t_new = {n: jnp.zeros_like(s[n]) for n in names}
+                return s_new, t_new, sfc, aux
             # Conservation-type w ghosts around advec and pres; normal
             # ghosts for diff (model.cxx:387-412).  No-op at 2nd order.
             if ctx.spatial_order == 4:
@@ -391,6 +459,7 @@ class Model:
             return out
 
         self._step_raw = step
+        self._limits_raw = limits
         self._step_fn = jax.jit(step, donate_argnums=(0, 1))
         self._limits_fn = jax.jit(limits)
         self._diag_fn = jax.jit(diagnostics)
@@ -561,6 +630,179 @@ class Model:
         return fused
 
     # ------------------------------------------------------------------
+    #  device-side chunked time loop (production analogue of the
+    #  reference's tight C++ iteration loop, model.cxx:312-520): between
+    #  two io/stats/save events the whole adaptive-dt loop runs on device
+    #  in ONE dispatch (lax.while_loop), eliminating the per-step
+    #  host<->device round trips (~2-3 ms each through a remote chip).
+    # ------------------------------------------------------------------
+    def _chunk_supported(self):
+        """Chunking preserves exact event times (the final step's dt is
+        clamped to land on the host-computed integer-time horizon), but
+        per-STEP host work is impossible inside it — so any active
+        time-dependent BC/forcing falls back to the per-step loop."""
+        return (os.environ.get("MICROHH_CHUNK", "1") != "0"
+                and self.timeloop.adaptivestep
+                and self.sim_mode != "post"
+                and not self.btimedep.items
+                and not getattr(self.force, "tdep_ls", None)
+                and not getattr(self.source, "tdep", None)
+                and not self.sbot2d.swtimedep)
+
+    _chunk_fn = None
+
+    def build_chunk(self):
+        if self._chunk_fn is not None:
+            return
+        tl = self.timeloop
+        dty = self.dtype
+        step = self._step_raw
+        limits = self._limits_raw
+        cflmax = float(getattr(self.advec, "cflmax", 1.0))
+        cflmin = float(getattr(self.advec, "cflmin", 1.e-5))
+        dnmax = getattr(self.diff, "dnmax", None)
+        mcflmax = float(getattr(self.micro, "cflmax", 1.2))
+        dtmax = float(tl.dtmax)
+
+        def next_dt(lim, dt_prev, remaining):
+            # Mirrors the host formulas in run(): the new dt is derived
+            # from the PREVIOUS dt and the limit rates (timeloop.cxx
+            # integer arithmetic collapses to these ratios).
+            dt = jnp.asarray(dtmax, dty)
+            if "cfl_rate" in lim:
+                cfl = jnp.maximum(lim["cfl_rate"] * dt_prev, cflmin)
+                dt = jnp.minimum(dt, dt_prev * cflmax / cfl)
+            if dnmax is not None and "dn_rate" in lim:
+                dn = lim["dn_rate"] * dt_prev
+                dt = jnp.minimum(dt, jnp.where(
+                    dn > 0., dt_prev * dnmax / jnp.maximum(dn, 1e-30),
+                    jnp.asarray(np.inf, dty)))
+            if "micro_rate" in lim:
+                mc = jnp.maximum(lim["micro_rate"] * dt_prev, 1e-5)
+                dt = jnp.minimum(dt, dt_prev * mcflmax / mc)
+            last = remaining <= dt
+            return jnp.where(last, remaining, dt), last
+
+        def chunk(s, sfc, pp, dt0, t_h, t_start, nmax):
+            _, _, aux_sd = jax.eval_shape(step, s, sfc, pp, dt0, t_start)
+            aux0 = jax.tree_util.tree_map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), aux_sd)
+            zero = jnp.zeros((), dty)
+
+            def cond(c):
+                return jnp.logical_and(~c["done"], c["n"] < nmax)
+
+            def body(c):
+                lim = limits(c["s"], c["sfc"])
+                remaining = t_h - (c["tau"] + c["comp"])
+                dt, last = next_dt(lim, c["dt"], remaining)
+                s2, sfc2, aux = step(c["s"], c["sfc"], pp, dt,
+                                     t_start + c["tau"])
+                # Kahan-compensated time accumulation: the chunk must hit
+                # t_h exactly even after thousands of f32 additions.
+                y = dt - c["comp"]
+                tau = c["tau"] + y
+                comp = (tau - c["tau"]) - y
+                return dict(s=s2, sfc=sfc2, aux=aux, tau=tau, comp=comp,
+                            dt=dt, n=c["n"] + 1, done=last)
+
+            c = jax.lax.while_loop(cond, body, dict(
+                s=s, sfc=sfc, aux=aux0, tau=zero, comp=zero, dt=dt0,
+                n=jnp.zeros((), jnp.int32),
+                done=jnp.zeros((), jnp.bool_)))
+            # rates of the FINAL state: the status line and the next
+            # chunk's first dt derive from them, like the host loop.
+            lim = limits(c["s"], c["sfc"])
+            return (c["s"], c["sfc"], c["aux"], c["tau"], c["n"], c["dt"],
+                    c["done"], lim)
+
+        self._chunk_fn = jax.jit(chunk, donate_argnums=(0, 1))
+
+    def _chunk_horizon(self, at_wall_limit):
+        """Integer time to the nearest io/stats/save/end event."""
+        tl = self.timeloop
+        ih = tl.idtmax * max(tl.outputiter, 1) * 100  # fallback bound
+        if at_wall_limit:
+            ih = min(ih, tl.iiotimeprec - tl.itime % tl.iiotimeprec)
+        ih = min(ih, tl.isavetime - tl.itime % tl.isavetime)
+        if tl.itime < tl.iendtime:
+            ih = min(ih, tl.iendtime - tl.itime)
+        if self.stats is not None:
+            ih = min(ih, self.stats.isampletime
+                     - tl.itime % self.stats.isampletime)
+        for comp in (self.cross, self.dump, self.column):
+            if comp is not None and getattr(comp, "sw", False):
+                ih = min(ih, comp.isampletime - tl.itime % comp.isampletime)
+        return ih
+
+    def _run_chunked(self, status_file):
+        """Event-driven outer loop around the device chunk."""
+        from .timeloop import IFACTOR
+        tl = self.timeloop
+        s, t, sfc = self.as_device_state(self.load_state())
+        sfc = self.sbot2d.apply_static(self, sfc)
+        self.build_step()
+        self.build_chunk()
+
+        lim = {k: float(v) for k, v in self._limits_fn(s, sfc).items()}
+        first = True
+        while True:
+            cfl = lim.get("cfl_rate", 0.) * tl.dt
+            dn = lim.get("dn_rate", 0.) * tl.dt
+            if tl.do_check():
+                self.print_status(s, sfc, cfl, dn, status_file)
+            if tl.is_stats_step():
+                if self.stats is not None:
+                    self.stats.maybe_exec(self, s, t, sfc)
+                if self.cross is not None and self.cross.do_cross(tl.itime):
+                    self.cross.exec(s, getattr(self, "_last_aux", None),
+                                    tl.iotime, sfc)
+                if self.dump is not None and self.dump.do_dump(tl.itime):
+                    self.dump.exec(s, getattr(self, "_last_aux", None),
+                                   tl.iotime)
+                if self.column is not None and self.column.do_column(tl.itime):
+                    self.column.exec(s, tl.time)
+            if (not first and tl.do_save(self.at_wall_clock_limit())
+                    and tl.iteration != 0):
+                self._last_sfc = sfc
+                self.save_restart(s)
+            first = False
+            if tl.is_finished():
+                break
+
+            at_wall = self.at_wall_clock_limit()
+            ih = self._chunk_horizon(at_wall)
+            nmax = 1 << 30
+            if tl.outputiter > 0:
+                nmax = tl.outputiter - tl.iteration % tl.outputiter
+            s, sfc, aux, tau, n, dt_dev, done, lim_dev = self._chunk_fn(
+                s, sfc, self.pres_params,
+                jnp.asarray(tl.dt, self.dtype),
+                jnp.asarray(ih / IFACTOR, self.dtype),
+                jnp.asarray(tl.time, self.dtype),
+                jnp.asarray(nmax, jnp.int32))
+            n = int(n)
+            if n == 0:
+                raise RuntimeError("chunk made no progress (dt underflow?)")
+            self._last_aux = aux
+            self._last_sfc = sfc
+            tl.iteration += n
+            if bool(done):
+                tl.itime += ih       # exact: the last dt was clamped
+            else:
+                tl.itime += int(round(float(tau) * IFACTOR))
+            tl.time = tl.itime / IFACTOR
+            tl.idt = max(int(round(float(dt_dev) * IFACTOR)), 1)
+            tl.dt = tl.idt / IFACTOR
+            tl.iotime = tl.itime // tl.iiotimeprec
+            if tl.itime >= tl.iendtime:
+                tl.loop = False
+            lim = {k: float(v) for k, v in lim_dev.items()}
+
+        self.final_sfc = sfc
+        return s, t
+
+    # ------------------------------------------------------------------
     #  run mode
     # ------------------------------------------------------------------
     def load_state(self):
@@ -593,6 +835,21 @@ class Model:
     def save_restart(self, s):
         tl = self.timeloop
         iotime = int(tl.iotime)
+        from .parallel import shard_io
+        if not shard_io.state_is_addressable(s):
+            # Multi-host: every process writes its own shard rectangles
+            # into the shared reference-layout files (field3d_io.cxx
+            # subarray-write semantics); small metadata from process 0.
+            self.fields.save_sharded(s, iotime, self.workdir)
+            if jax.process_index() == 0:
+                if (getattr(self.boundary, "is_surface", False)
+                        and self._last_sfc is not None):
+                    self.boundary.save(
+                        {k: shard_io.local_np(v)
+                         for k, v in self._last_sfc.items()},
+                        iotime, self.workdir)
+                tl.save(iotime, self.workdir)
+            return
         state_np = {n: np.asarray(s[n]) for n in self.fields.all_prognostic_names}
         self.fields.save(state_np, iotime, self.workdir)
         if getattr(self.boundary, "is_surface", False) and self._last_sfc is not None:
@@ -620,6 +877,19 @@ class Model:
 
     def run(self, max_iters=None):
         tl = self.timeloop
+        if (max_iters is None and self._chunk_supported()
+                and os.environ.get("MICROHH_PROFILE") is None):
+            status_file = open(self._status_path(), "a")
+            status_file.write(
+                "%8s %11s %10s %11s %8s %8s %11s %16s %16s %16s\n"
+                % ("ITER", "TIME", "CPUDT", "DT", "CFL", "DNUM",
+                   "DIV", "MOM", "TKE", "MASS"))
+            try:
+                return self._run_chunked(status_file)
+            finally:
+                status_file.close()
+                from .utils import fastio
+                fastio.flush()
         state_np = self.load_state()
         s, t, sfc = self.as_device_state(state_np)
         sfc = self.sbot2d.apply_static(self, sfc)

@@ -384,6 +384,52 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
     tht_ref[0] = tth[0] + tht
 
 
+def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, cc_ref, rk_ref,
+                     tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
+                     *outs):
+    """uv tendencies with the low-storage RK update FOLDED IN: besides the
+    scaled carried tendency (cA_next * t_total, aliased on tu/tv) the
+    kernel writes the pre-projection state s* = s + cB*dt*t_total — the
+    separate XLA axpy+scale pass over all prognostics disappears
+    (timeloop.cxx:250-285 update, done in-register here).  carry=False
+    (last substep, cA_next == 0) drops the dead t outputs."""
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+                      um[0], uc[0], up[0], vm[0], vc[0], vp[0],
+                      wc[0], wp[0], em[0], ec[0], ep[0])
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                       cc_ref, uc[0], vc[0], ut, vt)
+    cbdt, can = rk_ref[0], rk_ref[1]
+    ttu = tu[0] + ut
+    ttv = tv[0] + vt
+    outs[0][0] = uc[0] + cbdt * ttu
+    outs[1][0] = vc[0] + cbdt * ttv
+    if carry:
+        outs[2][0] = can * ttu
+        outs[3][0] = can * ttv
+
+
+def _tend_wth_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras,
+                      carry, cc_ref, rk_ref,
+                      tw, tth, um, uc, vm, vc, wm, wc, wp, thm, thc, thp,
+                      em, ec, ep, *outs):
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                        um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
+                        thm[0], thc[0], thp[0], em[0], ec[0], ep[0])
+    fold_buffer = extras[0]
+    wt, tht = _extra_wth(fold_buffer, cc_ref, wc[0], thc[0], wt, tht,
+                         has_thermo)
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)
+    cbdt, can = rk_ref[0], rk_ref[1]
+    ttw = tw[0] + wt
+    tt_th = tth[0] + tht
+    outs[0][0] = wc[0] + cbdt * ttw
+    outs[1][0] = thc[0] + cbdt * tt_th
+    if carry:
+        outs[2][0] = can * ttw
+        outs[3][0] = can * tt_th
+
+
 # ==========================================================================
 #  k-streaming kernel bodies
 #
@@ -587,6 +633,53 @@ def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
     vt_ref[0] = tv[0] + vt[HALO_J:HALO_J + TJ]
     wt_ref[0] = tw[0] + wt[HALO_J:HALO_J + TJ]
     tht_ref[0] = tth[0] + tht[HALO_J:HALO_J + TJ]
+
+
+def _all_tiled_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
+                       ks, ke, TJ, jtot, carry, cc_ref, rk_ref,
+                       tu, tv, tw, tth,
+                       u_ref, v_ref, w_ref, th_ref, e_ref, *rest):
+    """Tiled merged tendency pass with the RK update folded in (see
+    _tend_uv_rk_body): writes s* = s + cB*dt*t_total and the scaled
+    carried tendency cA_next*t_total in the same HBM sweep."""
+    refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
+            + [e_ref] * 3)
+    koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
+    bounds = _tiled_bounds(fold, ks, ke,
+                           ["c"] * 6 + ["w"] * 3 + ["c"] * 3 + ["e"] * 3)
+    outs, scratch, sems = rest[:-2], rest[-2], rest[-1]
+    slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot, bounds)
+    s = scratch[slot]
+    u_dn, u, u_up = s[0], s[1], s[2]
+    v_dn, v, v_up = s[3], s[4], s[5]
+    w_dn, w, w_up = s[6], s[7], s[8]
+    th_dn, th, th_up = s[9], s[10], s[11]
+    e_dn, e, e_up = s[12], s[13], s[14]
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+                      u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up)
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+                        u_dn, u, v_dn, v, w_dn, w, w_up,
+                        th_dn, th, th_up, e_dn, e, e_up)
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                       cc_ref, u, v, ut, vt)
+    wt, tht = _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo)
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)
+    H = HALO_J
+    cbdt, can = rk_ref[0], rk_ref[1]
+    ttu = tu[0] + ut[H:H + TJ]
+    ttv = tv[0] + vt[H:H + TJ]
+    ttw = tw[0] + wt[H:H + TJ]
+    ttth = tth[0] + tht[H:H + TJ]
+    outs[0][0] = u[H:H + TJ] + cbdt * ttu
+    outs[1][0] = v[H:H + TJ] + cbdt * ttv
+    outs[2][0] = w[H:H + TJ] + cbdt * ttw
+    outs[3][0] = th[H:H + TJ] + cbdt * ttth
+    if carry:
+        outs[4][0] = can * ttu
+        outs[5][0] = can * ttv
+        outs[6][0] = can * ttw
+        outs[7][0] = can * ttth
 
 
 class FusedLES2:
@@ -1020,6 +1113,103 @@ class FusedLES2:
             return ut[ks:ke], vt[ks:ke], wt[ks:ke], tht[ks:ke]
         return ut, vt, wt, tht
 
+    def tendencies_rk(self, u, v, w, th, evisc_full, t_in, cbdt, can,
+                      carry=True):
+        """Tendencies with the low-storage RK update folded in: returns
+        (us, vs, ws, ths, ut, vt, wt, tht) where s* = s + cbdt*t_total
+        (pre-projection state) and t_out = can*t_total (scaled carry,
+        aliased on t_in; None when carry=False — the last substep's
+        cA_next is 0, so the dead writes are skipped).  Ghost planes of
+        the s* outputs are NOT written (the substep refills/clamps them);
+        w* at the top wall ke is set to zero by the caller."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        svisc = (self.smag.viscs.get("th", self.smag.visc)
+                 if self.has_thermo else self.smag.visc)
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        rk = jnp.stack([jnp.asarray(cbdt, u.dtype),
+                        jnp.asarray(can, u.dtype)])
+        th_in = th if th is not None else u
+        tth_in = (t_in["th"] if self.has_thermo
+                  else jnp.zeros_like(t_in["w"]))
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        rk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        t_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                              lambda k: (k + ks, 0, 0),
+                              memory_space=pltpu.VMEM)
+        t_shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot),
+                                       u.dtype)
+        nout = 4 if carry else 2
+        nout_t = 8 if carry else 4
+
+        if not self.tiled:
+            body_uv = functools.partial(_tend_uv_rk_body, self.smag.tPr,
+                                        float(ctx.dxi), float(ctx.dyi),
+                                        self.smag.visc, self._extras(),
+                                        carry)
+            specs_uv = ([cc_spec, rk_spec] + [t_spec] * 2
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((-1, 0, 1), ks, ke, "c")
+                        + self._field_specs((0, 1), ks, ke, "w")
+                        + self._field_specs((-1, 0, 1), ks, ke, "e"))
+            out_uv = pl.pallas_call(
+                body_uv, grid=(kt,), in_specs=specs_uv,
+                out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+                input_output_aliases={2: 2, 3: 3} if carry else {},
+                interpret=self.interpret,
+            )(cc, rk, t_in["u"], t_in["v"], u, u, u, v, v, v, w, w,
+              evisc_full, evisc_full, evisc_full)
+
+            body_wth = functools.partial(_tend_wth_rk_body, self.smag.tPr,
+                                         float(ctx.dxi), float(ctx.dyi),
+                                         self.smag.visc, svisc,
+                                         self.has_thermo, self._extras(),
+                                         carry)
+            specs_wth = ([cc_spec, rk_spec] + [t_spec] * 2
+                         + self._field_specs((-1, 0), ks, ke, "c")
+                         + self._field_specs((-1, 0), ks, ke, "c")
+                         + self._field_specs((-1, 0, 1), ks, ke, "w")
+                         + self._field_specs((-1, 0, 1), ks, ke, "c")
+                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
+            out_wth = pl.pallas_call(
+                body_wth, grid=(kt,), in_specs=specs_wth,
+                out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+                input_output_aliases={2: 2, 3: 3} if carry else {},
+                interpret=self.interpret,
+            )(cc, rk, t_in["w"], tth_in, u, u, v, v, w, w, w, th_in, th_in,
+              th_in, evisc_full, evisc_full, evisc_full)
+            us, vs = out_uv[0], out_uv[1]
+            ws, ths = out_wth[0], out_wth[1]
+            if carry:
+                return (us, vs, ws, ths,
+                        out_uv[2], out_uv[3], out_wth[2], out_wth[3])
+            return us, vs, ws, ths, None, None, None, None
+
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid = (kt, ctx.jtot // self.tj)
+        TJ = self.tj
+        t_spec_t = pl.BlockSpec((1, TJ, ctx.itot),
+                                lambda k, jt: (k + ks, jt, 0),
+                                memory_space=pltpu.VMEM)
+        body = functools.partial(_all_tiled_rk_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 self.smag.visc, svisc, self.has_thermo,
+                                 self._extras(), self.fold_ghosts,
+                                 ks, ke, self.tj, ctx.jtot, carry)
+        out = pl.pallas_call(
+            body, grid=grid,
+            in_specs=[cc_spec, rk_spec] + [t_spec_t] * 4 + [any_spec] * 5,
+            out_specs=[t_spec_t] * nout_t, out_shape=[t_shape] * nout_t,
+            input_output_aliases=({2: 4, 3: 5, 4: 6, 5: 7} if carry
+                                  else {}),
+            scratch_shapes=self._tiled_scratch(15, u.dtype),
+            interpret=self.interpret,
+        )(cc, rk, t_in["u"], t_in["v"], t_in["w"], tth_in,
+          u, v, w, th_in, evisc_full)
+        if carry:
+            return out
+        return tuple(out) + (None, None, None, None)
+
 
 # ==========================================================================
 #  integration with the model step (XLA wall-row patches)
@@ -1208,6 +1398,115 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     if fused.has_thermo:
         t["th"] = t["th"] + _pad_k(ctx, tht)
     return t
+
+
+def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can):
+    """fused_tendencies with the RK update folded into the kernels:
+    returns (s_star, t_scaled) dicts.  The surface-model wall-row patches
+    are applied to BOTH outputs (the kernel computed them with the
+    clamped/periodic vertical term, exactly like the non-RK path)."""
+    smag = fused.smag
+    u, v, w = s["u"], s["v"], s["w"]
+    th = s.get("th")
+    fold = fused.fold_ghosts
+    evisc = aux["evisc_int"] if fold else aux["evisc"]
+    ks, ke = ctx.ks, ctx.ke
+    dxi, dyi = ctx.dxi, ctx.dyi
+    visc = smag.visc
+
+    carry = not (isinstance(can, float) and can == 0.)
+    us, vs, ws, ths, ut, vt, wt, tht = fused.tendencies_rk(
+        u, v, w, th, evisc, t, cbdt, can, carry=carry)
+    # w* top wall: the kernel grid never writes plane ke (w tendency is
+    # zero there); the buffer is fresh, so pin the wall value explicitly.
+    ws = ws.at[ke].set(0.)
+    if not carry:
+        ut = vt = wt = tht = None
+
+    if smag.surface:
+        from .stencil import im, ip, jm, jp
+        rho = ctx.rhoref
+        rhoh = ctx.rhorefh
+        dzi = ctx.dzi
+        dzhi = ctx.dzhi
+
+        def F(arr, kabs):
+            if fold:
+                kabs = min(max(kabs, ks), ke - 1)
+            return arr[kabs]
+
+        def E(kabs):
+            if fold:
+                return evisc[min(max(kabs - ks, 0), ctx.ktot - 1)]
+            return evisc[kabs]
+
+        def patch(s_arr, t_arr, ka, delta):
+            s_arr = s_arr.at[ka].add(cbdt * delta)
+            if t_arr is not None:
+                t_arr = t_arr.at[ka].add(can * delta)
+            return s_arr, t_arr
+
+        # ---- u rows (diff_smag2.cxx diff_u wall forms) ----
+        for row, ka in (("bot", ks), ("top", ke - 1)):
+            ev_t = 0.25 * (im(E(ka)) + E(ka) + im(E(ka + 1)) + E(ka + 1)) + visc
+            ev_b = 0.25 * (im(E(ka - 1)) + E(ka - 1) + im(E(ka)) + E(ka)) + visc
+            if row == "bot":
+                fz_top = ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["u_fluxbot"]) / rho[ka] * dzi[ka]
+            else:
+                fz_bot = ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi)
+                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+            old_vert = ((rhoh[ka + 1] * ev_t * ((F(u, ka + 1) - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                         - rhoh[ka] * ev_b * ((u[ka] - F(u, ka - 1)) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
+                        / rho[ka] * dzi[ka])
+            us, ut = patch(us, ut, ka, corr - old_vert)
+
+        # ---- v rows ----
+        for row, ka in (("bot", ks), ("top", ke - 1)):
+            ev_t = 0.25 * (jm(E(ka)) + E(ka) + jm(E(ka + 1)) + E(ka + 1)) + visc
+            ev_b = 0.25 * (jm(E(ka - 1)) + E(ka - 1) + jm(E(ka)) + E(ka)) + visc
+            if row == "bot":
+                fz_top = ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["v_fluxbot"]) / rho[ka] * dzi[ka]
+            else:
+                fz_bot = ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi)
+                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+            old_vert = ((rhoh[ka + 1] * ev_t * ((F(v, ka + 1) - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                         - rhoh[ka] * ev_b * ((v[ka] - F(v, ka - 1)) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
+                        / rho[ka] * dzi[ka])
+            vs, vt = patch(vs, vt, ka, corr - old_vert)
+
+        # ---- th rows ----
+        if fused.has_thermo:
+            svisc = smag.viscs.get("th", visc)
+            a = th
+            for row, ka in (("bot", ks), ("top", ke - 1)):
+                st_ = 0.5 * (E(ka) + E(ka + 1)) / smag.tPr + svisc
+                sb = 0.5 * (E(ka - 1) + E(ka)) / smag.tPr + svisc
+                if row == "bot":
+                    fz_top = st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
+                    corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["th_fluxbot"]) / rho[ka] * dzi[ka]
+                else:
+                    fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
+                    fz_top = -smag._fluxtop("th", ctx)
+                    corr = ((rhoh[ka + 1] * fz_top - rhoh[ka] * fz_bot)
+                            / rho[ka] * dzi[ka])
+                old_vert = ((rhoh[ka + 1] * st_ * (F(a, ka + 1) - a[ka]) * dzhi[ka + 1]
+                             - rhoh[ka] * sb * (a[ka] - F(a, ka - 1)) * dzhi[ka])
+                            / rho[ka] * dzi[ka])
+                ths, tht = patch(ths, tht, ka, corr - old_vert)
+
+    s_star = dict(s)
+    s_star["u"], s_star["v"], s_star["w"] = us, vs, ws
+    if fused.has_thermo:
+        s_star["th"] = ths
+    if not carry:
+        return s_star, None
+    t_out = dict(t)
+    t_out["u"], t_out["v"], t_out["w"] = ut, vt, wt
+    if fused.has_thermo:
+        t_out["th"] = tht
+    return s_star, t_out
 
 
 # ==========================================================================

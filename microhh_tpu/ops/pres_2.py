@@ -27,6 +27,22 @@ import jax.numpy as jnp
 from .stencil import im, jm
 
 
+def _mxu_precision(dtype):
+    """MXU pass count for the f32 spectral matmuls.
+
+    ``HIGHEST`` (6-pass bf16 emulation, exact f32) is the safe default;
+    ``MICROHH_DFT_PRECISION=high`` selects 3-pass bf16_3x (~2x faster,
+    relative error ~1e-7 on these unitary transforms — validated by
+    tests/test_pres.py's divergence checks), ``=default`` single-pass bf16
+    (fastest, ~1e-3 — measurement/experiment only)."""
+    if dtype != jnp.float32:
+        return None
+    lvl = os.environ.get("MICROHH_DFT_PRECISION", "highest").lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[lvl]
+
+
 def _tdma_body(kmax, af_cf_ref, dr, di, wv, xr, xi):
     """In-VMEM Thomas solve over one (kmax, TJ, 128) mode block: forward
     elimination and back substitution as fori_loops with the running value
@@ -191,6 +207,10 @@ class Pres2:
             "dftCi": ((np.cos(ang) * wk[None, :]).T / itot).astype(dt_),
             "dftSi": ((np.sin(ang) * wk[None, :]).T / itot).astype(dt_),
         }
+        # two-stage Cooley-Tukey tables where the axis factors as 128*N2
+        from .dft_split import build_split_tables
+        self._dft_np.update(build_split_tables(itot, dt_, "dsx"))
+        self._dft_np.update(build_split_tables(jtot, dt_, "dsy"))
         self._built = True
 
     def device_params(self):
@@ -213,38 +233,73 @@ class Pres2:
             return True
         return jax.default_backend() == "tpu"
 
+    @staticmethod
+    def _use_dft_split():
+        """Two-stage Cooley-Tukey transforms inside the DFT path (see
+        ops/dft_split.py): ~2-4x fewer MXU flops per transform when the
+        axis length is a multiple of 128.  MEASURED SLOWER at 512^3 on
+        v5e (279 vs 180 ms per 3 solves): the (..., 128, N2) reshapes
+        force lane-hostile layouts that cost more than the flops saved.
+        Opt-in (MICROHH_DFT_SPLIT=1) until the chunk/butterfly variant
+        with permuted mode order lands."""
+        return os.environ.get("MICROHH_DFT_SPLIT", "0") == "1"
+
     def _solve_dft(self, ctx, rhs, pp):
         """Forward 2-D real DFT, eigen solve on real/imag parts, inverse —
         all as MXU matmuls (no complex arrays anywhere)."""
-        prec = (jax.lax.Precision.HIGHEST
-                if rhs.dtype == jnp.float32 else None)
+        prec = _mxu_precision(rhs.dtype)
         C, S = pp["dftC"], pp["dftS"]
         Cy, Sy = pp["dftCy"], pp["dftSy"]
         Ci, Si = pp["dftCi"], pp["dftSi"]
         e = functools.partial(jnp.einsum, precision=prec)
+        from .dft_split import rdft_last_fwd, cdft_axis1
+        split = self._use_dft_split()
+        split_x = split and "dsx_twc" in pp
+        split_y = split and "dsy_twc" in pp
+        n2x = self.grid.itot // 128
+        n2y = self.grid.jtot // 128
+        ihalf = self.grid.itot // 2 + 1
 
         # forward: rfft along i, then full fft along j
-        Xr = e("kji,if->kjf", rhs, C)
-        Xi = -e("kji,if->kjf", rhs, S)
-        Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
-        Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
+        if split_x:
+            Xr, Xi = rdft_last_fwd(rhs, pp, "dsx", n2x, ihalf, e)
+        else:
+            Xr = e("kji,if->kjf", rhs, C)
+            Xi = -e("kji,if->kjf", rhs, S)
+        if split_y:
+            Yr, Yi = cdft_axis1(Xr, Xi, pp, "dsy", n2y, -1, e)
+        else:
+            Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
+            Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
 
-        # fast-diagonalization vertical solve per component
-        Vim, V = pp["eigVim"], pp["eigV"]
-        denom = pp["eiglam"][:, None, None] + pp["eigbm"][None]
-        gr = e("kl,ljf->kjf", Vim, Yr) / denom
-        gi = e("kl,ljf->kjf", Vim, Yi) / denom
-        xr = e("kl,ljf->kjf", V, gr)
-        xi = e("kl,ljf->kjf", V, gi)
-        x0r = e("kl,l->k", pp["eigM0"], Yr[:, 0, 0])
-        x0i = e("kl,l->k", pp["eigM0"], Yi[:, 0, 0])
-        xr = xr.at[:, 0, 0].set(x0r)
-        xi = xi.at[:, 0, 0].set(x0i)
+        if self._use_dft_tdma():
+            # O(kmax) Thomas solve per mode in a Pallas kernel; the winv
+            # pivot table already encodes the mean-mode top BC, so no
+            # eigM0 patch is needed.
+            xr, xi = self._tdma_ri(Yr * self.dz2, Yi * self.dz2,
+                                   pp["winv"], Yr.shape[0])
+        else:
+            # fast-diagonalization vertical solve per component
+            Vim, V = pp["eigVim"], pp["eigV"]
+            denom = pp["eiglam"][:, None, None] + pp["eigbm"][None]
+            gr = e("kl,ljf->kjf", Vim, Yr) / denom
+            gi = e("kl,ljf->kjf", Vim, Yi) / denom
+            xr = e("kl,ljf->kjf", V, gr)
+            xi = e("kl,ljf->kjf", V, gi)
+            x0r = e("kl,l->k", pp["eigM0"], Yr[:, 0, 0])
+            x0i = e("kl,l->k", pp["eigM0"], Yi[:, 0, 0])
+            xr = xr.at[:, 0, 0].set(x0r)
+            xi = xi.at[:, 0, 0].set(x0i)
 
         # inverse: ifft along j, then hermitian-weighted irfft along i
         n_j = rhs.shape[1]
-        Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
-        Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
+        if split_y:
+            Zr, Zi = cdft_axis1(xr, xi, pp, "dsy", n2y, +1, e)
+            Zr = Zr / n_j
+            Zi = Zi / n_j
+        else:
+            Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
+            Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
         return e("kjf,fi->kji", Zr, Ci) - e("kjf,fi->kji", Zi, Si)
 
     @staticmethod
@@ -255,8 +310,7 @@ class Pres2:
         """x = V diag(1/(lam+bm)) V^-1 M^-1 (dz^2 p_hat) as two k-axis
         matmuls (real eigenbasis applied to the complex spectra; XLA lowers
         to real MXU dots)."""
-        prec = (jax.lax.Precision.HIGHEST
-                if p_hat.real.dtype == jnp.float32 else None)
+        prec = _mxu_precision(p_hat.real.dtype)
         Vim = pp["eigVim"]
         V = pp["eigV"]
         lam = pp["eiglam"]
@@ -286,6 +340,26 @@ class Pres2:
                + (rhoh[1:] * ww[1:] - rhoh[:-1] * ww[:-1]) * dzi)
         return rhs  # (kmax, jtot, itot)
 
+    def _use_dft_tdma(self):
+        """Vertical Thomas solve inside the DFT path (real/imag spectra are
+        already separated there, so the complex<->real packing that made the
+        standalone Pallas TDMA perf-neutral does not apply).  Opt-out via
+        MICROHH_DFT_TDMA=0; requires lane-aligned (itot//2) %% 128 == 0."""
+        sw = os.environ.get("MICROHH_DFT_TDMA", "auto")
+        if sw == "0":
+            return False
+        backend_ok = jax.default_backend() == "tpu" or self._tdma_interpret
+        lanes_ok = (self.grid.itot // 2) % 128 == 0 \
+            and self.grid.jtot % 8 == 0
+        # the kernel holds ~10 (kmax, 8, nfm) f32 buffers in scoped VMEM
+        # (operands + outputs, double-buffered): 16MB limit -> off for
+        # kmax*nfm beyond ~48k (e.g. 512^3; the eigen path covers it)
+        fits = 10 * self.grid.ktot * 8 * (self.grid.itot // 2) * 4 \
+            <= 15 * 1024 * 1024
+        if sw == "1":
+            return lanes_ok
+        return backend_ok and lanes_ok and fits
+
     def _use_pallas_tdma(self, ctx):
         # Measured neutral at 256^3 on v5e (the real/imag packing copies
         # around the kernel offset the scan-traffic savings); opt-in until
@@ -298,16 +372,15 @@ class Pres2:
 
     _tdma_interpret = False  # tests force interpret mode on CPU
 
-    def _solve_spectral_pallas(self, ctx, p_hat, winv, kmax):
-        """Batched Thomas solve over all (ky, kx<Nyquist) modes in one
-        Pallas pass; the single Nyquist kx plane runs through the scan."""
+    def _tdma_ri(self, dr, di, winv, kmax):
+        """Batched Thomas solve on separated real/imag rhs (already
+        multiplied by dz^2): Pallas kernel over the (ky, kx<Nyquist) lanes
+        + associative-scan fallback for the single Nyquist plane.  O(kmax)
+        work per mode vs the eigen path's O(kmax^2) matmul flops."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         nfm = self.grid.itot // 2           # kernel lanes (excl. Nyquist)
-        d = p_hat * self.dz2
-        dr = jnp.real(d[..., :nfm])
-        di = jnp.imag(d[..., :nfm])
         wv = winv[..., :nfm]
 
         af_cf = jnp.stack([
@@ -321,7 +394,7 @@ class Pres2:
         TJ = 8
         grid = (jtot // TJ,)
         blk = pl.BlockSpec((kmax, TJ, nfm), lambda j: (0, j, 0))
-        out_shape = jax.ShapeDtypeStruct(dr.shape, dr.dtype)
+        out_shape = jax.ShapeDtypeStruct(dr[..., :nfm].shape, dr.dtype)
         xr, xi = pl.pallas_call(
             functools.partial(_tdma_kernel, kmax),
             grid=grid,
@@ -329,19 +402,26 @@ class Pres2:
             out_specs=[blk, blk],
             out_shape=[out_shape, out_shape],
             interpret=self._tdma_interpret,
-        )(af_cf, dr, di, wv)
-        x_main = xr + 1j * xi
+        )(af_cf, dr[..., :nfm], di[..., :nfm], wv)
 
-        # Nyquist kx plane via the scan path (kmax, jtot) — tiny
-        d_ny = d[..., nfm:]
+        # Nyquist kx plane via the scan path (kmax, jtot, 1) — tiny
         w_ny = winv[..., nfm:]
-        A_f = jnp.broadcast_to(-self.a_k * w_ny, d_ny.shape).astype(d_ny.dtype)
-        A_f = A_f.at[0].set(0.)
-        y = _assoc_linear_scan(A_f, d_ny * w_ny, reverse=False)
-        A_b = jnp.broadcast_to(-self.c_k * w_ny, d_ny.shape).astype(d_ny.dtype)
-        A_b = A_b.at[kmax - 1].set(0.)
-        x_ny = _assoc_linear_scan(A_b, y, reverse=True)
-        return jnp.concatenate([x_main, x_ny], axis=-1)
+        outs = []
+        for dpart in (dr[..., nfm:], di[..., nfm:]):
+            A_f = jnp.broadcast_to(-self.a_k * w_ny, dpart.shape).astype(dpart.dtype)
+            A_f = A_f.at[0].set(0.)
+            y = _assoc_linear_scan(A_f, dpart * w_ny, reverse=False)
+            A_b = jnp.broadcast_to(-self.c_k * w_ny, dpart.shape).astype(dpart.dtype)
+            A_b = A_b.at[kmax - 1].set(0.)
+            outs.append(_assoc_linear_scan(A_b, y, reverse=True))
+        return (jnp.concatenate([xr, outs[0]], axis=-1),
+                jnp.concatenate([xi, outs[1]], axis=-1))
+
+    def _solve_spectral_pallas(self, ctx, p_hat, winv, kmax):
+        """Complex-spectrum wrapper around _tdma_ri."""
+        d = p_hat * self.dz2
+        xr, xi = self._tdma_ri(jnp.real(d), jnp.imag(d), winv, kmax)
+        return xr + 1j * xi
 
     def solve(self, ctx, rhs, pp=None):
         """Return pressure interior (kmax, jtot, itot)."""
@@ -424,6 +504,45 @@ class Pres2:
         aux = dict(aux)
         aux["p"] = p_full
         return t, aux
+
+    def exec_star(self, ctx, s_star, aux, subdt, pp=None):
+        """Projection for the RK-folded kernel path: the fused tendency
+        kernel already produced s* = s + subdt*t (pre-projection), so the
+        rhs is div(rho s*)/subdt directly and the caller applies the
+        returned gradient planes to both s* and the carried tendency
+        (pres_2.cxx rhs/update split, :156-196 + :364-387)."""
+        if not self._built:
+            raise RuntimeError("Pres2.set_values() not called")
+        ks, ke = ctx.ks, ctx.ke
+        dti = 1. / subdt
+        u, v, w = s_star["u"], s_star["v"], s_star["w"]
+        from .stencil import ip, jp
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        rhoh = ctx.rhorefh[ks:ke + 1][:, None, None]
+        dzi = ctx.dzi[ks:ke][:, None, None]
+        uu = u[ks:ke] * dti
+        vv = v[ks:ke] * dti
+        ww = w[ks:ke + 1] * dti
+        rhs = (rho * ((ip(uu) - uu) * ctx.dxi + (jp(vv) - vv) * ctx.dyi)
+               + (rhoh[1:] * ww[1:] - rhoh[:-1] * ww[:-1]) * dzi)
+        p_int = self.solve(ctx, rhs, pp)
+        p_full = jnp.zeros_like(u)
+        p_full = p_full.at[ks:ke].set(p_int)
+        p_full = p_full.at[ks - 1].set(p_int[0])
+        p_full = p_full.at[ke].set(p_int[-1])
+
+        kc = u.shape[0]
+
+        def pad(a, lo):
+            return jnp.pad(a, ((lo, kc - lo - a.shape[0]), (0, 0), (0, 0)))
+
+        gx = pad((p_full - im(p_full))[ks:ke] * ctx.dxi, ks)
+        gy = pad((p_full - jm(p_full))[ks:ke] * ctx.dyi, ks)
+        gz = pad((p_full[ks + 1:ke] - p_full[ks:ke - 1])
+                 * ctx.dzhi[ks + 1:ke][:, None, None], ks + 1)
+        aux = dict(aux)
+        aux["p"] = p_full
+        return (gx, gy, gz), aux
 
     def divergence_max(self, ctx, s):
         """max |div(rho u)| (reference calc_divergence)."""

@@ -192,6 +192,9 @@ class Pres4:
             "dftCi": ((np.cos(ang) * wk[None, :]).T / itot).astype(dt_),
             "dftSi": ((np.sin(ang) * wk[None, :]).T / itot).astype(dt_),
         }
+        from .dft_split import build_split_tables
+        self._dft_np.update(build_split_tables(itot, dt_, "dsx"))
+        self._dft_np.update(build_split_tables(jtot, dt_, "dsy"))
         self._built = True
 
     def _build_eigen(self, mk, bm, m_sys, mean):
@@ -267,17 +270,30 @@ class Pres4:
     def _solve_dft(self, ctx, rhs, ep):
         """Real DFT via matmuls + eigen hepta solve on real/imag parts."""
         import functools
-        prec = (jax.lax.Precision.HIGHEST
-                if rhs.dtype == jnp.float32 else None)
+        from .pres_2 import _mxu_precision
+        prec = _mxu_precision(rhs.dtype)
         e = functools.partial(jnp.einsum, precision=prec)
         C, S = ep["dftC"], ep["dftS"]
         Cy, Sy = ep["dftCy"], ep["dftSy"]
         Ci, Si = ep["dftCi"], ep["dftSi"]
 
-        Xr = e("kji,if->kjf", rhs, C)
-        Xi = -e("kji,if->kjf", rhs, S)
-        Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
-        Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
+        from .dft_split import rdft_last_fwd, cdft_axis1
+        from .pres_2 import Pres2
+        split = Pres2._use_dft_split()
+        split_x = split and "dsx_twc" in ep
+        split_y = split and "dsy_twc" in ep
+        itot_, jtot_ = rhs.shape[2], rhs.shape[1]
+        if split_x:
+            Xr, Xi = rdft_last_fwd(rhs, ep, "dsx", itot_ // 128,
+                                   itot_ // 2 + 1, e)
+        else:
+            Xr = e("kji,if->kjf", rhs, C)
+            Xi = -e("kji,if->kjf", rhs, S)
+        if split_y:
+            Yr, Yi = cdft_axis1(Xr, Xi, ep, "dsy", jtot_ // 128, -1, e)
+        else:
+            Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
+            Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
 
         denom = ep["eiglam"][:, None, None] + ep["eigbm"][None]
         gr = e("kl,ljf->kjf", ep["eigVi"], Yr) / denom
@@ -290,8 +306,13 @@ class Pres4:
         xi = xi.at[:, 0, 0].set(x0i)
 
         n_j = rhs.shape[1]
-        Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
-        Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
+        if split_y:
+            Zr, Zi = cdft_axis1(xr, xi, ep, "dsy", jtot_ // 128, +1, e)
+            Zr = Zr / n_j
+            Zi = Zi / n_j
+        else:
+            Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
+            Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
         return e("kjf,fi->kji", Zr, Ci) - e("kjf,fi->kji", Zi, Si)
 
     # ------------------------------------------------------------------
@@ -336,8 +357,8 @@ class Pres4:
                 for k, v in {**self._eig_np, **self._dft_np}.items()}
             if plan is None and self._use_dft() and "dftC" in ep:
                 return self._solve_dft(ctx, rhs, ep).astype(rhs.dtype)
-            prec = (jax.lax.Precision.HIGHEST
-                    if p_hat.real.dtype == jnp.float32 else None)
+            from .pres_2 import _mxu_precision
+            prec = _mxu_precision(p_hat.real.dtype)
             g = jnp.einsum("kl,ljf->kjf", ep["eigVi"], p_hat, precision=prec)
             g = g / (ep["eiglam"][:, None, None] + ep["eigbm"][None])
             x = jnp.einsum("kl,ljf->kjf", ep["eigV"], g, precision=prec)

@@ -384,6 +384,59 @@ dt=0.1
         np.abs(x_dft - x_fft).max() / scale
 
 
+def test_pres2_dft_tdma_matches_eigen():
+    """The DFT path's vertical Thomas solve (Pallas, real/imag separated)
+    must match the DFT + eigen path to roundoff (interpret mode)."""
+    import os
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    ini = """
+[grid]
+itot=256
+jtot=16
+ktot=12
+xsize=1.
+ysize=1.
+zsize=1.
+swspatialorder=2
+[fields]
+visc=0.1
+[boundary]
+mbcbot=freeslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[advec]
+cflmax=1.
+[diff]
+swdiff=0
+[time]
+starttime=0
+endtime=1
+savetime=1
+dt=0.1
+"""
+    m = Model(Ini(ini), "run", "dfttdma")
+    m.finish_setup()
+    pp = m.pres.device_params()
+    rng = np.random.RandomState(1)
+    rhs = jnp.asarray(rng.randn(m.grid.ktot, 16, 256))
+    os.environ["MICROHH_DFT_POISSON"] = "1"
+    os.environ["MICROHH_DFT_TDMA"] = "0"
+    try:
+        p_eig = m.pres.solve(m.ctx, rhs, pp)
+        m.pres._tdma_interpret = True
+        os.environ["MICROHH_DFT_TDMA"] = "1"
+        p_tdma = m.pres.solve(m.ctx, rhs, pp)
+    finally:
+        os.environ.pop("MICROHH_DFT_POISSON", None)
+        os.environ.pop("MICROHH_DFT_TDMA", None)
+    err = float(jnp.abs(p_eig - p_tdma).max() / jnp.abs(p_eig).max())
+    assert err < 1e-11, err
+
+
 def test_pres4_dft_matches_fft():
     """pres_4's DFT-by-matmul path must reproduce the rfft2 eigen solve."""
     import os

@@ -1,0 +1,100 @@
+"""RK-folded fused kernels: tendencies_rk must reproduce the separate
+fused_tendencies + XLA axpy/scale passes exactly, and the whole rkfold
+step path (including the pressure exec_star split) must match the
+regular substep pipeline to roundoff."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from microhh_tpu.config import Ini
+from microhh_tpu.model import Model
+from microhh_tpu.ops.pallas_fused import (FusedLES2, fused_exec_viscosity,
+                                          fused_tendencies,
+                                          fused_tendencies_rk)
+
+from tests.test_pallas_fused import INI, setup  # noqa: F401  (fixture)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("carry", [True, False])
+@pytest.mark.parametrize("fold_ghosts", [False, True])
+def test_rkfold_kernels_match(setup, tiled, carry, fold_ghosts):  # noqa: F811
+    m, ctx, s, sfc, _ = setup
+    fused = FusedLES2(ctx, m.diff, m.thermo, True, interpret=True,
+                      tiled=tiled, tj=8, fold_ghosts=fold_ghosts)
+    aux = fused_exec_viscosity(fused, ctx, s, sfc, {})
+    rng = np.random.RandomState(11)
+    t0 = {n: jnp.asarray(np.pad(
+        0.1 * rng.randn(ctx.ktot, ctx.jtot, ctx.itot),
+        ((ctx.ks, s[n].shape[0] - ctx.ke), (0, 0), (0, 0))))
+        for n in s}
+    cbdt, can = 0.7, (-5. / 9. if carry else 0.)
+
+    # reference: accumulate, then axpy + scale
+    t_ref = fused_tendencies(fused, ctx, s, dict(t0), aux, sfc)
+    s_ref = {n: s[n] + cbdt * t_ref[n] for n in s}
+    t_ref_scaled = {n: can * t_ref[n] for n in s}
+
+    s_star, t_s = fused_tendencies_rk(fused, ctx, s, dict(t0), aux, sfc,
+                                      cbdt, can)
+
+    ks, ke = ctx.ks, ctx.ke
+    for name in ("u", "v", "w", "th"):
+        a = np.asarray(s_ref[name])[ks:ke]
+        b = np.asarray(s_star[name])[ks:ke]
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-12, ("s*", name, err)
+    # w* wall rows exact
+    assert np.asarray(s_star["w"])[ke].max() == 0.
+    if carry:
+        for name in ("u", "v", "w", "th"):
+            a = np.asarray(t_ref_scaled[name])[ks:ke]
+            b = np.asarray(t_s[name])[ks:ke]
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 1e-12, ("t", name, err)
+    else:
+        assert t_s is None
+
+
+def test_rkfold_step_matches():
+    """Whole-step parity: MICROHH_RKFOLD=1 vs =0 on the same drycbl-style
+    model (full-plane fused path on CPU interpret mode)."""
+    results = {}
+    for rk in ("1", "0"):
+        os.environ["MICROHH_RKFOLD"] = rk
+        try:
+            m = Model(Ini(INI), "run", "rkstep")
+            m.finish_setup()
+            m.force_fused = True
+            m.build_step()
+            assert m._use_rkfold == (rk == "1")
+            g = m.grid
+            rng = np.random.RandomState(5)
+            s = {}
+            for name in m.fields.prognostic_names:
+                a = np.zeros((g.kcells, g.jtot, g.itot))
+                a[g.kstart:g.kend] = 0.3 * rng.randn(g.ktot, g.jtot, g.itot)
+                s[name] = a
+            s["th"][g.kstart:g.kend] += 300. + 0.003 * g.z[g.kstart:g.kend,
+                                                           None, None]
+            s["w"][g.kstart] = 0.
+            s["w"][g.kend] = 0.
+            s = {k: jnp.asarray(v) for k, v in s.items()}
+            sfc_np = m.boundary.init_surface_state()
+            sfc = {k: jnp.asarray(v) for k, v in sfc_np.items()}
+            dt = jnp.asarray(2.0)
+            tz = jnp.asarray(0.0)
+            for _ in range(2):
+                s, sfc, aux = m._step_raw(s, sfc, m.pres_params, dt, tz)
+            results[rk] = {n: np.asarray(v)[g.kstart:g.kend]
+                           for n, v in s.items()}
+            results[rk]["p"] = np.asarray(aux["p"])[g.kstart:g.kend]
+        finally:
+            os.environ.pop("MICROHH_RKFOLD", None)
+    for name in results["1"]:
+        a, b = results["0"][name], results["1"][name]
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-11, (name, err)
