@@ -484,10 +484,27 @@ class Budget:
             raise ValueError("swbudget=4 requires swspatialorder=4")
         if sw == "2" and model.grid.spatial_order != 2:
             raise ValueError("swbudget=2 requires swspatialorder=2")
+        self.order = 4 if sw == "4" else 2
         self.model = model
 
     def register(self, stats):
         if not self.sw:
+            return
+        if self.order == 4:
+            from .budget4 import FULL_TERMS, HALF_TERMS
+            has_thermo = hasattr(self.model.thermo, "get_buoyancy")
+            for name in FULL_TERMS:
+                if (name.startswith("b") or name.endswith("buoy")) \
+                        and not has_thermo:
+                    continue
+                stats.add_prof(name, name.replace("_", " "), "m2 s-3", "z",
+                               group="budget")
+            for name in HALF_TERMS:
+                if (name.endswith("buoy") or name.startswith("bw")) \
+                        and not has_thermo:
+                    continue
+                stats.add_prof(name, name.replace("_", " "), "m2 s-3", "zh",
+                               group="budget")
             return
         for name in self.FULL:
             stats.add_prof(name, name.replace("_", " "), "m2 s-3", "z",
@@ -498,6 +515,9 @@ class Budget:
 
     def profiles(self, ctx, s, aux):
         m = self.model
+        if self.order == 4:
+            from .budget4 import budget4_profiles
+            return budget4_profiles(ctx, s, aux, m.thermo, m.fields.visc)
         fc = getattr(m.force, "fc", None) if m.force is not None else None
         svisc = None
         if getattr(m.thermo, "scalars", ()):

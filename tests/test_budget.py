@@ -190,3 +190,90 @@ adaptivestep=false
     err = np.abs(total - dtke_dt)[2:-2]
     assert scale > 0.
     assert err.max() < 0.15 * scale, (err.max(), scale)
+
+
+def test_budget4_closure_channel():
+    """Order-4 closure: the true 4th-order tke budget terms
+    (microhh_tpu/budget4.py) must sum to d<tke>/dt measured by stepping
+    the 4th-order model."""
+    import jax.numpy as jnp
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    from microhh_tpu.budget4 import budget4_profiles
+    ini = """
+[grid]
+itot=16
+jtot=16
+ktot=16
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=4
+[advec]
+swadvec=4
+cflmax=1.0
+[diff]
+swdiff=4
+dnmax=0.3
+[thermo]
+swthermo=0
+[fields]
+visc=3e-2
+svisc=3e-2
+rndseed=4
+rndamp=0.1
+rndz=2.0
+rndexp=0.
+[boundary]
+mbcbot=noslip
+mbctop=noslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0.
+stop=0.
+[time]
+starttime=0
+endtime=1
+savetime=1
+dt=0.005
+adaptivestep=false
+"""
+    m = Model(Ini(ini), "run", "bcl4")
+    m.finish_setup()
+    m.build_step()
+    g = m.grid
+    s = m.fields.create(None)
+    s = {k: jnp.asarray(v) for k, v in s.items()}
+    s = m.boundary.set_ghost_cells(m.ctx, s, {})
+
+    dt = 0.005
+    aux = {}
+    for _ in range(60):
+        s, _sfc, aux = m._step_fn(s, {}, m.pres_params, jnp.asarray(dt),
+                                  jnp.asarray(0.))
+
+    s_g = m.boundary.set_ghost_cells(m.ctx, s, {})
+    prof = budget4_profiles(m.ctx, s_g, aux, None, m.fields.visc)
+    for name, val in prof.items():
+        assert np.isfinite(np.asarray(val)).all(), name
+    assert np.asarray(prof["tke_diss"]).max() <= 1e-12
+
+    def tke_prof(state):
+        state = m.boundary.set_ghost_cells(m.ctx, state, {})
+        p = budget4_profiles(m.ctx, state, None, None, m.fields.visc)
+        return np.asarray(p["tke"])
+
+    tke0 = tke_prof(s)
+    s1, _sfc, _aux = m._step_fn(s, {}, m.pres_params, jnp.asarray(dt),
+                                jnp.asarray(0.))
+    dtke_dt = (tke_prof(s1) - tke0) / dt
+
+    total = sum(np.asarray(prof[k]) for k in
+                ("tke_shear", "tke_turb", "tke_pres", "tke_visc",
+                 "tke_diss"))
+    scale = np.abs(np.asarray(prof["tke_diss"])).max()
+    err = np.abs(total - dtke_dt)[3:-3]
+    assert scale > 0.
+    # commutation/truncation residual: measured 0.28 at 16^3, 0.15 at
+    # 24^3 (converging ~2nd order in the mean) -- bound with headroom
+    assert err.max() < 0.35 * scale, (err.max(), scale)
