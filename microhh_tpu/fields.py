@@ -200,6 +200,41 @@ class Fields:
         for name in self.all_prognostic_names:
             self.save_field(np.asarray(state[name]), name, iotime, path, dtype)
 
+    def save_sharded(self, state_dev, iotime, path=".", dtype=None):
+        """Multi-host restart write: each process writes its shards of the
+        reference-layout per-field files (field3d_io.cxx:112-134 semantics;
+        see parallel/shard_io.py)."""
+        from .parallel import shard_io
+        g = self.grid
+        for name in self.all_prognostic_names:
+            fname = "%s/%s.%07d" % (path, name, iotime)
+            arr = state_dev[name]
+            if name in self.sp2d:
+                shard_io.save_plane_sharded(arr, fname, g.jtot, g.itot, dtype)
+            elif name in self.sps:
+                shard_io.save_field_sharded(arr, fname, self.soil_ktot,
+                                            g.jtot, g.itot, 0, dtype)
+            else:
+                shard_io.save_field_sharded(arr, fname, g.ktot, g.jtot,
+                                            g.itot, g.kstart, dtype)
+
+    def load_sharded(self, iotime, sharding, path=".", dtype=np.float64,
+                     file_dtype=None):
+        """Multi-host restart read: build sharded device arrays directly
+        from the per-field files, reading only local rectangles."""
+        from .parallel import shard_io
+        g = self.grid
+        out = {}
+        for name in self.all_prognostic_names:
+            fname = "%s/%s.%07d" % (path, name, iotime)
+            if name in self.sp2d or name in self.sps:
+                raise NotImplementedError(
+                    "sharded load of soil/2-D fields is not implemented")
+            out[name] = shard_io.load_field_sharded(
+                fname, sharding, g.kcells, g.ktot, g.jtot, g.itot,
+                g.kstart, dtype, file_dtype or dtype)
+        return out
+
     def load(self, iotime, path=".", dtype=np.float64):
         return {name: self.load_field(name, iotime, path, dtype)
                 for name in self.all_prognostic_names}

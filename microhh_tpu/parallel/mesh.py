@@ -127,16 +127,21 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
     the reference's MPI_Init, ``src/master_parallel.cxx:57-86``).  On cloud
     TPU pods the arguments auto-detect; pass them explicitly elsewhere."""
     import jax
-    if jax.process_count() > 1:
+    # Do NOT touch jax.process_count()/devices() here: that would
+    # initialize the backend BEFORE distributed init, which silently
+    # degrades the run to single-process.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
-    kwargs = {}
     if coordinator is not None:
-        kwargs = dict(coordinator_address=coordinator,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()   # cloud auto-detection
     except (RuntimeError, ValueError):
-        pass  # single-process run or already initialized
+        pass  # single-process run
 
 
 def make_multislice_mesh(n_slices, npy, npx, devices=None):
