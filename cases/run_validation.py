@@ -1,0 +1,200 @@
+"""Automated physics-validation envelopes (reference analogue: the
+per-case ``<case>_test.py`` runners, e.g.
+``cases/drycblles/drycblles_test.py:11-49`` upstream).
+
+Runs three canonical cases end-to-end through the real CLI (init + run),
+reads the stats NetCDF, and asserts the published intercomparison
+envelopes that previously lived only as tables in the case READMEs:
+
+* drycblles  — CBL growth: zi(t) rises and tracks the encroachment
+               prediction zi = sqrt(zi0^2 + 2*wth_s*t/gamma).
+* bomex      — GCSS shallow cumulus (Siebesma et al. 2003): cloud cover,
+               cloud base / top from the mean ql profile.
+* gabls1     — Beare et al. (2006) SBL: supergeostrophic low-level jet,
+               surface-layer cooling, stable stratification.  The jet
+               needs most of the 9 h spin-up, so its envelope checks are
+               only armed when the (possibly overridden) endtime covers
+               at least 7 h; shorter runs still assert stability/cooling.
+
+Exit status is nonzero on any failed check, so this gates CI.  The
+default grids are coarse enough for minutes on a TPU chip and an
+overnight CPU run; ``--quick`` shrinks further (smoke scale: plumbing +
+sign checks only, loosened envelopes).
+
+Usage:
+  python cases/run_validation.py [--cases drycblles,bomex,gabls1]
+      [--quick] [--workdir /tmp/mh_validation] [--precision single]
+"""
+
+import argparse
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+FAILURES = []
+
+
+def check(name, val, lo, hi):
+    ok = lo <= val <= hi
+    print("  %-38s %12.4g  in [%g, %g]  %s"
+          % (name, val, lo, hi, "ok" if ok else "FAIL"), flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def run_case(case, overrides, workdir, precision):
+    """Patch the ini, generate input, init + run through the CLI."""
+    src = os.path.join(REPO, "cases", case)
+    wd = os.path.join(workdir, case)
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd)
+    ini = open(os.path.join(src, "%s.ini" % case)).read()
+    for key, val in overrides.items():
+        ini, n = re.subn(r"(?m)^%s=\S+" % key, "%s=%s" % (key, val), ini)
+        if n == 0:
+            raise RuntimeError("%s: override %s not found in ini" % (case, key))
+    open(os.path.join(wd, "%s.ini" % case), "w").write(ini)
+    shutil.copy(os.path.join(src, "%s_input.py" % case), wd)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.check_call([sys.executable, "%s_input.py" % case],
+                          cwd=wd, env=env)
+    for mode in ("init", "run"):
+        cmd = [sys.executable, "-m", "microhh_tpu", mode, case,
+               "--precision", precision]
+        print("+ %s  (in %s)" % (" ".join(cmd), wd), flush=True)
+        subprocess.check_call(cmd, cwd=wd, env=env)
+    from microhh_tpu.utils import nc
+    return nc.Dataset(os.path.join(wd, "%s.default.0000000.nc" % case), "r")
+
+
+def _prof(group, name, tavg=1):
+    a = np.asarray(group.variables[name][:])
+    return a[-tavg:].mean(axis=0)
+
+
+# ---------------------------------------------------------------------------
+def validate_drycblles(args):
+    itot = 32 if args.quick else 64
+    endtime = 1800. if args.quick else 3600.
+    f = run_case("drycblles",
+                 {"itot": itot, "jtot": itot, "ktot": itot,
+                  "endtime": "%g" % endtime, "savetime": "%g" % endtime,
+                  "sampletime": "60."},
+                 args.workdir, args.precision)
+    th_grp = f.groups["thermo"]
+    t = np.asarray(f.variables["time"][:])
+    zi = np.asarray(th_grp.variables["zi"][:])
+    wth = np.asarray(th_grp.variables["th_flux"][:]) \
+        if "th_flux" in th_grp.variables else None
+    f.close()
+
+    print("drycblles: zi(0)=%.0f m -> zi(end)=%.0f m" % (zi[0], zi[-1]))
+    # growth: monotone up to sampling noise
+    check("zi grows", float(zi[-1] - zi[len(zi) // 4]), 1., 1e9)
+    # encroachment: zi ~ sqrt(zi0^2 + 2*F0*t/gamma); drycblles surface flux
+    # sbot[th]=0.1 Km/s, lapse 0.003 K/m (drycblles_input.py)
+    f0, gamma = 0.1, 0.003
+    zi_pred = np.sqrt(zi[1] ** 2 + 2. * f0 * (t[-1] - t[1]) / gamma)
+    rt = 0.45 if args.quick else 0.30
+    check("zi vs encroachment", float(zi[-1]),
+          (1 - rt) * zi_pred, (1 + rt) * zi_pred)
+
+
+def validate_bomex(args):
+    itot = 32 if args.quick else 64
+    ktot = 32 if args.quick else 48
+    endtime = 3600. if args.quick else 7200.
+    f = run_case("bomex",
+                 {"itot": itot, "jtot": itot, "ktot": ktot,
+                  "endtime": "%g" % endtime, "savetime": "%g" % endtime,
+                  "sampletime": "60."},
+                 args.workdir, args.precision)
+    thermo = f.groups["thermo"]
+    z = np.asarray(f.variables["z"][:])
+    navg = max(1, int(endtime / 60. / 4))      # final quarter of samples
+    cover = np.asarray(thermo.variables["ql_cover"][:])[-navg:].mean()
+    ql = _prof(thermo, "ql", navg)
+    f.close()
+
+    cloudy = np.where(ql > 1e-7)[0]
+    base = z[cloudy[0]] if cloudy.size else np.nan
+    top = z[cloudy[-1]] if cloudy.size else np.nan
+    print("bomex: cover=%.3f base=%.0f m top=%.0f m" % (cover, base, top))
+    if args.quick:
+        check("cloud cover", float(cover), 0.01, 0.45)
+        check("cloud base [m]", float(base), 200., 1000.)
+    else:
+        # GCSS envelope 8-20% plus coarse-grid headroom
+        check("cloud cover", float(cover), 0.04, 0.30)
+        check("cloud base [m]", float(base), 300., 800.)
+        check("cloud top [m]", float(top), 1200., 2200.)
+
+
+def validate_gabls1(args):
+    itot = 32 if args.quick else 64
+    endtime = 3600. if args.quick else 32400.
+    f = run_case("gabls1",
+                 {"itot": itot, "jtot": itot, "ktot": itot,
+                  "endtime": "%g" % endtime, "savetime": "%g" % endtime,
+                  "sampletime": "600."},
+                 args.workdir, args.precision)
+    grp = f.groups["default"]
+    z = np.asarray(f.variables["z"][:])
+    u = _prof(grp, "u")
+    v = _prof(grp, "v")
+    th = _prof(grp, "th")
+    f.close()
+
+    ug = 8.0                       # GABLS1 geostrophic wind
+    wind = np.hypot(u, v)
+    jet = float(wind.max())
+    zjet = float(z[int(np.argmax(wind))])
+    print("gabls1: jet=%.2f m/s at %.0f m; th(sfc air)=%.2f K"
+          % (jet, zjet, th[0]))
+    # stability holds at any horizon: cooled surface air + positive lapse
+    check("surface-air cooling [K]", float(265. - th[0]), 0.05, 6.)
+    check("stable stratification", float(np.mean(np.diff(th[:len(th) // 2])
+                                                 > -1e-3)), 0.75, 1.)
+    if endtime >= 7 * 3600.:
+        # Beare et al. (2006) envelope: supergeostrophic jet near the
+        # BL top (130-180 m at 3.1 m resolution, lower when coarser)
+        check("LLJ supergeostrophic ratio", jet / ug, 1.02, 1.25)
+        check("LLJ height [m]", zjet, 60., 250.)
+
+
+# ---------------------------------------------------------------------------
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", default="drycblles,bomex,gabls1")
+    ap.add_argument("--quick", action="store_true",
+                    help="smoke scale: small grids, short horizons")
+    ap.add_argument("--workdir", default="/tmp/mh_validation")
+    ap.add_argument("--precision", default="single")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    fns = {"drycblles": validate_drycblles,
+           "bomex": validate_bomex,
+           "gabls1": validate_gabls1}
+    for case in args.cases.split(","):
+        print("\n=== %s ===" % case, flush=True)
+        fns[case](args)
+
+    if FAILURES:
+        print("\nVALIDATION FAILED: %s" % ", ".join(FAILURES))
+        return 1
+    print("\nVALIDATION PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,13 @@ precomputation at ``create()``, exactly following the reference host code
 the ghost locations — no data-dependent control flow under jit.  Horizontal
 periodicity is handled with modular indices and unwrapped virtual
 coordinates (this build has no horizontal ghost cells).
+
+Geometry modes: the reference declares ``IB_type {Disabled, DEM, User}``
+(immersed_boundary.h:34) but its ini factory only constructs Disabled or
+DEM (immersed_boundary.cxx:606-616) — ``User`` is dead code in this fork,
+and even the sinusoidal-wall case encodes its geometry as a DEM
+(cases/ib_sine/sine_input.py upstream).  DEM is therefore the complete
+supported surface.
 """
 
 import numpy as np
