@@ -29,8 +29,8 @@ from .diff_smag2 import DiffSmag2
 from .diff_2 import diff_c as molecular_diff_c, diff_w as molecular_diff_w
 from .stencil import im, ip, jm, jp
 
-DSMALLER = 1.e-12
-DTINY = 1.e-30
+DSMALLER = 1.e-16   # Constants::dsmaller (constants.h:96)
+DTINY = 1.e-30      # Constants::dtiny (constants.h:95)
 
 
 def _hsum9(a):

@@ -134,6 +134,68 @@ def run_case(case_name, case_options, mpi_options=None, case_dir=".",
     return wdir
 
 
+def permute_options(permutations):
+    """Expand lists of named option-dicts into the cross product of
+    (suffix, merged-options) pairs (reference
+    generator_parameter_permutations, microhh_tools.py:852-886).
+
+    ``permutations`` is a list of dicts (or one dict), each mapping a
+    variant name to an option dict ``{section: {key: value}}``; the result
+    takes one variant from every list::
+
+        permute_options([{"rk3": {"time": {"rkorder": "3"}},
+                          "rk4": {"time": {"rkorder": "4"}}},
+                         {"adv2": {"advec": {"swadvec": "2"}}}])
+        -> [("rk3_adv2", {...}), ("rk4_adv2", {...})]
+    """
+    import itertools
+    if isinstance(permutations, dict):
+        permutations = [permutations]
+    out = []
+    for combo in itertools.product(*(list(p.items()) for p in permutations)):
+        suffix = "_".join(name for name, _ in combo)
+        merged = {}
+        for _, opts in combo:
+            for sec, items in opts.items():
+                merged.setdefault(sec, {}).update(items)
+        out.append((suffix, merged))
+    return out
+
+
+def run_permutations(case_name, case_options, mpi_options, permutations,
+                     case_dir=".", experiment="local", precision="single",
+                     outputfile=None):
+    """Run every permutation of the option lists and log a CSV summary
+    (reference run_permutations + run_cases csv output,
+    microhh_tools.py:694-701,974-1003).  Returns the number of failures."""
+    import csv
+    import timeit
+    rows = []
+    nerror = 0
+    for suffix, opts in permute_options(permutations):
+        merged = merge_options(case_options or {}, opts)
+        tag = "%s_%s" % (experiment, suffix)
+        t0 = timeit.default_timer()
+        try:
+            wdir = run_case(case_name, merged, mpi_options, case_dir,
+                            tag, precision=precision)
+            ok = True
+        except subprocess.CalledProcessError:
+            wdir = os.path.join(case_dir, "%s_%s" % (case_name, tag))
+            ok = False
+            nerror += 1
+        rows.append([case_name, wdir, ok,
+                     timeit.default_timer() - t0, merged])
+    if outputfile is None:
+        outputfile = os.path.join(
+            case_dir, "%s_%s.csv" % (case_name, experiment))
+    with open(outputfile, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Name", "Run Dir", "Success", "Time", "Options"])
+        w.writerows(rows)
+    return nerror
+
+
 def run_restart(case_name, case_options, mpi_options=None, case_dir=".",
                 experiment="restart", precision="double"):
     """Run 0->T, then T/2->T from the mid-time restart, and compare every

@@ -89,3 +89,42 @@ def test_restart_bitwise_lsm(tmp_path):
     names = os.listdir(mht_dir := wdir)
     assert any(n.startswith("t_soil.") for n in names), names
     assert any(n.startswith("wl.") for n in names), names
+
+
+def test_permute_options():
+    """Cross-product expansion with stable suffixes and deep-merged options
+    (reference generator_parameter_permutations)."""
+    perms = [{"rk3": {"time": {"rkorder": "3"}},
+              "rk4": {"time": {"rkorder": "4"}}},
+             {"adv2": {"advec": {"swadvec": "2"}, "time": {"cflmax": "1.0"}}}]
+    out = mht.permute_options(perms)
+    assert [s for s, _ in out] == ["rk3_adv2", "rk4_adv2"]
+    assert out[0][1] == {"time": {"rkorder": "3", "cflmax": "1.0"},
+                         "advec": {"swadvec": "2"}}
+    # single dict == one-element list
+    assert len(mht.permute_options(perms[0])) == 2
+
+
+def test_run_permutations_csv(tmp_path):
+    """run_permutations runs each variant through the real CLI and logs a
+    csv summary (reference run_cases outputfile, microhh_tools.py:694-701)."""
+    import csv
+    case_dir = str(tmp_path)
+    for f in os.listdir(os.path.join(CASES, "taylorgreen")):
+        src = os.path.join(CASES, "taylorgreen", f)
+        if os.path.isfile(src):
+            shutil.copy(src, case_dir)
+    os.environ["MICROHH_PLATFORM"] = "cpu"
+    small = {"grid": {"itot": "16", "ktot": "8", "jtot": "1"},
+             "time": {"endtime": "0.4", "savetime": "0.4",
+                      "iotimeprec": "-3"}}
+    nerr = mht.run_permutations(
+        "taylorgreen", small, None,
+        [{"rk3": {"time": {"rkorder": "3"}},
+          "rk4": {"time": {"rkorder": "4"}}}],
+        case_dir=case_dir, experiment="perm", precision="double")
+    assert nerr == 0
+    rows = list(csv.reader(open(os.path.join(case_dir, "taylorgreen_perm.csv"))))
+    assert rows[0] == ["Name", "Run Dir", "Success", "Time", "Options"]
+    assert len(rows) == 3
+    assert all(r[2] == "True" for r in rows[1:])
