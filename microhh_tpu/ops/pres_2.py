@@ -240,9 +240,9 @@ class Pres2:
         axis length is a multiple of 128.  MEASURED SLOWER at 512^3 on
         v5e (279 vs 180 ms per 3 solves): the (..., 128, N2) reshapes
         force lane-hostile layouts that cost more than the flops saved.
-        Opt-in (MICROHH_DFT_SPLIT=1) until the chunk/butterfly variant
-        with permuted mode order lands."""
-        return os.environ.get("MICROHH_DFT_SPLIT", "0") == "1"
+        Opt-in (MICROHH_DFT_SPLIT=1 both axes, =y / =x one axis) until
+        the chunk/butterfly variant with permuted mode order lands."""
+        return os.environ.get("MICROHH_DFT_SPLIT", "0")
 
     def _solve_dft(self, ctx, rhs, pp):
         """Forward 2-D real DFT, eigen solve on real/imag parts, inverse —
@@ -254,8 +254,8 @@ class Pres2:
         e = functools.partial(jnp.einsum, precision=prec)
         from .dft_split import rdft_last_fwd, cdft_axis1
         split = self._use_dft_split()
-        split_x = split and "dsx_twc" in pp
-        split_y = split and "dsy_twc" in pp
+        split_x = split in ("1", "x") and "dsx_twc" in pp
+        split_y = split in ("1", "y") and "dsy_twc" in pp
         n2x = self.grid.itot // 128
         n2y = self.grid.jtot // 128
         ihalf = self.grid.itot // 2 + 1
@@ -279,13 +279,23 @@ class Pres2:
             xr, xi = self._tdma_ri(Yr * self.dz2, Yi * self.dz2,
                                    pp["winv"], Yr.shape[0])
         else:
-            # fast-diagonalization vertical solve per component
+            # fast-diagonalization vertical solve per component; its MXU
+            # precision is independently tunable (MICROHH_EIGEN_PRECISION)
+            # because the eigen matmuls are ~25% of the solve flops and
+            # their rounding feeds the divergence residual differently
+            # from the unitary transforms
+            lvl = os.environ.get("MICROHH_EIGEN_PRECISION")
+            ep = prec if lvl is None else {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[lvl]
+            ee = functools.partial(jnp.einsum, precision=ep)
             Vim, V = pp["eigVim"], pp["eigV"]
             denom = pp["eiglam"][:, None, None] + pp["eigbm"][None]
-            gr = e("kl,ljf->kjf", Vim, Yr) / denom
-            gi = e("kl,ljf->kjf", Vim, Yi) / denom
-            xr = e("kl,ljf->kjf", V, gr)
-            xi = e("kl,ljf->kjf", V, gi)
+            gr = ee("kl,ljf->kjf", Vim, Yr) / denom
+            gi = ee("kl,ljf->kjf", Vim, Yi) / denom
+            xr = ee("kl,ljf->kjf", V, gr)
+            xi = ee("kl,ljf->kjf", V, gi)
             x0r = e("kl,l->k", pp["eigM0"], Yr[:, 0, 0])
             x0i = e("kl,l->k", pp["eigM0"], Yi[:, 0, 0])
             xr = xr.at[:, 0, 0].set(x0r)
@@ -342,10 +352,14 @@ class Pres2:
 
     def _use_dft_tdma(self):
         """Vertical Thomas solve inside the DFT path (real/imag spectra are
-        already separated there, so the complex<->real packing that made the
-        standalone Pallas TDMA perf-neutral does not apply).  Opt-out via
-        MICROHH_DFT_TDMA=0; requires lane-aligned (itot//2) %% 128 == 0."""
-        sw = os.environ.get("MICROHH_DFT_TDMA", "auto")
+        already separated there, so no complex<->real packing applies).
+        MEASURED SLOWER than the eigen matmuls at 256^3 on v5e (41.2 vs
+        34.7 ms/step, 2026-08-17 ablation): the O(kmax) sequential scan
+        dispatches ~2*kmax tiny VMEM steps while the O(kmax^2) eigen
+        matmuls ride the MXU at full rate — flops are cheaper than
+        latency here.  Opt-in via MICROHH_DFT_TDMA=1; requires
+        lane-aligned (itot//2) %% 128 == 0."""
+        sw = os.environ.get("MICROHH_DFT_TDMA", "0")
         if sw == "0":
             return False
         backend_ok = jax.default_backend() == "tpu" or self._tdma_interpret

@@ -280,8 +280,8 @@ class Pres4:
         from .dft_split import rdft_last_fwd, cdft_axis1
         from .pres_2 import Pres2
         split = Pres2._use_dft_split()
-        split_x = split and "dsx_twc" in ep
-        split_y = split and "dsy_twc" in ep
+        split_x = split in ("1", "x") and "dsx_twc" in ep
+        split_y = split in ("1", "y") and "dsy_twc" in ep
         itot_, jtot_ = rhs.shape[2], rhs.shape[1]
         if split_x:
             Xr, Xi = rdft_last_fwd(rhs, ep, "dsx", itot_ // 128,
