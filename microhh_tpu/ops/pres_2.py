@@ -281,14 +281,19 @@ class Pres2:
         else:
             # fast-diagonalization vertical solve per component; its MXU
             # precision is independently tunable (MICROHH_EIGEN_PRECISION)
-            # because the eigen matmuls are ~25% of the solve flops and
-            # their rounding feeds the divergence residual differently
-            # from the unitary transforms
-            lvl = os.environ.get("MICROHH_EIGEN_PRECISION")
-            ep = prec if lvl is None else {
-                "highest": jax.lax.Precision.HIGHEST,
-                "high": jax.lax.Precision.HIGH,
-                "default": jax.lax.Precision.DEFAULT}[lvl]
+            # because its rounding feeds the divergence residual differently
+            # from the transforms.  MEASURED at 512^3 (2026-08-17): eigen
+            # at HIGH (bf16_3x) leaves DIV unchanged (4.02e-5 vs 3.99e-5)
+            # and saves 12 ms/step, while HIGH transforms blow DIV up 25x
+            # (the inverse-Laplacian k^2 amplifies their broadband error;
+            # the eigen solve's error is concentrated at smooth modes) —
+            # so HIGH is the f32 default HERE ONLY.
+            lvl = os.environ.get("MICROHH_EIGEN_PRECISION",
+                                 "high" if rhs.dtype == jnp.float32
+                                 else "highest")
+            ep = {"highest": jax.lax.Precision.HIGHEST,
+                  "high": jax.lax.Precision.HIGH,
+                  "default": jax.lax.Precision.DEFAULT}[lvl]
             ee = functools.partial(jnp.einsum, precision=ep)
             Vim, V = pp["eigVim"], pp["eigV"]
             denom = pp["eiglam"][:, None, None] + pp["eigbm"][None]
