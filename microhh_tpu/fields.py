@@ -224,15 +224,24 @@ class Fields:
         from the per-field files, reading only local rectangles."""
         from .parallel import shard_io
         g = self.grid
+        fdt = file_dtype or dtype
+        sharding2d = None
         out = {}
         for name in self.all_prognostic_names:
             fname = "%s/%s.%07d" % (path, name, iotime)
-            if name in self.sp2d or name in self.sps:
-                raise NotImplementedError(
-                    "sharded load of soil/2-D fields is not implemented")
-            out[name] = shard_io.load_field_sharded(
-                fname, sharding, g.kcells, g.ktot, g.jtot, g.itot,
-                g.kstart, dtype, file_dtype or dtype)
+            if name in self.sp2d:
+                if sharding2d is None:
+                    sharding2d = shard_io.plane_sharding(sharding)
+                out[name] = shard_io.load_plane_sharded(
+                    fname, sharding2d, g.jtot, g.itot, dtype, fdt)
+            elif name in self.sps:
+                out[name] = shard_io.load_field_sharded(
+                    fname, sharding, self.soil_ktot, self.soil_ktot,
+                    g.jtot, g.itot, 0, dtype, fdt)
+            else:
+                out[name] = shard_io.load_field_sharded(
+                    fname, sharding, g.kcells, g.ktot, g.jtot, g.itot,
+                    g.kstart, dtype, fdt)
         return out
 
     def load(self, iotime, path=".", dtype=np.float64):

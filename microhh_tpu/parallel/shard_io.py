@@ -74,6 +74,30 @@ def load_field_sharded(fname, sharding, kcells, ktot, jtot, itot, kstart,
     return arr
 
 
+def load_plane_sharded(fname, sharding, jtot, itot, dtype,
+                       file_dtype=np.float64):
+    """Build a sharded 2-D (jtot, itot) jax.Array from the reference-layout
+    file, reading only this process's shard rectangles (surface/soil-skin
+    state analogue of load_field_sharded)."""
+    mm = np.memmap(fname, dtype=np.dtype(file_dtype), mode="r",
+                   shape=(jtot, itot))
+
+    def cb(idx):
+        return np.asarray(mm[tuple(idx)], dtype=dtype)
+
+    arr = jax.make_array_from_callback((jtot, itot), sharding, cb)
+    del mm
+    return arr
+
+
+def plane_sharding(sharding):
+    """Drop the leading (k) axis of a 3-D NamedSharding -> the matching
+    2-D (j, i) sharding for surface planes."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = sharding.spec
+    return NamedSharding(sharding.mesh, PartitionSpec(*tuple(spec)[1:]))
+
+
 def save_plane_sharded(arr, fname, jtot, itot, dtype=None):
     """2-D (jtot, itot) surface-state analogue of save_field_sharded."""
     dtype = np.dtype(dtype or arr.dtype)

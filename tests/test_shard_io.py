@@ -73,6 +73,37 @@ def test_plane_sharded_write(tmp_path):
         np.fromfile(fname).reshape(jtot, itot), plane)
 
 
+def test_plane_sharded_roundtrip(tmp_path):
+    jtot, itot = 16, 32
+    rng = np.random.default_rng(3)
+    plane = rng.normal(size=(jtot, itot))
+    mesh = _mesh22()
+    sh3 = NamedSharding(mesh, P(None, "y", "x"))
+    sh2 = shard_io.plane_sharding(sh3)
+    assert sh2.spec == P("y", "x")
+    arr = jax.device_put(jnp.asarray(plane), sh2)
+    fname = str(tmp_path / "wl.p")
+    shard_io.save_plane_sharded(arr, fname, jtot, itot)
+    back = shard_io.load_plane_sharded(fname, sh2, jtot, itot, np.float64)
+    assert back.sharding == sh2
+    np.testing.assert_array_equal(np.asarray(back), plane)
+
+
+def test_soil_sharded_roundtrip(tmp_path):
+    """Soil fields carry no ghost k levels: kcells == ktot, kstart == 0."""
+    ktot, jtot, itot = 4, 16, 32
+    rng = np.random.default_rng(4)
+    full = rng.normal(size=(ktot, jtot, itot))
+    mesh = _mesh22()
+    sh = NamedSharding(mesh, P(None, "y", "x"))
+    arr = jax.device_put(jnp.asarray(full), sh)
+    fname = str(tmp_path / "tsoil.rt")
+    shard_io.save_field_sharded(arr, fname, ktot, jtot, itot, 0)
+    back = shard_io.load_field_sharded(fname, sh, ktot, ktot, jtot, itot,
+                                       0, np.float64)
+    np.testing.assert_array_equal(np.asarray(back), full)
+
+
 WORKER = textwrap.dedent("""
     import os, sys
     import numpy as np
