@@ -279,6 +279,13 @@ class Model:
                 and force_idle and buffer_idle)
         self._use_rkfold = use_rkfold
         pres_active_rk = use_rkfold and hasattr(self.pres, "exec_star")
+        # Single-pass Pallas kernels for the projection glue (divergence
+        # rhs + gradient application) — see pallas_fused.PresGlue.
+        pres_glue = None
+        if (pres_active_rk
+                and os.environ.get("MICROHH_PRES_FUSED", "1") == "1"):
+            from .ops.pallas_fused import PresGlue
+            pres_glue = PresGlue(ctx, fused.interpret)
 
         def substep(s, t, sfc, aux, pp, dt, time_s, sub):
             if not fold_ghosts:
@@ -316,13 +323,22 @@ class Model:
             if self.ib.active:
                 s = self.ib.exec_scalars(ctx, s)
             if use_rkfold:
-                from .ops.pallas_fused import fused_tendencies_rk
+                from .ops.pallas_fused import (fused_pressure_rk,
+                                               fused_tendencies_rk)
                 subdt = cB[sub] * dt
                 can = cA[(sub + 1) % nsub]
+                carry = can != 0.
                 s_star, t_s = fused_tendencies_rk(fused, ctx, s, t, aux,
                                                   sfc, subdt, can)
                 aux = dict(aux)
                 aux["subdt"] = subdt
+                if pres_glue is not None:
+                    s_new, t_new, aux = fused_pressure_rk(
+                        pres_glue, ctx, self.pres, s_star, t_s, aux,
+                        subdt, can, pp, carry)
+                    if not carry:
+                        t_new = {n: jnp.zeros_like(s[n]) for n in names}
+                    return s_new, t_new, sfc, aux
                 if pres_active_rk:
                     (gx, gy, gz), aux = self.pres.exec_star(
                         ctx, s_star, aux, subdt, pp)
@@ -332,7 +348,7 @@ class Model:
                     s_new["w"] = s_star["w"] - subdt * gz
                 else:
                     s_new = s_star
-                if can != 0.:
+                if carry:
                     t_new = dict(t_s)
                     if pres_active_rk:
                         cv = ctx.dtype(can)

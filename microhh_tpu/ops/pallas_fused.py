@@ -1510,6 +1510,180 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can):
 
 
 # ==========================================================================
+#  pressure-glue kernels (rkfold path)
+#
+#  The projection step around the spectral solve is pure elementwise/local
+#  work that XLA otherwise runs as SIX+ full-array passes (uu/vv/ww dti
+#  scaling, the rhs fusion, the p_full scatter, gx/gy/gz materialization,
+#  and the s*/carry subtract pairs — measured 86 ms/step at 512^3).  Two
+#  single-pass kernel families replace them: the divergence rhs straight
+#  from s* (pres_2.cxx:156-196 with the 1/dt folded in), and the gradient
+#  application to BOTH the state and the carried tendency per component
+#  (pres_2.cxx:364-387), reading the interior p directly so no ghost-padded
+#  pressure array is ever built.
+# ==========================================================================
+
+def _pres_rhs_body(dxi, dyi, pc_ref, rk_ref, uc, vc, wc, wp, out):
+    k = pl.program_id(0)
+    dti = rk_ref[0]
+    rho, rhoh, rhoh1, dzi = (pc_ref[k, 0], pc_ref[k, 1], pc_ref[k, 2],
+                             pc_ref[k, 3])
+    u, v, w, w1 = uc[0], vc[0], wc[0], wp[0]
+    out[0] = dti * (rho * ((_ip(u) - u) * dxi + (_jp(v) - v) * dyi)
+                    + (rhoh1 * w1 - rhoh * w) * dzi)
+
+
+def _pres_apply_h_body(dinv, horiz_v, carry, pc_ref, rk_ref, p, sc, *rest):
+    """Horizontal gradient applied to one velocity component: the i- (u) or
+    j- (v) backward difference of p is periodic WITHIN the plane, so a
+    single p block serves."""
+    g = (p[0] - (_jm(p[0]) if horiz_v else _im(p[0]))) * dinv
+    if carry:
+        tc, so, to = rest
+        so[0] = sc[0] - rk_ref[0] * g
+        to[0] = tc[0] - rk_ref[1] * g
+    else:
+        (so,) = rest
+        so[0] = sc[0] - rk_ref[0] * g
+
+
+def _pres_apply_w_body(carry, pc_ref, rk_ref, p, pm, sc, *rest):
+    k = pl.program_id(0)
+    dzhi = pc_ref[k, 4]
+    g = jnp.where(k == 0, 0., (p[0] - pm[0]) * dzhi)
+    if carry:
+        tc, so, to = rest
+        so[0] = sc[0] - rk_ref[0] * g
+        to[0] = tc[0] - rk_ref[1] * g
+    else:
+        (so,) = rest
+        so[0] = sc[0] - rk_ref[0] * g
+
+
+class PresGlue:
+    """The two kernel families around the spectral pressure solve."""
+
+    def __init__(self, ctx, interpret):
+        self.ctx = ctx
+        self.interpret = interpret
+        ks, kt = ctx.ks, ctx.ktot
+        pc = np.zeros((kt, 5), dtype=np.float64)
+        for k in range(kt):
+            ka = ks + k
+            pc[k, 0] = np.asarray(ctx.rhoref)[ka]
+            pc[k, 1] = np.asarray(ctx.rhorefh)[ka]
+            pc[k, 2] = np.asarray(ctx.rhorefh)[ka + 1]
+            pc[k, 3] = np.asarray(ctx.dzi)[ka]
+            pc[k, 4] = np.asarray(ctx.dzhi)[ka]
+        self.pc = pc
+
+    def _specs(self):
+        ctx = self.ctx
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+        p_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot), lambda k: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+        f_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                              lambda k: (k + ctx.ks, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return sm, p_spec, f_spec
+
+    def rhs(self, su, sv, sw, dti):
+        """dti * div(rho s*) on the interior — ONE pass over s*."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        pc = jnp.asarray(self.pc, dtype=su.dtype)
+        rk = jnp.reshape(jnp.asarray(dti, su.dtype), (1,))
+        sm, _, f_spec = self._specs()
+        w1_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                               lambda k: (k + ks + 1, 0, 0),
+                               memory_space=pltpu.VMEM)
+        body = functools.partial(_pres_rhs_body, float(ctx.dxi),
+                                 float(ctx.dyi))
+        shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), su.dtype)
+        return pl.pallas_call(
+            body, grid=(kt,), in_specs=[sm, sm, f_spec, f_spec, f_spec,
+                                        w1_spec],
+            out_specs=pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                                   lambda k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=shape, interpret=self.interpret,
+        )(pc, rk, su, sv, sw, sw)
+
+    def _apply_one(self, body, p_specs, p_args, sc, tc, subdt, cv, carry):
+        ctx = self.ctx
+        sm, _, f_spec = self._specs()
+        pc = jnp.asarray(self.pc, dtype=sc.dtype)
+        rk = jnp.stack([jnp.asarray(subdt, sc.dtype),
+                        jnp.asarray(cv, sc.dtype)])
+        shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot),
+                                     sc.dtype)
+        npre = 2 + len(p_args)
+        if carry:
+            return pl.pallas_call(
+                body, grid=(ctx.ktot,),
+                in_specs=[sm, sm] + p_specs + [f_spec, f_spec],
+                out_specs=[f_spec] * 2, out_shape=[shape] * 2,
+                input_output_aliases={npre: 0, npre + 1: 1},
+                interpret=self.interpret,
+            )(pc, rk, *p_args, sc, tc)
+        out = pl.pallas_call(
+            body, grid=(ctx.ktot,),
+            in_specs=[sm, sm] + p_specs + [f_spec],
+            out_specs=f_spec, out_shape=shape,
+            input_output_aliases={npre: 0},
+            interpret=self.interpret,
+        )(pc, rk, *p_args, sc)
+        return out, None
+
+    def apply(self, p_int, s_star, t_s, subdt, can, carry):
+        """s_new = s* - subdt*grad p, t_new = t - cA_next*grad p, one pass
+        per component; ghost planes ride through the aliasing untouched."""
+        ctx = self.ctx
+        _, p_spec, _ = self._specs()
+        pm_spec = pl.BlockSpec(
+            (1, ctx.jtot, ctx.itot),
+            lambda k: (jnp.maximum(k - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM)
+        dxi, dyi = float(ctx.dxi), float(ctx.dyi)
+        bu = functools.partial(_pres_apply_h_body, dxi, False, carry)
+        bv = functools.partial(_pres_apply_h_body, dyi, True, carry)
+        bw = functools.partial(_pres_apply_w_body, carry)
+        tu = t_s["u"] if carry else None
+        tv = t_s["v"] if carry else None
+        tw = t_s["w"] if carry else None
+        su, ntu = self._apply_one(bu, [p_spec], [p_int], s_star["u"], tu,
+                                  subdt, can, carry)
+        sv, ntv = self._apply_one(bv, [p_spec], [p_int], s_star["v"], tv,
+                                  subdt, can, carry)
+        sw, ntw = self._apply_one(bw, [p_spec, pm_spec], [p_int, p_int],
+                                  s_star["w"], tw, subdt, can, carry)
+        s_new = dict(s_star)
+        s_new["u"], s_new["v"], s_new["w"] = su, sv, sw
+        if not carry:
+            return s_new, None
+        t_new = dict(t_s)
+        t_new["u"], t_new["v"], t_new["w"] = ntu, ntv, ntw
+        return s_new, t_new
+
+
+def fused_pressure_rk(glue, ctx, pres, s_star, t_s, aux, subdt, can, pp,
+                      carry):
+    """The full projection for the rkfold path: Pallas rhs -> spectral
+    solve -> Pallas gradient application.  aux['p'] is still produced (for
+    cross/dump/budget consumers) but from the interior solve directly; in
+    the hot loop nothing reads it and XLA dead-code-eliminates the pad."""
+    ks, ke = ctx.ks, ctx.ke
+    rhs = glue.rhs(s_star["u"], s_star["v"], s_star["w"], 1. / subdt)
+    p_int = pres.solve(ctx, rhs, pp)
+    aux = dict(aux)
+    p_full = jnp.pad(p_int, ((ks, ctx.kcells - ke), (0, 0), (0, 0)),
+                     mode="edge")
+    aux["p"] = p_full
+    s_new, t_new = glue.apply(p_int, s_star, t_s, subdt, can, carry)
+    return s_new, t_new, aux
+
+
+# ==========================================================================
 #  generic fused mode: any thermo (N2 from XLA) + any scalar list
 # ==========================================================================
 

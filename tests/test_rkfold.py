@@ -60,11 +60,14 @@ def test_rkfold_kernels_match(setup, tiled, carry, fold_ghosts):  # noqa: F811
 
 
 def test_rkfold_step_matches():
-    """Whole-step parity: MICROHH_RKFOLD=1 vs =0 on the same drycbl-style
-    model (full-plane fused path on CPU interpret mode)."""
+    """Whole-step parity: MICROHH_RKFOLD=1 (with and without the Pallas
+    pressure-glue kernels) vs =0 on the same drycbl-style model
+    (full-plane fused path on CPU interpret mode)."""
     results = {}
-    for rk in ("1", "0"):
+    for rk, glue in (("1", "1"), ("1", "0"), ("0", "1")):
+        key = rk + glue
         os.environ["MICROHH_RKFOLD"] = rk
+        os.environ["MICROHH_PRES_FUSED"] = glue
         try:
             m = Model(Ini(INI), "run", "rkstep")
             m.finish_setup()
@@ -89,12 +92,14 @@ def test_rkfold_step_matches():
             tz = jnp.asarray(0.0)
             for _ in range(2):
                 s, sfc, aux = m._step_raw(s, sfc, m.pres_params, dt, tz)
-            results[rk] = {n: np.asarray(v)[g.kstart:g.kend]
-                           for n, v in s.items()}
-            results[rk]["p"] = np.asarray(aux["p"])[g.kstart:g.kend]
+            results[key] = {n: np.asarray(v)[g.kstart:g.kend]
+                            for n, v in s.items()}
+            results[key]["p"] = np.asarray(aux["p"])[g.kstart:g.kend]
         finally:
             os.environ.pop("MICROHH_RKFOLD", None)
-    for name in results["1"]:
-        a, b = results["0"][name], results["1"][name]
-        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
-        assert err < 1e-11, (name, err)
+            os.environ.pop("MICROHH_PRES_FUSED", None)
+    for key in ("11", "10"):
+        for name in results[key]:
+            a, b = results["01"][name], results[key][name]
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+            assert err < 1e-11, (key, name, err)
