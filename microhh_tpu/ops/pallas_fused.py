@@ -1533,31 +1533,34 @@ def _pres_rhs_body(dxi, dyi, pc_ref, rk_ref, uc, vc, wc, wp, out):
                     + (rhoh1 * w1 - rhoh * w) * dzi)
 
 
-def _pres_apply_h_body(dinv, horiz_v, carry, pc_ref, rk_ref, p, sc, *rest):
-    """Horizontal gradient applied to one velocity component: the i- (u) or
-    j- (v) backward difference of p is periodic WITHIN the plane, so a
-    single p block serves."""
-    g = (p[0] - (_jm(p[0]) if horiz_v else _im(p[0]))) * dinv
-    if carry:
-        tc, so, to = rest
-        so[0] = sc[0] - rk_ref[0] * g
-        to[0] = tc[0] - rk_ref[1] * g
-    else:
-        (so,) = rest
-        so[0] = sc[0] - rk_ref[0] * g
-
-
-def _pres_apply_w_body(carry, pc_ref, rk_ref, p, pm, sc, *rest):
+def _pres_apply_uvw_body(dxi, dyi, carry, pc_ref, rk_ref, p, *rest):
+    """Gradient of p applied to all three components in ONE pass: the p
+    plane is read once instead of four times (u, v, and twice for w), and
+    the k-1 plane that the w gradient needs is carried in VMEM scratch
+    across grid steps (TPU grids run sequentially; same shift-register
+    pattern as the j-tiled kernels above).  The i-/j- backward differences
+    are periodic within the plane, so rolls suffice."""
     k = pl.program_id(0)
-    dzhi = pc_ref[k, 4]
-    g = jnp.where(k == 0, 0., (p[0] - pm[0]) * dzhi)
+    pk = p[0]
+    gu = (pk - _im(pk)) * dxi
+    gv = (pk - _jm(pk)) * dyi
+    # k == 0 is the bottom interior w level, held at the impermeable-wall
+    # value — the select discards the uninitialized-scratch branch there.
+    pprev = rest[-1]
+    gw = jnp.where(k == 0, 0., (pk - pprev[...]) * pc_ref[k, 4])
+    dtv = rk_ref[0]
     if carry:
-        tc, so, to = rest
-        so[0] = sc[0] - rk_ref[0] * g
-        to[0] = tc[0] - rk_ref[1] * g
+        su, sv, sw, tu, tv, tw, suo, svo, swo, tuo, tvo, two = rest[:-1]
+        cv = rk_ref[1]
+        tuo[0] = tu[0] - cv * gu
+        tvo[0] = tv[0] - cv * gv
+        two[0] = tw[0] - cv * gw
     else:
-        (so,) = rest
-        so[0] = sc[0] - rk_ref[0] * g
+        su, sv, sw, suo, svo, swo = rest[:-1]
+    suo[0] = su[0] - dtv * gu
+    svo[0] = sv[0] - dtv * gv
+    swo[0] = sw[0] - dtv * gw
+    pprev[...] = pk
 
 
 class PresGlue:
@@ -1609,60 +1612,41 @@ class PresGlue:
             out_shape=shape, interpret=self.interpret,
         )(pc, rk, su, sv, sw, sw)
 
-    def _apply_one(self, body, p_specs, p_args, sc, tc, subdt, cv, carry):
-        ctx = self.ctx
-        sm, _, f_spec = self._specs()
-        pc = jnp.asarray(self.pc, dtype=sc.dtype)
-        rk = jnp.stack([jnp.asarray(subdt, sc.dtype),
-                        jnp.asarray(cv, sc.dtype)])
-        shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot),
-                                     sc.dtype)
-        npre = 2 + len(p_args)
-        if carry:
-            return pl.pallas_call(
-                body, grid=(ctx.ktot,),
-                in_specs=[sm, sm] + p_specs + [f_spec, f_spec],
-                out_specs=[f_spec] * 2, out_shape=[shape] * 2,
-                input_output_aliases={npre: 0, npre + 1: 1},
-                interpret=self.interpret,
-            )(pc, rk, *p_args, sc, tc)
-        out = pl.pallas_call(
-            body, grid=(ctx.ktot,),
-            in_specs=[sm, sm] + p_specs + [f_spec],
-            out_specs=f_spec, out_shape=shape,
-            input_output_aliases={npre: 0},
-            interpret=self.interpret,
-        )(pc, rk, *p_args, sc)
-        return out, None
-
     def apply(self, p_int, s_star, t_s, subdt, can, carry):
-        """s_new = s* - subdt*grad p, t_new = t - cA_next*grad p, one pass
-        per component; ghost planes ride through the aliasing untouched."""
+        """s_new = s* - subdt*grad p, t_new = t - cA_next*grad p for u, v,
+        and w in a single pass (one p-plane read serves all three gradient
+        components); ghost planes ride through the aliasing untouched."""
         ctx = self.ctx
-        _, p_spec, _ = self._specs()
-        pm_spec = pl.BlockSpec(
-            (1, ctx.jtot, ctx.itot),
-            lambda k: (jnp.maximum(k - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM)
-        dxi, dyi = float(ctx.dxi), float(ctx.dyi)
-        bu = functools.partial(_pres_apply_h_body, dxi, False, carry)
-        bv = functools.partial(_pres_apply_h_body, dyi, True, carry)
-        bw = functools.partial(_pres_apply_w_body, carry)
-        tu = t_s["u"] if carry else None
-        tv = t_s["v"] if carry else None
-        tw = t_s["w"] if carry else None
-        su, ntu = self._apply_one(bu, [p_spec], [p_int], s_star["u"], tu,
-                                  subdt, can, carry)
-        sv, ntv = self._apply_one(bv, [p_spec], [p_int], s_star["v"], tv,
-                                  subdt, can, carry)
-        sw, ntw = self._apply_one(bw, [p_spec, pm_spec], [p_int, p_int],
-                                  s_star["w"], tw, subdt, can, carry)
+        sm, p_spec, f_spec = self._specs()
+        dt0 = s_star["u"].dtype
+        pc = jnp.asarray(self.pc, dtype=dt0)
+        rk = jnp.stack([jnp.asarray(subdt, dt0), jnp.asarray(can, dt0)])
+        shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot), dt0)
+        body = functools.partial(_pres_apply_uvw_body, float(ctx.dxi),
+                                 float(ctx.dyi), carry)
+        nout = 6 if carry else 3
+        args = [s_star["u"], s_star["v"], s_star["w"]]
+        if carry:
+            args += [t_s["u"], t_s["v"], t_s["w"]]
+        # 13 plane blocks + double buffering exceeds the 16 MB default
+        # scoped-vmem limit at 512^2 planes; v5e has 128 MB VMEM, so lift
+        # the per-kernel cap instead of splitting the pass.
+        cparams = (None if self.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+        outs = pl.pallas_call(
+            body, grid=(ctx.ktot,),
+            in_specs=[sm, sm, p_spec] + [f_spec] * nout,
+            out_specs=[f_spec] * nout, out_shape=[shape] * nout,
+            input_output_aliases={3 + i: i for i in range(nout)},
+            scratch_shapes=[pltpu.VMEM((ctx.jtot, ctx.itot), dt0)],
+            interpret=self.interpret, compiler_params=cparams,
+        )(pc, rk, p_int, *args)
         s_new = dict(s_star)
-        s_new["u"], s_new["v"], s_new["w"] = su, sv, sw
+        s_new["u"], s_new["v"], s_new["w"] = outs[:3]
         if not carry:
             return s_new, None
         t_new = dict(t_s)
-        t_new["u"], t_new["v"], t_new["w"] = ntu, ntv, ntw
+        t_new["u"], t_new["v"], t_new["w"] = outs[3:]
         return s_new, t_new
 
 
