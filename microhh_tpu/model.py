@@ -124,6 +124,15 @@ class Model:
         self.timeloop = Timeloop(ini, sim_mode)
         from .timedep import BoundaryTimedep
         self.btimedep = BoundaryTimedep(ini, self.fields, self.input_nc)
+        # [grid] swtimedep: lat/lon follow a trajectory over the
+        # time_latlon axis (grid.cxx:387-401); the interpolated values ride
+        # in the carried state for the solar-position consumers.
+        self.grid_tdep = {}
+        if ini.get_bool("grid", "swtimedep", default=False):
+            from .timedep import Timedep
+            self.grid_tdep = {
+                "lat": Timedep(self.input_nc, "lat", "time_latlon"),
+                "lon": Timedep(self.input_nc, "lon", "time_latlon")}
         from .timedep import Sbot2D
         self.sbot2d = Sbot2D(ini, self.fields)
         from .ops.boundary_outflow import BoundaryOutflow
@@ -291,7 +300,7 @@ class Model:
             if not fold_ghosts:
                 s = self.boundary.set_ghost_cells(ctx, s, sfc)
             if getattr(self.thermo, "swupdatebasestate", False):
-                aux = self.thermo.update_basestate(ctx, s, dict(aux))
+                aux = self.thermo.update_basestate(ctx, s, dict(aux), sfc)
             if fused is not None and fused.generic:
                 from .ops.pallas_fused import fused_generic_viscosity
                 aux = fused_generic_viscosity(fused, ctx, s, sfc, aux,
@@ -514,6 +523,7 @@ class Model:
             fold_buffer = self.buffer
         fold_force = None
         if (isinstance(self.force, Force) and self.force.swlspres == "geo"
+                and not self.force.tdep_geo
                 and self.force.swls == "0" and self.force.swwls == "0"
                 and self.force.swnudge == "0"):
             fold_force = self.force
@@ -617,6 +627,7 @@ class Model:
         from .ops.force import Force
         fold_force = None
         if (isinstance(self.force, Force) and self.force.swlspres == "geo"
+                and not self.force.tdep_geo
                 and self.force.swls == "0" and self.force.swwls == "0"
                 and self.force.swnudge == "0"):
             fold_force = self.force
@@ -777,7 +788,7 @@ class Model:
                     self.dump.exec(s, getattr(self, "_last_aux", None),
                                    tl.iotime)
                 if self.column is not None and self.column.do_column(tl.itime):
-                    self.column.exec(s, tl.time)
+                    self.column.exec(s, tl.time, sfc)
             if (not first and tl.do_save(self.at_wall_clock_limit())
                     and tl.iteration != 0):
                 self._last_sfc = sfc
@@ -930,8 +941,16 @@ class Model:
             # Time-dependent BCs/forcings (model.cxx:339-343).
             if self.btimedep.items:
                 sfc = self.btimedep.update(self, sfc, tl.itime)
-            if getattr(self.force, "tdep_ls", None):
+            if getattr(self.force, "has_timedep", False):
                 sfc = self.force.update_timedep(sfc, tl.itime)
+            if getattr(self.thermo, "tdep_pbot", None) is not None:
+                sfc = self.thermo.update_timedep(sfc, tl.itime)
+            if self.grid_tdep:
+                sfc = dict(sfc)
+                sfc["__lat"] = jnp.asarray(
+                    float(self.grid_tdep["lat"].interpolate(tl.itime)))
+                sfc["__lon"] = jnp.asarray(
+                    float(self.grid_tdep["lon"].interpolate(tl.itime)))
             if getattr(self.source, "tdep", None):
                 sfc = self.source.update_timedep(sfc, tl.itime)
             if self.sbot2d.swtimedep:
@@ -971,7 +990,7 @@ class Model:
                 if self.dump is not None and self.dump.do_dump(tl.itime):
                     self.dump.exec(s, getattr(self, "_last_aux", None), tl.iotime)
                 if self.column is not None and self.column.do_column(tl.itime):
-                    self.column.exec(s, tl.time)
+                    self.column.exec(s, tl.time, sfc)
 
             if tl.is_finished():
                 break
@@ -1044,7 +1063,7 @@ class Model:
             if self.dump is not None and self.dump.do_dump(tl.itime):
                 self.dump.exec(s, aux, iotime)
             if self.column is not None and self.column.do_column(tl.itime):
-                self.column.exec(s, tl.time)
+                self.column.exec(s, tl.time, sfc)
             tl.step_post_proc_time()
             if tl.is_finished():
                 break

@@ -50,6 +50,10 @@ class DiffDNN:
         self.visc = fields.visc
         self.viscs = self.smag.viscs
         self.swdeviatoric = ini.get_bool("diff", "swdeviatoric", default=True)
+        # [diff] ce (diff_dnn_local.cxx:1446): coefficient of the TKE-based
+        # eddy-viscosity variant whose call site is commented out upstream
+        # (:1807-1817); accepted for ini parity, unused like the reference.
+        self.ce = ini.get_float("diff", "ce", default=0.15)
         dnnpath = ini.get_str("diff", "dnnpath", default="")
         allow_random = ini.get_bool("diff", "swdnnrandom", default=False)
         self.net = TauDNN.load(dnnpath, allow_random=allow_random)

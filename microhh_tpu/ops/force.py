@@ -2,8 +2,10 @@
 
 Implemented: swlspres in {0/disabled, uflux, dpdx, geo(+coriolis)}, large-scale
 source terms (swls + lslist), subsidence (swwls=mean/local), nudging (swnudge).
-Profiles come from the input NetCDF ``init`` group; time dependence is a later
-milestone.
+Profiles come from the input NetCDF ``init`` group; each family supports the
+reference's time dependence (swtimedep_ls/_geo/_wls/_nudge over the
+``timedep`` group's ``time_ls`` axis, force.cxx:354-415,744-756) via
+host-side interpolation into the carried surface state — no recompiles.
 """
 
 import numpy as np
@@ -20,6 +22,9 @@ def _prof(input_nc, name, ktot):
 class Force:
     def __init__(self, ini, grid, fields, input_nc):
         self.grid = grid
+        self.tdep_geo = {}
+        self.tdep_wls = None
+        self.tdep_nudge = {}
         self.swlspres = ini.get_str("force", "swlspres", default="0")
         if self.swlspres in ("0", "false"):
             self.swlspres = "0"
@@ -39,6 +44,10 @@ class Force:
             vg = _prof(input_nc, "v_geo", kt)
             self.ug = ug[:, None, None]
             self.vg = vg[:, None, None]
+            if ini.get_bool("force", "swtimedep_geo", default=False):
+                from ..timedep import Timedep
+                self.tdep_geo = {"u": Timedep(input_nc, "u_geo", "time_ls"),
+                                 "v": Timedep(input_nc, "v_geo", "time_ls")}
         elif self.swlspres != "0":
             raise ValueError("%s is an illegal value for swlspres" % self.swlspres)
 
@@ -61,6 +70,9 @@ class Force:
         if self.swwls in ("mean", "local"):
             self.swwls_mom = ini.get_bool("force", "swwls_mom", default=False)
             self.wls = _prof(input_nc, "w_ls", kt)
+            if ini.get_bool("force", "swtimedep_wls", default=False):
+                from ..timedep import Timedep
+                self.tdep_wls = Timedep(input_nc, "w_ls", "time_ls")
         elif self.swwls != "0":
             raise ValueError("%s is an illegal value for swwls" % self.swwls)
 
@@ -68,21 +80,43 @@ class Force:
             self.nudgelist = ini.get_list(str, "force", "nudgelist", default=[])
             self.scalednudgelist = ini.get_list(str, "force", "scalednudgelist", default=[])
             self.nudge_fac = _prof(input_nc, "nudgefac", kt)[:, None, None]
-            self.nudge_profs = {n: _prof(input_nc, n + "_nudge", kt)[:, None, None]
-                                for n in self.nudgelist}
+            # Galilean offset on momentum targets (force.cxx:529-559).
+            self._nudge_off = {"u": -grid.utrans, "v": -grid.vtrans}
+            self.nudge_profs = {
+                n: (_prof(input_nc, n + "_nudge", kt)
+                    + self._nudge_off.get(n, 0.))[:, None, None]
+                for n in self.nudgelist}
+            if ini.get_bool("force", "swtimedep_nudge", default=False):
+                from ..timedep import Timedep
+                for n in ini.get_list(str, "force", "timedeplist_nudge",
+                                      default=[]):
+                    self.tdep_nudge[n] = Timedep(input_nc, n + "_nudge",
+                                                 "time_ls")
+
+    @property
+    def has_timedep(self):
+        return bool(getattr(self, "tdep_ls", None) or self.tdep_geo
+                    or self.tdep_wls is not None or self.tdep_nudge)
 
     def update_timedep(self, sfc, itime):
-        """Host-side per-iteration interpolation of the time-dependent LS
-        profiles into the carried surface state (no recompiles).  Profiles
-        are truncated to the model's ktot (input files may carry more
-        levels than a reduced-grid run uses)."""
-        if self.swls != "1" or not self.tdep_ls:
+        """Host-side per-iteration interpolation of the time-dependent LS /
+        geo / subsidence / nudge profiles into the carried surface state
+        (no recompiles).  Profiles are truncated to the model's ktot (input
+        files may carry more levels than a reduced-grid run uses)."""
+        if not self.has_timedep:
             return sfc
         import jax.numpy as jnp
         kt = self.grid.ktot
         sfc = dict(sfc)
-        for n, td in self.tdep_ls.items():
+        for n, td in getattr(self, "tdep_ls", {}).items():
             sfc["__ls_" + n] = jnp.asarray(td.interpolate(itime)[:kt])
+        for n, td in self.tdep_geo.items():
+            sfc["__geo_" + n] = jnp.asarray(td.interpolate(itime)[:kt])
+        if self.tdep_wls is not None:
+            sfc["__wls"] = jnp.asarray(self.tdep_wls.interpolate(itime)[:kt])
+        for n, td in self.tdep_nudge.items():
+            sfc["__nudge_" + n] = jnp.asarray(
+                td.interpolate(itime)[:kt] + self._nudge_off.get(n, 0.))
         return sfc
 
     def __call__(self, ctx, s, t, aux, sfc=None):
@@ -103,8 +137,12 @@ class Force:
             t["u"] = t["u"].at[ks:ke].add(-self.dpdx)
         elif self.swlspres == "geo":
             fc = ctx.dtype(self.fc)
-            ug = jnp.asarray(self.ug, dtype=ctx.dtype)
-            vg = jnp.asarray(self.vg, dtype=ctx.dtype)
+            if sfc is not None and "__geo_u" in sfc:
+                ug = sfc["__geo_u"][:, None, None].astype(ctx.dtype)
+                vg = sfc["__geo_v"][:, None, None].astype(ctx.dtype)
+            else:
+                ug = jnp.asarray(self.ug, dtype=ctx.dtype)
+                vg = jnp.asarray(self.vg, dtype=ctx.dtype)
             u, v = s["u"], s["v"]
             if ctx.spatial_order == 2:
                 # coriolis_2nd (force.cxx:78-140)
@@ -131,7 +169,10 @@ class Force:
                 t[name] = t[name].at[ks:ke].add(prof)
 
         if self.swwls in ("mean", "local"):
-            wls = jnp.asarray(self.wls[:, None, None], dtype=ctx.dtype)
+            if sfc is not None and "__wls" in sfc:
+                wls = sfc["__wls"][:, None, None].astype(ctx.dtype)
+            else:
+                wls = jnp.asarray(self.wls[:, None, None], dtype=ctx.dtype)
             names = list(ctx.scalar_names)
             if getattr(self, "swwls_mom", False):
                 names += ["u", "v"]
@@ -152,7 +193,11 @@ class Force:
         if self.swnudge == "1":
             fac = jnp.asarray(self.nudge_fac, dtype=ctx.dtype)
             for name in self.nudgelist:
-                prof = jnp.asarray(self.nudge_profs[name], dtype=ctx.dtype)
+                if sfc is not None and ("__nudge_" + name) in sfc:
+                    prof = sfc["__nudge_" + name][:, None, None].astype(
+                        ctx.dtype)
+                else:
+                    prof = jnp.asarray(self.nudge_profs[name], dtype=ctx.dtype)
                 amean = jnp.mean(s[name][ks:ke], axis=(1, 2), keepdims=True)
                 t[name] = t[name].at[ks:ke].add(-fac * (amean - prof))
 

@@ -97,6 +97,11 @@ class Pres2:
         self.dtype = dtype
         self._built = False
         self.mesh = None  # set via Model.set_mesh for multi-chip slab FFTs
+        # [pres] sw_fft_per_slice (pres.cxx:46) batches cuFFT plans per
+        # z-slice to cap GPU workspace; the TPU spectral path (batched DFT
+        # matmuls / rfft2) has no per-slice plan concept, so the knob is
+        # accepted and a no-op here.
+        ini.get_bool("pres", "sw_fft_per_slice", default=False)
 
     def set_values(self):
         """Precompute wavenumbers + TDMA factors (reference set_values)."""

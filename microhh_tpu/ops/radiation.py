@@ -1,6 +1,7 @@
 """Radiation schemes: disabled, prescribed, GCSS parameterized LW/SW
 (reference ``src/radiation.cxx`` factory, ``radiation_prescribed.cxx``,
-``radiation_gcss.cxx``).  The full RTE+RRTMGP scheme is a later milestone.
+``radiation_gcss.cxx``).  The full RTE+RRTMGP scheme lives in
+``radiation_rrtmgp.py``; the solar-position helpers here serve all of them.
 
 The GCSS (DYCOMS) scheme's per-column cumulative liquid-water-path loops
 become ``cumsum`` scans over k — fully vectorized over the horizontal plane.
@@ -44,6 +45,54 @@ class RadiationPrescribed:
                 "lw_flux_dn": self.lw_flux_dn, "lw_flux_up": self.lw_flux_up}
 
 
+def utc_anchor(ini):
+    """Calendar anchor from [time] datetime_utc for the solar position:
+    (seconds-of-year at model time 0, year), or None when unset
+    (timeloop.cxx:73-77; consumed at radiation_rrtmgp.cxx:1307-1310)."""
+    txt = ini.get_str("time", "datetime_utc", default="")
+    if not txt:
+        return None
+    import datetime as _dt
+    d = _dt.datetime.strptime(txt, "%Y-%m-%d %H:%M:%S")
+    soy = ((d.timetuple().tm_yday - 1) * 86400.
+           + d.hour * 3600. + d.minute * 60. + d.second)
+    return (soy, d.year)
+
+
+def calc_cos_zenith_angle(lat, lon, day_of_year, seconds_since_midnight,
+                          year):
+    """Cosine of the solar zenith angle, Paltridge & Platt (1976)
+    (radiation_rrtmgp_functions.h:41-88).  All-jnp so it traces; year is a
+    static python int."""
+    pi = np.pi
+    leap = (year % 4 == 0) and ((year % 100 != 0) or (year % 400 == 0))
+    days_per_year = 366 if leap else 365
+    doy = day_of_year - 1.
+    radlat = lat * pi / 180.
+    radlon = lon * pi / 180.
+    doy_pi = 2. * pi * doy / days_per_year
+    decl = (0.006918 - 0.399912 * jnp.cos(doy_pi) + 0.070257 * jnp.sin(doy_pi)
+            - 0.006758 * jnp.cos(2. * doy_pi) + 0.000907 * jnp.sin(2. * doy_pi)
+            - 0.002697 * jnp.cos(3. * doy_pi) + 0.00148 * jnp.sin(3. * doy_pi))
+    a1 = (1.00554 * doy - 6.28306) * pi / 180.
+    a2 = (1.93946 * doy + 23.35089) * pi / 180.
+    a3 = (7.67825 * jnp.sin(a1) + 10.09176 * jnp.sin(a2)) / 60.
+    hour_solar = seconds_since_midnight / 3600. - a3 + radlon * (180. / pi / 15.)
+    hour_angle = (hour_solar - 12.) * 15. * (pi / 180.)
+    return (jnp.sin(radlat) * jnp.sin(decl)
+            + jnp.cos(radlat) * jnp.cos(decl) * jnp.cos(hour_angle))
+
+
+def utc_zenith(anchor, lat, lon, time_s):
+    """mu0 at traced model time from a utc_anchor (year wraps are folded
+    into day-of-year > 365, matching a run shorter than a year)."""
+    soy, year = anchor
+    tot = soy + time_s
+    doy = jnp.floor(tot / 86400.) + 1.
+    ssm = jnp.mod(tot, 86400.)
+    return calc_cos_zenith_angle(lat, lon, doy, ssm, year)
+
+
 def calc_zenith(lat, lon, day_of_year):
     """Cosine of the solar zenith angle (radiation_gcss.cxx:40-76)."""
     pi = np.pi
@@ -72,6 +121,7 @@ class RadiationGcss:
         self.mu_min = ini.get_float("radiation", "mu_min", default=0.035)
         self.lat = grid.lat
         self.lon = grid.lon
+        self._utc = utc_anchor(ini)
 
     def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
         """LW always; SW gated on daytime zenith (exec_gcss_rad)."""
@@ -123,8 +173,17 @@ class RadiationGcss:
         t[name] = t[name].at[ks + 1:ke].add(heat)
 
         # ---- SW (sunray), gated on daytime ----
-        day_of_year = time_s / 86400.
-        mu = calc_zenith(self.lat, self.lon, day_of_year)
+        # lat/lon may be time-dependent ([grid] swtimedep, grid.cxx:388-401)
+        # and ride in the carried state; the fractional day of year comes
+        # from the UTC anchor when [time] datetime_utc is set (the reference
+        # requires it — radiation_gcss.cxx:363).
+        lat = sfc["__lat"] if "__lat" in sfc else self.lat
+        lon = sfc["__lon"] if "__lon" in sfc else self.lon
+        if self._utc is not None:
+            day_of_year = (self._utc[0] + time_s) / 86400. + 1.
+        else:
+            day_of_year = time_s / 86400.
+        mu = calc_zenith(lat, lon, day_of_year)
 
         reff, rho_l, sw0, gc_, alb = 1.e-5, 1000., 1100., 0.85, 0.05
         tau = jnp.where(ql > 1.e-5, jnp.maximum(0., 1.5 * ql * rho * dlayer / reff / rho_l), 0.)

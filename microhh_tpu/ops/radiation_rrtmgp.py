@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as cst
-from .radiation import calc_zenith
+from .radiation import calc_zenith, utc_anchor, utc_zenith
 from .thermo_moist import sat_adjust
 
 # two-band gas-optics stand-in coefficients (tuned to give realistic
@@ -70,6 +70,21 @@ class RadiationRrtmgp:
             self.mu0 = float(np.cos(ini.get_float("radiation", "sza")))
         self.lat = grid.lat
         self.lon = grid.lon
+        # Paltridge-Platt solar position when [time] datetime_utc anchors
+        # the calendar (radiation_rrtmgp.cxx:1307-1310); otherwise the
+        # GCSS-style doy-from-simulation-time fallback.
+        self._utc = utc_anchor(ini)
+        self._latlon = (self.lat, self.lon)
+        # optional smoothing of the surface diffuse SW
+        # (radiation_rrtmgp.cxx:607-614)
+        self.sw_diffuse_filter = ini.get_bool("radiation", "swfilterdiffuse",
+                                              default=False)
+        if self.sw_diffuse_filter:
+            self.sigma_filter = ini.get_float("radiation", "sigma_filter")
+        # clear-sky flux profiles in the statistics
+        # (radiation_rrtmgp.cxx:590,628-642)
+        self.sw_clear_sky_stats = ini.get_bool(
+            "radiation", "swclearskystats", default=False)
         # The reference recomputes radiation every [radiation] dt_rad and
         # holds thlt_rad (and the surface fluxes) constant in between
         # (radiation_rrtmgp.cxx exec gating).  dt_rad=0 -> every substep.
@@ -470,7 +485,8 @@ class RadiationRrtmgp:
         return dif_up, flux_dn, dir_half
 
     # -- model hook --------------------------------------------------------------
-    _SFC_KEYS = ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn")
+    _SFC_KEYS = ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn",
+                 "sw_flux_dn_dif")
 
     def init_state(self, sfc, ctx, dtype):
         """Extend the carried surface state with the held radiation fields
@@ -490,6 +506,7 @@ class RadiationRrtmgp:
     def _compute(self, ctx, s, time_s, thermo):
         """One full radiation solve: (thl tendency, surface-flux dict)."""
         T, wv_path, dry_path, lwp, rho, dz, exn = self._domain_paths(ctx, s, thermo)
+        lat, lon = self._latlon
         tend = jnp.zeros_like(T)
         zero2d = jnp.zeros_like(T[0])
         sfc_out = {k_: zero2d for k_ in self._SFC_KEYS}
@@ -513,8 +530,10 @@ class RadiationRrtmgp:
         if self.sw_shortwave:
             if self.sw_fixed_sza:
                 mu0 = self.mu0
+            elif self._utc is not None:
+                mu0 = utc_zenith(self._utc, lat, lon, time_s)
             else:
-                mu0 = calc_zenith(self.lat, self.lon, time_s / 86400.)
+                mu0 = calc_zenith(lat, lon, time_s / 86400.)
             day = mu0 > 0.
             if self.kdist_sw is not None:
                 sw_up, sw_dn, sw_dir = self._sw_table_flux(
@@ -528,17 +547,56 @@ class RadiationRrtmgp:
             zero = jnp.zeros_like(sw_up)
             sw_up = jnp.where(day, sw_up, zero)
             sw_dn = jnp.where(day, sw_dn, zero)
+            sw_dir = jnp.where(day, sw_dir, zero)
             net = sw_up - sw_dn
             tend = tend - (net[1:] - net[:-1]) / (rho * cst.cp * exn * dz)
-            sfc_out["sw_flux_up"] = sw_up[0]
-            sfc_out["sw_flux_dn"] = sw_dn[0]
+            dn_sfc, up_sfc, dir_sfc = sw_dn[0], sw_up[0], sw_dir[0]
+            dif_sfc = jnp.maximum(dn_sfc - dir_sfc, 0.)
+            if self.sw_diffuse_filter:
+                # smoothed diffuse radiation drives the surface energy
+                # balance (radiation_rrtmgp.cxx:948-990,1495-1513): the
+                # total/up fluxes the LSM sees are rebuilt from the direct
+                # beam plus the filtered diffuse part.
+                dif_sfc = self._filter_diffuse(dif_sfc)
+                dn_sfc = dir_sfc + dif_sfc
+                up_sfc = (self.sfc_alb_dir * dir_sfc
+                          + self.sfc_alb_dif * dif_sfc)
+            sfc_out["sw_flux_up"] = up_sfc
+            sfc_out["sw_flux_dn"] = dn_sfc
+            sfc_out["sw_flux_dn_dif"] = dif_sfc
         return tend, sfc_out
+
+    def _filter_diffuse(self, dif):
+        """Iterated separable Gaussian smoothing of the surface diffuse SW
+        flux with periodic wrap (the reference's filter_diffuse_radiation +
+        kernel set-up, radiation_rrtmgp.cxx:948-990): n iterations of a
+        +-ngc-point kernel whose per-iteration variances sum to
+        sigma_filter^2."""
+        g = self.grid
+        ngc = max(int(getattr(g, "igc", 1)), 1)
+        small = min(g.dx, g.dy)
+        n_iter = max(int(np.ceil(self.sigma_filter ** 2 / small ** 2)), 1)
+        sig = self.sigma_filter / np.sqrt(n_iter)
+        offs = np.arange(-ngc, ngc + 1)
+        kx = np.exp(-(offs * g.dx) ** 2 / (2. * sig ** 2))
+        kx /= kx.sum()
+        ky = np.exp(-(offs * g.dy) ** 2 / (2. * sig ** 2))
+        ky /= ky.sum()
+        for _ in range(n_iter):
+            dif = sum(float(kx[m]) * jnp.roll(dif, int(offs[m]), axis=-1)
+                      for m in range(len(offs)))
+            dif = sum(float(ky[m]) * jnp.roll(dif, int(offs[m]), axis=-2)
+                      for m in range(len(offs)))
+        return dif
 
     def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
         if "thl" not in s:
             return t, sfc
         ks, ke = ctx.ks, ctx.ke
 
+        # lat/lon may ride in the carried state ([grid] swtimedep)
+        self._latlon = ((sfc["__lat"], sfc["__lon"]) if "__lat" in sfc
+                        else (self.lat, self.lon))
         if self.dt_rad <= 0. or "rad_time_next" not in sfc:
             tend, sfc_out = self._compute(ctx, s, time_s, thermo)
         else:
@@ -573,6 +631,53 @@ class RadiationRrtmgp:
         for k_, v in sfc_out.items():
             aux[k_ + "_sfc"] = v
         return t, sfc
+
+    def flux_profiles(self, ctx, s, time_s, thermo, clear=False):
+        """Domain-mean flux profiles on half levels for the statistics
+        (radiation_rrtmgp.cxx exec_all_stats; ``clear`` zeroes the cloud
+        water path — swclearskystats, :590,628-642)."""
+        T, wv_path, dry_path, lwp, rho, dz, exn = self._domain_paths(
+            ctx, s, thermo)
+        if clear:
+            lwp = jnp.zeros_like(lwp)
+        sfx = "_clear" if clear else ""
+        out = {}
+        t_sfc = (jnp.asarray(self.t_sfc, dtype=ctx.dtype)
+                 if self.t_sfc > 0. else T[0])
+        if self.sw_longwave:
+            if self.kdist_lw is not None:
+                lw_up, lw_dn = self._lw_table_flux(ctx, T, lwp, t_sfc,
+                                                   thermo, s)
+            else:
+                lw_up, lw_dn = self._longwave(ctx, T, wv_path, dry_path,
+                                              lwp, t_sfc, self._bg_lw())
+            out["lw_flux_up" + sfx] = jnp.mean(lw_up, axis=(1, 2))
+            out["lw_flux_dn" + sfx] = jnp.mean(lw_dn, axis=(1, 2))
+        if self.sw_shortwave:
+            if self.sw_fixed_sza:
+                mu0 = self.mu0
+            elif self._utc is not None:
+                mu0 = utc_zenith(self._utc, self.lat, self.lon, time_s)
+            else:
+                mu0 = calc_zenith(self.lat, self.lon, time_s / 86400.)
+            day = mu0 > 0.
+            if self.kdist_sw is not None:
+                sw_up, sw_dn, sw_dir = self._sw_table_flux(
+                    ctx, T, lwp, jnp.asarray(mu0, ctx.dtype), thermo, s)
+            else:
+                toa = (1365.0 * self.tsi_scaling * jnp.maximum(mu0, 0.)
+                       * self._bg_sw_trans())
+                sw_up, sw_dn, sw_dir = self._shortwave(
+                    ctx, wv_path, dry_path, lwp,
+                    jnp.asarray(mu0, ctx.dtype), toa)
+            zero = jnp.zeros_like(sw_up)
+            out["sw_flux_up" + sfx] = jnp.mean(
+                jnp.where(day, sw_up, zero), axis=(1, 2))
+            out["sw_flux_dn" + sfx] = jnp.mean(
+                jnp.where(day, sw_dn, zero), axis=(1, 2))
+            out["sw_flux_dn_dir" + sfx] = jnp.mean(
+                jnp.where(day, sw_dir, zero), axis=(1, 2))
+        return out
 
     def get_surface_radiation(self):
         """Fallback zeros; the live planes reach the land-surface scheme

@@ -39,6 +39,19 @@ class ThermoDry:
             self.dthetady_ls = ini.get_float("thermo", "dthetady_ls")
         ini.flag_as_used("thermo", "thref0")
         ini.flag_as_used("thermo", "pbot")
+        # swtimedep_pbot (thermo_dry.cxx:364,494-497): accepted and
+        # interpolated for parity; with the dry scheme's static base state
+        # nothing downstream re-derives pref from it at runtime (same as
+        # the reference, where only bs.pbot is overwritten).
+        self.swtimedep_pbot = ini.get_bool("thermo", "swtimedep_pbot",
+                                           default=False)
+        self.tdep_pbot = None
+
+    def update_timedep(self, sfc, itime):
+        if self.tdep_pbot is None:
+            return sfc
+        self.pbot = float(self.tdep_pbot.interpolate(itime))
+        return sfc
 
     @property
     def scalars(self):
@@ -46,6 +59,9 @@ class ThermoDry:
 
     def create_basestate(self, input_nc):
         """Fill thref/threfh/pref/rhoref (reference create, :376-445)."""
+        if self.swtimedep_pbot:
+            from ..timedep import Timedep
+            self.tdep_pbot = Timedep(input_nc, "p_sbot", "time_surface")
         g = self.grid
         kc, ks, ke = g.kcells, g.kstart, g.kend
         thref = np.zeros(kc)

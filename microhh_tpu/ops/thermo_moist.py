@@ -170,6 +170,13 @@ class ThermoMoist:
         # anelastic constraint; "pass dummy as thvref" comment upstream).
         self.swupdatebasestate = ini.get_bool("thermo", "swupdatebasestate",
                                               default=True)
+        # time-dependent surface pressure (thermo_moist.cxx:1041,1407-1410):
+        # p_sbot over time_surface, interpolated host-side each iteration
+        # and consumed by the traced base-state update via the carried
+        # surface state.
+        self.swtimedep_pbot = ini.get_bool("thermo", "swtimedep_pbot",
+                                           default=False)
+        self.tdep_pbot = None
         if sw == "boussinesq":
             self.thvref0 = ini.get_float("thermo", "thvref0")
         if grid.spatial_order == 4 and sw == "anelastic":
@@ -179,8 +186,23 @@ class ThermoMoist:
     def scalars(self):
         return ("thl", "qt")
 
+    def update_timedep(self, sfc, itime):
+        """Interpolate p_sbot at the current integer time into the carried
+        surface state (thermo update_time_dependent)."""
+        if self.tdep_pbot is None:
+            return sfc
+        sfc = dict(sfc)
+        sfc["__pbot"] = jnp.asarray(float(self.tdep_pbot.interpolate(itime)))
+        return sfc
+
+    def _make_tdep_pbot(self, input_nc):
+        if self.swtimedep_pbot:
+            from ..timedep import Timedep
+            self.tdep_pbot = Timedep(input_nc, "p_sbot", "time_surface")
+
     def create_basestate(self, input_nc):
         """Moist hydrostatic base state (thermo_moist_functions.h:293-350)."""
+        self._make_tdep_pbot(input_nc)
         g = self.grid
         kc, ks, ke = g.kcells, g.kstart, g.kend
         thvref = np.zeros(kc)
@@ -249,7 +271,7 @@ class ThermoMoist:
                 arr[g.kstart:g.kend].tofile(f)
 
     # ------------------------------------------------------------------
-    def update_basestate(self, ctx, s, aux):
+    def update_basestate(self, ctx, s, aux, sfc=None):
         """Traced hydrostatic base-state update from the horizontal-mean
         thl/qt (thermo_moist_functions.h calc_base_state, sequential
         recurrence as a lax.scan).  Updated pref/prefh/exner profiles ride
@@ -260,13 +282,26 @@ class ThermoMoist:
         thlm = jnp.mean(s["thl"], axis=(1, 2))
         qtm = jnp.mean(s["qt"], axis=(1, 2))
         dt_ = ctx.dtype
-        pbot = dt_(self.pbot)
+        if sfc is not None and "__pbot" in sfc:
+            pbot = sfc["__pbot"].astype(dt_)
+        else:
+            pbot = dt_(self.pbot)
+
+        # thermo_vapor's basestate is identical except condensate-free
+        # (calc_base_state_no_ql, thermo_vapor.cxx:539) — ThermoVapor sets
+        # _basestate_no_ql.
+        if getattr(self, "_basestate_no_ql", False):
+            def _thv(th, qt, p, ex):
+                return virtual_temperature_no_ql(th, qt)
+        else:
+            def _thv(th, qt, p, ex):
+                ql_, qi_, _, _ = sat_adjust(th, qt, p, ex)
+                return virtual_temperature(ex, th, qt, ql_, qi_)
 
         thlsurf = 0.5 * (thlm[ks - 1] + thlm[ks])
         qtsurf = 0.5 * (qtm[ks - 1] + qtm[ks])
         exh_s = exner(pbot)
-        ql, qi, _, _ = sat_adjust(thlsurf, qtsurf, pbot, exh_s)
-        thvh_s = virtual_temperature(exh_s, thlsurf, qtsurf, ql, qi)
+        thvh_s = _thv(thlsurf, qtsurf, pbot, exh_s)
         pref_ks = pbot * jnp.exp(-cst.grav * ctx.z[ks] / (cst.Rd * exh_s * thvh_s))
 
         thl_i = 0.5 * (thlm[ks:ke] + thlm[ks + 1:ke + 1])
@@ -276,12 +311,10 @@ class ThermoMoist:
             p_km1, ph_km1 = carry
             thl_km1, qt_km1, thli, qti, dz_km1, dzh_k = xs
             ex = exner(p_km1)
-            ql_, qi_, _, _ = sat_adjust(thl_km1, qt_km1, p_km1, ex)
-            thv = virtual_temperature(ex, thl_km1, qt_km1, ql_, qi_)
+            thv = _thv(thl_km1, qt_km1, p_km1, ex)
             ph_k = ph_km1 * jnp.exp(-cst.grav * dz_km1 / (cst.Rd * ex * thv))
             exh_k = exner(ph_k)
-            qlh, qih, _, _ = sat_adjust(thli, qti, ph_k, exh_k)
-            thvh = virtual_temperature(exh_k, thli, qti, qlh, qih)
+            thvh = _thv(thli, qti, ph_k, exh_k)
             p_k = p_km1 * jnp.exp(-cst.grav * dzh_k / (cst.Rd * exh_k * thvh))
             return (p_k, ph_k), (p_k, ph_k)
 

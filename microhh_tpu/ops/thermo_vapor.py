@@ -14,9 +14,14 @@ from .thermo_moist import (ThermoMoist, exner, virtual_temperature_no_ql,
 
 
 class ThermoVapor(ThermoMoist):
+    # per-substep basestate update is also condensate-free
+    # (thermo_vapor.cxx:539 calc_base_state_no_ql)
+    _basestate_no_ql = True
+
     def create_basestate(self, input_nc):
         """No-ql hydrostatic base state (thermo_moist_functions.h
         calc_base_state_no_ql)."""
+        self._make_tdep_pbot(input_nc)
         g = self.grid
         kc, ks, ke = g.kcells, g.kstart, g.kend
         thvref = np.zeros(kc)

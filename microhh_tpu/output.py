@@ -38,6 +38,15 @@ class Cross:
         self.ixzh = nearest(yz, g.xh)
         self.kxy = nearest(xy, g.z[g.kstart:g.kend])
         self.kxyh = nearest(xy, g.zh[g.kstart:g.kend + 1])
+        # soil cross levels (cross.cxx:283,462-488): negative depths on the
+        # soil grid for the LSM's t_soil/theta_soil planes
+        xy_soil = ini.get_list(float, "cross", "xy_soil", default=[])
+        self.kxy_soil = []
+        if xy_soil:
+            sg = getattr(model, "soil_grid", None)
+            if sg is None:
+                raise ValueError("[cross] xy_soil requires the land surface")
+            self.kxy_soil = nearest(xy_soil, sg.z)
 
     def do_cross(self, itime):
         return self.sw and itime % self.isampletime == 0
@@ -67,7 +76,26 @@ class Cross:
                 return ql
             return None
 
+        soil_kt = getattr(m.fields, "soil_ktot", 0)
         for name in self.crosslist:
+            # soil fields: xy planes at the xy_soil levels
+            # (<name>.xy.<k>.<iotime>, cross.cxx cross_soil); soil
+            # prognostics are ghost-free (soil_ktot, jtot, itot) arrays
+            soil_src = None
+            if soil_kt:
+                if name in s and getattr(s[name], "ndim", 0) == 3 \
+                        and s[name].shape[0] == soil_kt:
+                    soil_src = s[name]
+                elif (sfc is not None and name in sfc
+                      and getattr(sfc[name], "ndim", 0) == 3
+                      and sfc[name].shape[0] == soil_kt):
+                    soil_src = sfc[name]
+            if soil_src is not None:
+                for k in self.kxy_soil:
+                    fname = "%s.xy.%05d.%07d" % (name, k, iotime)
+                    np.asarray(soil_src[k]).astype(m.dtype).tofile(
+                        os.path.join(m.workdir, fname))
+                continue
             # 2-D planes: surface-state entries (<s>bot/<s>fluxbot, ustar,
             # obuk, z0m, rr_bot ...) and micro/LSM aux planes.
             if sfc is not None:
@@ -202,13 +230,26 @@ class Column:
         for name in model.fields.prognostic_names:
             zdim = "zh" if name == "w" else "z"
             self.vars[name] = f.createVariable(name, "f8", ("time", "col", zdim))
+        # LSM surface time series at the column points, optionally per tile
+        # (swtilestats_column, boundary_surface_lsm.cxx:270,1640-1668)
+        self.series = []
+        if getattr(model.boundary, "is_lsm", False):
+            self.series = ["H", "LE", "G", "obuk", "ustar"]
+            if ini.get_bool("land_surface", "swtilestats_column",
+                            default=False):
+                for tile in ("veg", "soil", "wet"):
+                    self.series += ["%s_%s" % (p, tile) for p in
+                                    ("c", "obuk", "thl_bot", "qt_bot",
+                                     "H", "LE", "G")]
+        self.svars = {n: f.createVariable(n, "f8", ("time", "col"))
+                      for n in self.series}
         self.file = f
         self._idx = 0
 
     def do_column(self, itime):
         return self.sw and itime % self.isampletime == 0
 
-    def exec(self, s, time):
+    def exec(self, s, time, sfc=None):
         if not self.sw or not self.cols:
             return
         m = self.model
@@ -216,6 +257,12 @@ class Column:
         ks, ke = g.kstart, g.kend
         i = self._idx
         self.v_time[i] = time
+        if sfc is not None:
+            for name in self.series:
+                if name in sfc:
+                    plane = np.asarray(sfc[name])
+                    for c, (ix, jy) in enumerate(self.cols):
+                        self.svars[name][i, c] = plane[jy, ix]
         for name, var in self.vars.items():
             data = np.asarray(s[name])
             hi = ke + 1 if name == "w" else ke

@@ -54,6 +54,7 @@ class Stats:
         self._idx = 0
         self._diag = None
         self._tend_diag = None
+        self._rad_diag = None
 
         self._whitelist = ini.get_list(str, "stats", "whitelist", default=[])
         self._blacklist = ini.get_list(str, "stats", "blacklist", default=[])
@@ -64,7 +65,13 @@ class Stats:
         self.budget.register(self)
 
         masklist = ini.get_list(str, "stats", "masklist", default=[])
-        self.maskstats = MaskStats(model, masklist) if masklist else None
+        # user-supplied surface (XY) masks: names whose <name>.0000000
+        # binary holds a (jtot, itot) plane, applied at every level
+        # (stats.cxx:554-555, fields.cxx:326-327,607-628,1147-1162)
+        xymasklist = ini.get_list(str, "stats", "xymasklist", default=[])
+        masklist = masklist + xymasklist
+        self.maskstats = (MaskStats(model, masklist, xymasklist)
+                          if masklist else None)
 
     def _group(self, name):
         if name not in self.groups:
@@ -175,6 +182,23 @@ class Stats:
                                      "kg m-2", "thermo")
                 self.add_time_series(base + "_cover", "%s projected cover" % base,
                                      "-", "thermo")
+        # radiation flux profiles (+ clear-sky companions, swclearskystats;
+        # radiation_rrtmgp.cxx:620-642)
+        rad = model.radiation
+        if getattr(rad, "sw", None) == "rrtmgp":
+            sfxs = [""] + (["_clear"] if rad.sw_clear_sky_stats else [])
+            for sfx in sfxs:
+                if rad.sw_longwave:
+                    for d in ("up", "dn"):
+                        self.add_prof("lw_flux_%s%s" % (d, sfx),
+                                      "Longwave %swelling flux" % d,
+                                      "W m-2", "zh", "radiation")
+                if rad.sw_shortwave:
+                    for d in ("up", "dn", "dn_dir"):
+                        self.add_prof("sw_flux_%s%s" % (d, sfx),
+                                      "Shortwave %s flux" % d,
+                                      "W m-2", "zh", "radiation")
+
         if self.swtendency:
             for fld in fields.prognostic_names:
                 zdim = "zh" if fld == "w" else "z"
@@ -359,6 +383,19 @@ class Stats:
                 jnp.asarray(tl_.dt, dtype=model.dtype),
                 jnp.asarray(tl_.time, dtype=model.dtype))
             out.update({k: np.asarray(v) for k, v in tvals.items()})
+        rad = model.radiation
+        if getattr(rad, "sw", None) == "rrtmgp" and (rad.sw_longwave
+                                                     or rad.sw_shortwave):
+            if self._rad_diag is None:
+                def rad_diag(s_, time_):
+                    r = rad.flux_profiles(model.ctx, s_, time_, model.thermo)
+                    if rad.sw_clear_sky_stats:
+                        r.update(rad.flux_profiles(model.ctx, s_, time_,
+                                                   model.thermo, clear=True))
+                    return r
+                self._rad_diag = jax.jit(rad_diag)
+            rvals = self._rad_diag(s, jnp.asarray(tl.time, model.dtype))
+            out.update({k: np.asarray(v) for k, v in rvals.items()})
         i = self._idx
         self.v_time[i] = tl.time
         self.v_iter[i] = tl.iteration
@@ -440,10 +477,17 @@ class MaskStats:
 
     KNOWN = ("wplus", "wmin", "ql", "qlcore", "ib", "couvreux")
 
-    def __init__(self, model, masklist):
+    def __init__(self, model, masklist, xymasklist=()):
         from .utils import nc
         self.model = model
-        self.masks = [m for m in masklist if m in self.KNOWN]
+        self.xymasks = {}
+        for m in xymasklist:
+            path = os.path.join(model.workdir, "%s.0000000" % m)
+            g = model.grid
+            self.xymasks[m] = np.fromfile(path, dtype=np.float64).reshape(
+                g.jtot, g.itot)
+        self.masks = [m for m in masklist
+                      if m in self.KNOWN or m in self.xymasks]
         g = model.grid
         tl = model.timeloop
         self.files = {}
@@ -490,7 +534,15 @@ class MaskStats:
             wc = i2(w[ks:ke], w[ks + 1:ke + 1])
             out = {}
             for mask in self.masks:
-                if mask == "wplus":
+                if mask in self.xymasks:
+                    # user XY mask: > 0.5 at every level (fields.cxx
+                    # set_xy_mask, :607-628)
+                    xym = (jnp.asarray(self.xymasks[mask], dtype=w.dtype)
+                           > 0.5).astype(w.dtype)
+                    kt = ke - ks
+                    mc = jnp.broadcast_to(xym[None], (kt,) + xym.shape)
+                    mh = jnp.broadcast_to(xym[None], (kt + 1,) + xym.shape)
+                elif mask == "wplus":
                     mc = (wc > 0.).astype(w.dtype)
                     mh = (w[ks:ke + 1] > 0.).astype(w.dtype)
                 elif mask == "wmin":

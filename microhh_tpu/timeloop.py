@@ -68,6 +68,36 @@ class Timeloop:
             raise ValueError("starttime or savetime is not a multiple of iotimeprec")
         self.iotime = self.istarttime // self.iiotimeprec
 
+        # UTC calendar anchor (timeloop.cxx:73-77,561-571): feeds the solar
+        # zenith of rrtmgp/prescribed radiation and the stats time units.
+        self.datetime_utc = ini.get_str("time", "datetime_utc", default="")
+        self.utc_start = None
+        if self.datetime_utc:
+            import datetime as _dt
+            self.utc_start = _dt.datetime.strptime(self.datetime_utc,
+                                                   "%Y-%m-%d %H:%M:%S")
+
+    def _utc_actual(self, time_s):
+        import datetime as _dt
+        if self.utc_start is None:
+            raise RuntimeError("No datetime in UTC specified")
+        return self.utc_start + _dt.timedelta(seconds=float(time_s))
+
+    def calc_day_of_year(self, time_s=None):
+        """1-based fractional day of year at model time (timeloop.cxx:561)."""
+        a = self._utc_actual(self.time if time_s is None else time_s)
+        frac = (a.hour * 3600. + a.minute * 60. + a.second
+                + a.microsecond * 1e-6) / 86400.
+        return float(a.timetuple().tm_yday) + frac
+
+    def calc_hour_of_day(self, time_s=None):
+        a = self._utc_actual(self.time if time_s is None else time_s)
+        return a.hour + (a.minute * 60. + a.second
+                         + a.microsecond * 1e-6) / 3600.
+
+    def get_year(self, time_s=None):
+        return self._utc_actual(self.time if time_s is None else time_s).year
+
     @property
     def n_substeps(self):
         return 3 if self.rkorder == 3 else 5

@@ -302,3 +302,60 @@ def test_restart_files_roundtrip(model, tmp_path):
     sfc0 = m.boundary.init_surface_state()
     sfc2 = m.boundary.load(sfc0, 7, wd)
     assert np.array_equal(np.asarray(sfc["thl_bot_veg"]), sfc2["thl_bot_veg"])
+
+
+def test_tile_column_stats_and_soil_cross(tmp_path):
+    """[land_surface] swtilestats_column: per-tile surface series at the
+    column points (boundary_surface_lsm.cxx:270,1650-1668); [cross] xy_soil:
+    soil-level xy planes (cross.cxx:283,462-488)."""
+    from microhh_tpu.utils import nc as ncmod
+    wd = str(tmp_path)
+    ini_txt = INI + """
+[column]
+swcolumn=1
+sampletime=30
+coordinates[x]=300.
+coordinates[y]=500.
+
+[cross]
+swcross=1
+sampletime=30
+crosslist=t_soil,theta_soil
+xy_soil=-0.05,-0.7
+"""
+    ini_txt = ini_txt.replace("swhomogeneous=1",
+                              "swhomogeneous=1\nswtilestats_column=1")
+    write_input(wd, "lsmc")
+    with open(os.path.join(wd, "lsmc.ini"), "w") as fh:
+        fh.write(ini_txt)
+    m = Model(Ini(ini_txt), "init", "lsmc", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    from microhh_tpu.output import Column, Cross
+    m2 = Model(Ini(ini_txt), "run", "lsmc", workdir=wd)
+    m2.finish_setup()
+    m2.column = Column(m2)
+    m2.cross = Cross(m2)
+    m2.run()
+    m2.column.file.close()
+
+    # column file holds the tile series
+    f = ncmod.Dataset(os.path.join(wd, "lsmc.column.0000000.nc"), "r")
+    for name in ("H", "LE", "G", "H_veg", "c_veg", "obuk_soil",
+                 "thl_bot_wet"):
+        assert name in f.variables, name
+        assert np.isfinite(f.variables[name][:]).all(), name
+    # tile fractions at the point sum to ~1
+    csum = (f.variables["c_veg"][-1] + f.variables["c_soil"][-1]
+            + f.variables["c_wet"][-1])
+    assert abs(float(csum) - 1.) < 1e-6
+    f.close()
+
+    # soil crosses: one file per requested level, plane-sized, finite
+    files = sorted(fn for fn in os.listdir(wd) if fn.startswith("t_soil.xy."))
+    assert len(files) >= 2, files
+    for fn in files:
+        a = np.fromfile(os.path.join(wd, fn), dtype=np.float64)
+        assert a.size == 8 * 8
+        assert np.isfinite(a).all()
+        assert 270. < a.mean() < 310.

@@ -84,3 +84,37 @@ def test_couvreux_mask(tmp_path):
     wm = f.groups["default"].variables["w"][-1]
     assert np.nanmean(wm[1:6]) > 0.
     f.close()
+
+
+def test_xy_mask(tmp_path):
+    """User XY mask (stats.cxx:554-555, fields.cxx:607-628): a (jtot, itot)
+    plane loaded from <name>.0000000, > 0.5 selects columns at every level."""
+    wd = setup_case(tmp_path, itot=16, jtot=16, ktot=16, endtime=600.)
+    # mask the western half of the domain
+    patch = np.zeros((16, 16))
+    patch[:, :8] = 1.
+    patch.astype(np.float64).tofile(os.path.join(wd, "patch.0000000"))
+
+    ini = Ini(os.path.join(wd, "drycblles.ini"))
+    m = Model(ini, "init", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+
+    ini = Ini(os.path.join(wd, "drycblles.ini"))
+    ini.items["stats"]["sampletime"] = {"": "300"}
+    ini.items["stats"]["xymasklist"] = {"": "patch"}
+    m = Model(ini, "run", "drycblles", workdir=wd)
+    m.finish_setup()
+    m.stats = Stats(m)
+    m.run()
+    m.stats.close()
+
+    f = ncmod.Dataset(os.path.join(wd, "drycblles.patch.0000000.nc"), "r")
+    area = f.groups["default"].variables["area"][:]
+    areah = f.groups["default"].variables["areah"][:]
+    # exactly half the columns, at every level and time
+    assert np.allclose(area, 0.5), area
+    assert np.allclose(areah, 0.5), areah
+    th = f.groups["default"].variables["th"][-1]
+    assert np.all(np.isfinite(th))
+    f.close()

@@ -192,3 +192,111 @@ def test_full_model_run(model):
                                     jnp.asarray(43200.))
     assert np.isfinite(np.asarray(s["thl"])).all()
     assert np.isfinite(np.asarray(s["w"])).all()
+
+
+def test_flux_profiles_and_clearsky(model):
+    """flux_profiles: all-sky vs clear-sky stats profiles
+    (swclearskystats, radiation_rrtmgp.cxx:590,628-642)."""
+    m = model
+    g = m.grid
+    s = {n: jnp.zeros((g.kcells, g.jtot, g.itot))
+         for n in m.fields.prognostic_names}
+    thl = 290. + 0.004 * np.asarray(g.z)
+    s["thl"] = s["thl"] + jnp.asarray(thl[:, None, None])
+    # saturated blob -> cloud in part of the column
+    qt = np.full((g.kcells, g.jtot, g.itot), 0.002)
+    qt[g.kstart + 6:g.kstart + 9] = 0.02
+    s["qt"] = jnp.asarray(qt)
+
+    allsky = m.radiation.flux_profiles(m.ctx, s, 43200., m.thermo)
+    clear = m.radiation.flux_profiles(m.ctx, s, 43200., m.thermo, clear=True)
+    for k in ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn",
+              "sw_flux_dn_dir"):
+        assert k in allsky and np.isfinite(np.asarray(allsky[k])).all()
+        assert np.asarray(allsky[k]).shape == (g.ktot + 1,)
+    # the cloud shades the surface: clear-sky sw_dn at the ground exceeds
+    # all-sky; the cloud changes the LW fluxes (surface lw_dn rises under
+    # a low warm cloud)
+    assert float(clear["sw_flux_dn_clear"][0]) > float(allsky["sw_flux_dn"][0])
+    assert float(allsky["lw_flux_dn"][0]) > float(clear["lw_flux_dn_clear"][0])
+
+
+def test_diffuse_filter(tmp_path):
+    """swfilterdiffuse: iterated Gaussian smoothing of the surface diffuse
+    SW conserves the mean and reduces the variance
+    (radiation_rrtmgp.cxx:948-990)."""
+    from microhh_tpu.utils import nc
+    wd = str(tmp_path)
+    ini_txt = INI.replace("t_sfc=293.",
+                          "t_sfc=293.\nswfilterdiffuse=1\nsigma_filter=400.")
+    ktot = 24
+    z = np.linspace(50., 2350., ktot)
+    f = nc.Dataset(os.path.join(wd, "rad_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    g = f.createGroup("init")
+    g.createVariable("thl", "f8", ("z",))[:] = 290. + 0.004 * z
+    g.createVariable("qt", "f8", ("z",))[:] = 0.009 - 3e-6 * z
+    g.createVariable("u", "f8", ("z",))[:] = np.full(ktot, 3.)
+    g.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    f.close()
+    with open(os.path.join(wd, "rad.ini"), "w") as fh:
+        fh.write(ini_txt)
+    m = Model(Ini(ini_txt), "run", "rad", workdir=wd)
+    m.finish_setup()
+    assert m.radiation.sw_diffuse_filter
+
+    rng = np.random.RandomState(3)
+    dif = jnp.asarray(100. + 50. * rng.rand(8, 8))
+    out = np.asarray(m.radiation._filter_diffuse(dif))
+    assert abs(out.mean() - np.asarray(dif).mean()) < 1e-8
+    assert out.std() < np.asarray(dif).std()
+
+
+def test_clearsky_stats_integration(tmp_path):
+    """swclearskystats wires all-sky + clear-sky flux profiles into the
+    stats NetCDF 'radiation' group."""
+    from microhh_tpu.stats import Stats
+    from microhh_tpu.utils import nc as ncmod
+    wd = str(tmp_path)
+    ini_txt = INI.replace("t_sfc=293.", "t_sfc=293.\nswclearskystats=1")
+    ini_txt += """
+[stats]
+swstats=1
+sampletime=30
+"""
+    ktot = 24
+    z = np.linspace(50., 2350., ktot)
+    f = ncmod.Dataset(os.path.join(wd, "rad_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    g = f.createGroup("init")
+    g.createVariable("thl", "f8", ("z",))[:] = 290. + 0.004 * z
+    g.createVariable("qt", "f8", ("z",))[:] = 0.009 - 3e-6 * z
+    g.createVariable("u", "f8", ("z",))[:] = np.full(ktot, 3.)
+    g.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    f.close()
+    with open(os.path.join(wd, "rad.ini"), "w") as fh:
+        fh.write(ini_txt)
+    m = Model(Ini(ini_txt), "init", "rad", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    m2 = Model(Ini(ini_txt), "run", "rad", workdir=wd)
+    m2.finish_setup()
+    m2.stats = Stats(m2)
+    m2.run()
+    m2.stats.close()
+
+    f = ncmod.Dataset(os.path.join(wd, "rad.default.0000000.nc"), "r")
+    rad = f.groups["radiation"]
+    for name in ("lw_flux_up", "sw_flux_dn", "sw_flux_dn_dir",
+                 "lw_flux_up_clear", "sw_flux_dn_clear"):
+        assert name in rad.variables, name
+        v = rad.variables[name][:]
+        assert v.shape[-1] == ktot + 1
+        assert np.isfinite(v).all(), name
+    # no clouds in this run: clear-sky equals all-sky
+    a = rad.variables["sw_flux_dn"][-1]
+    c = rad.variables["sw_flux_dn_clear"][-1]
+    assert np.allclose(a, c, rtol=1e-10)
+    f.close()
