@@ -123,3 +123,92 @@ def cdft_axis1(xr, xi, tables, prefix, n2, sign, e):
         blocks_i.append(xi_o)
     return (jnp.concatenate(blocks_r, axis=1),
             jnp.concatenate(blocks_i, axis=1))
+
+
+# ==========================================================================
+#  sublane-clean split for the j-axis (axis -2) transforms
+#
+#  The lane-splitting variants above measured SLOWER: reshaping the LAST
+#  axis to (..., 128, N2) forces 4-lane minor dims.  For the j-axis of
+#  (k, j, f) arrays the factorization j = j1*128 + j2 (j1 slow) is a
+#  row-major NO-OP reshape (contiguous 128-row slabs), so the split costs
+#  zero data movement:
+#
+#    stage A: N1-point butterfly over the slab index j1 (VPU adds; N1 =
+#             jtot/128, i.e. 4 at the 512^3 north star);
+#    twiddle: W_N^{sign j2 g1}, elementwise;
+#    stage B: ONE 128-contraction MXU matmul per real component pair —
+#             4x fewer MXU flops than the dense (N x N) tables.
+#
+#  The output lands in PERMUTED mode order p = g1*128 + g2 <-> true mode
+#  g = g1 + N1*g2.  Nothing reorders it: the vertical eigen-solve treats
+#  modes as batch entries, so pres_2 permutes its per-mode eigbm table
+#  once at setup (j4_mode_perm) and the inverse transform consumes the
+#  permuted order directly.  The mean mode (0,0) maps to permuted row 0,
+#  so the dense mean-mode patch position is unchanged.
+# ==========================================================================
+
+def j4_splittable(N):
+    return N % 128 == 0 and N >= 256
+
+
+def build_j4_tables(N, dtype, prefix="dy4"):
+    """Butterfly (N1, N1), twiddle (N1, 128) and 128-DFT (128, 128)
+    tables for the j-axis split, angles in f64 then cast."""
+    if not j4_splittable(N):
+        return {}
+    N1 = N // 128
+    c = np.arange(N1)
+    a = np.arange(N1)
+    ang1 = 2. * np.pi * np.outer(c, a) / N1
+    b = np.arange(128)
+    angt = 2. * np.pi * np.outer(c, b) / N
+    g = np.arange(128)
+    ang2 = 2. * np.pi * np.outer(b, g) / 128.
+    return {"%s_bc" % prefix: np.cos(ang1).astype(dtype),
+            "%s_bs" % prefix: np.sin(ang1).astype(dtype),
+            "%s_twc" % prefix: np.cos(angt).astype(dtype),
+            "%s_tws" % prefix: np.sin(angt).astype(dtype),
+            "%s_c2" % prefix: np.cos(ang2).astype(dtype),
+            "%s_s2" % prefix: np.sin(ang2).astype(dtype)}
+
+
+def j4_mode_perm(N):
+    """perm[p] = true mode index held at permuted position p."""
+    N1 = N // 128
+    return np.array([c + N1 * g2 for c in range(N1) for g2 in range(128)])
+
+
+def cdft_j4(xr, xi, tables, sign, e, prefix="dy4"):
+    """Complex DFT along axis 1 of (k, N, f) arrays in PERMUTED output
+    order (forward, sign=-1), or consuming that order (inverse, sign=+1,
+    without the 1/N scale).  One 128-contraction matmul per component."""
+    C1 = tables["%s_bc" % prefix]
+    S1 = tables["%s_bs" % prefix] * (-sign)      # kernel cos + sign*i*sin
+    TwC = tables["%s_twc" % prefix][None, :, :, None]
+    TwS = tables["%s_tws" % prefix][None, :, :, None] * (-sign)
+    C2 = tables["%s_c2" % prefix]
+    S2 = tables["%s_s2" % prefix] * (-sign)
+    k, N, f = xr.shape
+    N1 = N // 128
+    if sign < 0:
+        # forward: butterfly (contract j1) -> twiddle -> matmul (j2)
+        x2r = xr.reshape(k, N1, 128, f)
+        x2i = xi.reshape(k, N1, 128, f)
+        Sr = e("kabf,ca->kcbf", x2r, C1) + e("kabf,ca->kcbf", x2i, S1)
+        Si = e("kabf,ca->kcbf", x2i, C1) - e("kabf,ca->kcbf", x2r, S1)
+        Tr = TwC * Sr + TwS * Si
+        Ti = TwC * Si - TwS * Sr
+        Yr = e("kcbf,bg->kcgf", Tr, C2) + e("kcbf,bg->kcgf", Ti, S2)
+        Yi = e("kcbf,bg->kcgf", Ti, C2) - e("kcbf,bg->kcgf", Tr, S2)
+        return Yr.reshape(k, N, f), Yi.reshape(k, N, f)
+    # inverse: matmul (contract g2) -> twiddle -> butterfly (contract g1)
+    x2r = xr.reshape(k, N1, 128, f)
+    x2i = xi.reshape(k, N1, 128, f)
+    Ur = e("kcgf,bg->kcbf", x2r, C2) + e("kcgf,bg->kcbf", x2i, S2)
+    Ui = e("kcgf,bg->kcbf", x2i, C2) - e("kcgf,bg->kcbf", x2r, S2)
+    Tr = TwC * Ur + TwS * Ui
+    Ti = TwC * Ui - TwS * Ur
+    xr_o = e("kcbf,ca->kabf", Tr, C1) + e("kcbf,ca->kabf", Ti, S1)
+    xi_o = e("kcbf,ca->kabf", Ti, C1) - e("kcbf,ca->kabf", Tr, S1)
+    return xr_o.reshape(k, N, f), xi_o.reshape(k, N, f)

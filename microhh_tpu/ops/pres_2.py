@@ -213,9 +213,15 @@ class Pres2:
             "dftSi": ((np.sin(ang) * wk[None, :]).T / itot).astype(dt_),
         }
         # two-stage Cooley-Tukey tables where the axis factors as 128*N2
-        from .dft_split import build_split_tables
+        from .dft_split import build_split_tables, build_j4_tables, \
+            j4_mode_perm, j4_splittable
         self._dft_np.update(build_split_tables(itot, dt_, "dsx"))
         self._dft_np.update(build_split_tables(jtot, dt_, "dsy"))
+        # sublane-clean j-axis split (see dft_split.cdft_j4): the eigen
+        # tables absorb the permuted mode order
+        self._dft_np.update(build_j4_tables(jtot, dt_))
+        if j4_splittable(jtot):
+            self._eig_np["eigbm_y4"] = bmji[j4_mode_perm(jtot)].astype(dt_)
         self._built = True
 
     def device_params(self):
@@ -242,11 +248,12 @@ class Pres2:
     def _use_dft_split():
         """Two-stage Cooley-Tukey transforms inside the DFT path (see
         ops/dft_split.py): ~2-4x fewer MXU flops per transform when the
-        axis length is a multiple of 128.  MEASURED SLOWER at 512^3 on
-        v5e (279 vs 180 ms per 3 solves): the (..., 128, N2) reshapes
-        force lane-hostile layouts that cost more than the flops saved.
-        Opt-in (MICROHH_DFT_SPLIT=1 both axes, =y / =x one axis) until
-        the chunk/butterfly variant with permuted mode order lands."""
+        axis length is a multiple of 128.  The lane-splitting variants
+        (=1/=y/=x) MEASURED SLOWER at 512^3 on v5e (279 vs 180 ms per 3
+        solves): the (..., 128, N2) reshapes force lane-hostile layouts
+        that cost more than the flops saved — kept opt-in.  =y4 selects
+        the sublane-clean j-axis split with permuted mode order
+        (dft_split.cdft_j4), whose reshape is a row-major no-op."""
         return os.environ.get("MICROHH_DFT_SPLIT", "0")
 
     def _solve_dft(self, ctx, rhs, pp):
@@ -257,10 +264,14 @@ class Pres2:
         Cy, Sy = pp["dftCy"], pp["dftSy"]
         Ci, Si = pp["dftCi"], pp["dftSi"]
         e = functools.partial(jnp.einsum, precision=prec)
-        from .dft_split import rdft_last_fwd, cdft_axis1
+        from .dft_split import rdft_last_fwd, cdft_axis1, cdft_j4
         split = self._use_dft_split()
         split_x = split in ("1", "x") and "dsx_twc" in pp
         split_y = split in ("1", "y") and "dsy_twc" in pp
+        # the permuted-order j split needs the eigen path (its per-mode
+        # tables are permuted to match; the TDMA pivots are not)
+        split_y4 = (split == "y4" and "dy4_twc" in pp
+                    and "eigbm_y4" in pp and not self._use_dft_tdma())
         n2x = self.grid.itot // 128
         n2y = self.grid.jtot // 128
         ihalf = self.grid.itot // 2 + 1
@@ -271,7 +282,9 @@ class Pres2:
         else:
             Xr = e("kji,if->kjf", rhs, C)
             Xi = -e("kji,if->kjf", rhs, S)
-        if split_y:
+        if split_y4:
+            Yr, Yi = cdft_j4(Xr, Xi, pp, -1, e)
+        elif split_y:
             Yr, Yi = cdft_axis1(Xr, Xi, pp, "dsy", n2y, -1, e)
         else:
             Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
@@ -301,7 +314,8 @@ class Pres2:
                   "default": jax.lax.Precision.DEFAULT}[lvl]
             ee = functools.partial(jnp.einsum, precision=ep)
             Vim, V = pp["eigVim"], pp["eigV"]
-            denom = pp["eiglam"][:, None, None] + pp["eigbm"][None]
+            bm_t = pp["eigbm_y4"] if split_y4 else pp["eigbm"]
+            denom = pp["eiglam"][:, None, None] + bm_t[None]
             gr = ee("kl,ljf->kjf", Vim, Yr) / denom
             gi = ee("kl,ljf->kjf", Vim, Yi) / denom
             xr = ee("kl,ljf->kjf", V, gr)
@@ -313,7 +327,11 @@ class Pres2:
 
         # inverse: ifft along j, then hermitian-weighted irfft along i
         n_j = rhs.shape[1]
-        if split_y:
+        if split_y4:
+            Zr, Zi = cdft_j4(xr, xi, pp, +1, e)
+            Zr = Zr / n_j
+            Zi = Zi / n_j
+        elif split_y:
             Zr, Zi = cdft_axis1(xr, xi, pp, "dsy", n2y, +1, e)
             Zr = Zr / n_j
             Zi = Zi / n_j

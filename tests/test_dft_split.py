@@ -109,3 +109,84 @@ dt=0.1
     scale = np.abs(x_direct).max()
     assert np.abs(x_split - x_direct).max() / scale < 1e-11, \
         np.abs(x_split - x_direct).max() / scale
+
+
+@pytest.mark.parametrize("N", [256, 384, 512])
+def test_cdft_j4_roundtrip_and_permutation(N):
+    """Sublane-clean j-split: forward output is the numpy FFT in the
+    documented permuted order p = g1*128 + g2 <-> g = g1 + N1*g2; the
+    inverse consumes that order directly."""
+    from microhh_tpu.ops.dft_split import build_j4_tables, cdft_j4, \
+        j4_mode_perm
+    rng = np.random.default_rng(4)
+    xr = rng.normal(size=(3, N, 5))
+    xi = rng.normal(size=(3, N, 5))
+    tabs = {k: jnp.asarray(v)
+            for k, v in build_j4_tables(N, np.float64).items()}
+    Yr, Yi = cdft_j4(jnp.asarray(xr), jnp.asarray(xi), tabs, -1, e)
+    ref = np.fft.fft(xr + 1j * xi, axis=1)[:, j4_mode_perm(N)]
+    np.testing.assert_allclose(np.asarray(Yr), ref.real, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Yi), ref.imag, atol=1e-8)
+
+    Zr, Zi = cdft_j4(Yr, Yi, tabs, +1, e)
+    np.testing.assert_allclose(np.asarray(Zr) / N, xr, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Zi) / N, xi, atol=1e-8)
+
+
+def test_pres2_j4_split_matches_direct():
+    """Whole Poisson solve with MICROHH_DFT_SPLIT=y4 (permuted-mode eigen
+    tables) vs the direct DFT path."""
+    from microhh_tpu.config import Ini
+    from microhh_tpu.grid import Grid
+    from microhh_tpu.fields import Fields
+    from microhh_tpu.ops.pres_2 import Pres2
+
+    ini = Ini("""
+[grid]
+itot=96
+jtot=256
+ktot=12
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=2
+[fields]
+visc=1e-5
+[boundary]
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0
+stop=0
+[time]
+endtime=1
+savetime=1
+dt=0.1
+""")
+    g = Grid(ini)
+    dz = g.zsize / g.ktot
+    g.set_z(np.linspace(0.5 * dz, g.zsize - 0.5 * dz, g.ktot))
+    f = Fields(ini, g)
+    p2 = Pres2(ini, g, f, dtype=np.float64)
+    p2.set_values()
+    pp = p2.device_params()
+    assert "dy4_twc" in pp and "eigbm_y4" in pp
+    rng = np.random.RandomState(5)
+    rhs = jnp.asarray(rng.randn(g.ktot, g.jtot, g.itot))
+
+    class Ctx:
+        pass
+
+    os.environ["MICROHH_DFT_POISSON"] = "1"
+    try:
+        os.environ["MICROHH_DFT_SPLIT"] = "y4"
+        x_split = np.asarray(p2.solve(Ctx(), rhs, pp))
+        os.environ["MICROHH_DFT_SPLIT"] = "0"
+        x_direct = np.asarray(p2.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ.pop("MICROHH_DFT_POISSON", None)
+        os.environ.pop("MICROHH_DFT_SPLIT", None)
+    scale = np.abs(x_direct).max()
+    assert np.abs(x_split - x_direct).max() / scale < 1e-11, \
+        np.abs(x_split - x_direct).max() / scale
