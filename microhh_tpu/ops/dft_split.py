@@ -153,8 +153,11 @@ def j4_splittable(N):
 
 
 def build_j4_tables(N, dtype, prefix="dy4"):
-    """Butterfly (N1, N1), twiddle (N1, 128) and 128-DFT (128, 128)
-    tables for the j-axis split, angles in f64 then cast."""
+    """Butterfly (N1, N1) tables plus the COMBINED twiddle+128-DFT tables
+    (N1, 128, 128): the twiddle W_N^{c b} times the 128-point kernel
+    W_128^{b g} collapses to cos/sin(2 pi b (c + N1 g) / N) — the N-point
+    DFT column of the true mode g_true = c + N1*g restricted to b — so no
+    separate twiddle pass ever materializes.  Angles in f64 then cast."""
     if not j4_splittable(N):
         return {}
     N1 = N // 128
@@ -162,15 +165,13 @@ def build_j4_tables(N, dtype, prefix="dy4"):
     a = np.arange(N1)
     ang1 = 2. * np.pi * np.outer(c, a) / N1
     b = np.arange(128)
-    angt = 2. * np.pi * np.outer(c, b) / N
     g = np.arange(128)
-    ang2 = 2. * np.pi * np.outer(b, g) / 128.
+    gt = c[:, None, None] + N1 * g[None, None, :]        # (N1, 1, 128)
+    angm = 2. * np.pi * b[None, :, None] * gt / N        # (N1, 128, 128)
     return {"%s_bc" % prefix: np.cos(ang1).astype(dtype),
             "%s_bs" % prefix: np.sin(ang1).astype(dtype),
-            "%s_twc" % prefix: np.cos(angt).astype(dtype),
-            "%s_tws" % prefix: np.sin(angt).astype(dtype),
-            "%s_c2" % prefix: np.cos(ang2).astype(dtype),
-            "%s_s2" % prefix: np.sin(ang2).astype(dtype)}
+            "%s_mc" % prefix: np.cos(angm).astype(dtype),
+            "%s_ms" % prefix: np.sin(angm).astype(dtype)}
 
 
 def j4_mode_perm(N):
@@ -179,36 +180,86 @@ def j4_mode_perm(N):
     return np.array([c + N1 * g2 for c in range(N1) for g2 in range(128)])
 
 
+def _butterfly(x2r, x2i, C1, S1, sign, N1):
+    """N1-point DFT over axis 1 with kernel cos + sign*i*sin.  For N1 in
+    {2, 4} the kernel entries are 0/+-1, so the transform is explicit
+    slice adds (pure VPU work XLA fuses with the adjacent twiddle) — an
+    einsum here would burn a full 128-contraction MXU pass at <4/128
+    occupancy, which is what made the first measurement SLOWER."""
+    if N1 == 2:
+        Sr = jnp.stack([x2r[:, 0] + x2r[:, 1], x2r[:, 0] - x2r[:, 1]], 1)
+        Si = jnp.stack([x2i[:, 0] + x2i[:, 1], x2i[:, 0] - x2i[:, 1]], 1)
+        return Sr, Si
+    if N1 == 4:
+        ar, br = x2r[:, 0] + x2r[:, 2], x2r[:, 0] - x2r[:, 2]
+        ai, bi = x2i[:, 0] + x2i[:, 2], x2i[:, 0] - x2i[:, 2]
+        cr, dr = x2r[:, 1] + x2r[:, 3], x2r[:, 1] - x2r[:, 3]
+        ci, di = x2i[:, 1] + x2i[:, 3], x2i[:, 1] - x2i[:, 3]
+        # (b - i*sign_eff*d) pattern: sign=-1 fwd -> S1 = b - i d rotated
+        if sign < 0:
+            Sr = jnp.stack([ar + cr, br + di, ar - cr, br - di], 1)
+            Si = jnp.stack([ai + ci, bi - dr, ai - ci, bi + dr], 1)
+        else:
+            Sr = jnp.stack([ar + cr, br - di, ar - cr, br + di], 1)
+            Si = jnp.stack([ai + ci, bi + dr, ai - ci, bi - dr], 1)
+        return Sr, Si
+    e_ = jnp.einsum
+    Sr = e_("kabf,ca->kcbf", x2r, C1) + e_("kabf,ca->kcbf", x2i, S1)
+    Si = e_("kabf,ca->kcbf", x2i, C1) - e_("kabf,ca->kcbf", x2r, S1)
+    return Sr, Si
+
+
+def _butterfly_t(Tr, Ti, C1, S1, sign, N1):
+    """Transposed butterfly (contract the g1 axis back to j1 slabs)."""
+    if N1 == 2:
+        xr = jnp.stack([Tr[:, 0] + Tr[:, 1], Tr[:, 0] - Tr[:, 1]], 1)
+        xi = jnp.stack([Ti[:, 0] + Ti[:, 1], Ti[:, 0] - Ti[:, 1]], 1)
+        return xr, xi
+    if N1 == 4:
+        # x[a] = sum_c T[c] * (cos + sign*i*sin)(2 pi a c / 4); the table
+        # is symmetric, so this is the same combination pattern.
+        ar, br = Tr[:, 0] + Tr[:, 2], Tr[:, 0] - Tr[:, 2]
+        ai, bi = Ti[:, 0] + Ti[:, 2], Ti[:, 0] - Ti[:, 2]
+        cr, dr = Tr[:, 1] + Tr[:, 3], Tr[:, 1] - Tr[:, 3]
+        ci, di = Ti[:, 1] + Ti[:, 3], Ti[:, 1] - Ti[:, 3]
+        if sign < 0:
+            xr = jnp.stack([ar + cr, br + di, ar - cr, br - di], 1)
+            xi = jnp.stack([ai + ci, bi - dr, ai - ci, bi + dr], 1)
+        else:
+            xr = jnp.stack([ar + cr, br - di, ar - cr, br + di], 1)
+            xi = jnp.stack([ai + ci, bi + dr, ai - ci, bi - dr], 1)
+        return xr, xi
+    e_ = jnp.einsum
+    xr = e_("kcbf,ca->kabf", Tr, C1) + e_("kcbf,ca->kabf", Ti, S1)
+    xi = e_("kcbf,ca->kabf", Ti, C1) - e_("kcbf,ca->kabf", Tr, S1)
+    return xr, xi
+
+
 def cdft_j4(xr, xi, tables, sign, e, prefix="dy4"):
     """Complex DFT along axis 1 of (k, N, f) arrays in PERMUTED output
     order (forward, sign=-1), or consuming that order (inverse, sign=+1,
-    without the 1/N scale).  One 128-contraction matmul per component."""
+    without the 1/N scale).  Slice-add butterfly + ONE batched
+    128-contraction matmul per component pair; the combined tables carry
+    the twiddle, so the only intermediate is the butterfly output (which
+    XLA fuses into the matmul operand read)."""
     C1 = tables["%s_bc" % prefix]
     S1 = tables["%s_bs" % prefix] * (-sign)      # kernel cos + sign*i*sin
-    TwC = tables["%s_twc" % prefix][None, :, :, None]
-    TwS = tables["%s_tws" % prefix][None, :, :, None] * (-sign)
-    C2 = tables["%s_c2" % prefix]
-    S2 = tables["%s_s2" % prefix] * (-sign)
+    Mc = tables["%s_mc" % prefix]
+    Ms = tables["%s_ms" % prefix]
     k, N, f = xr.shape
     N1 = N // 128
-    if sign < 0:
-        # forward: butterfly (contract j1) -> twiddle -> matmul (j2)
-        x2r = xr.reshape(k, N1, 128, f)
-        x2i = xi.reshape(k, N1, 128, f)
-        Sr = e("kabf,ca->kcbf", x2r, C1) + e("kabf,ca->kcbf", x2i, S1)
-        Si = e("kabf,ca->kcbf", x2i, C1) - e("kabf,ca->kcbf", x2r, S1)
-        Tr = TwC * Sr + TwS * Si
-        Ti = TwC * Si - TwS * Sr
-        Yr = e("kcbf,bg->kcgf", Tr, C2) + e("kcbf,bg->kcgf", Ti, S2)
-        Yi = e("kcbf,bg->kcgf", Ti, C2) - e("kcbf,bg->kcgf", Tr, S2)
-        return Yr.reshape(k, N, f), Yi.reshape(k, N, f)
-    # inverse: matmul (contract g2) -> twiddle -> butterfly (contract g1)
     x2r = xr.reshape(k, N1, 128, f)
     x2i = xi.reshape(k, N1, 128, f)
-    Ur = e("kcgf,bg->kcbf", x2r, C2) + e("kcgf,bg->kcbf", x2i, S2)
-    Ui = e("kcgf,bg->kcbf", x2i, C2) - e("kcgf,bg->kcbf", x2r, S2)
-    Tr = TwC * Ur + TwS * Ui
-    Ti = TwC * Ui - TwS * Ur
-    xr_o = e("kcbf,ca->kabf", Tr, C1) + e("kcbf,ca->kabf", Ti, S1)
-    xi_o = e("kcbf,ca->kabf", Ti, C1) - e("kcbf,ca->kabf", Tr, S1)
+    if sign < 0:
+        # forward: butterfly (contract j1) -> combined matmul (contract b)
+        Sr, Si = _butterfly(x2r, x2i, C1, S1, sign, N1)
+        # kernel e^{-i theta}: (Sr + iSi)(Mc - iMs)
+        Yr = e("kcbf,cbg->kcgf", Sr, Mc) + e("kcbf,cbg->kcgf", Si, Ms)
+        Yi = e("kcbf,cbg->kcgf", Si, Mc) - e("kcbf,cbg->kcgf", Sr, Ms)
+        return Yr.reshape(k, N, f), Yi.reshape(k, N, f)
+    # inverse: combined matmul (contract g) -> butterfly (contract g1)
+    # kernel e^{+i theta}: (Xr + iXi)(Mc + iMs)
+    Tr = e("kcgf,cbg->kcbf", x2r, Mc) - e("kcgf,cbg->kcbf", x2i, Ms)
+    Ti = e("kcgf,cbg->kcbf", x2i, Mc) + e("kcgf,cbg->kcbf", x2r, Ms)
+    xr_o, xi_o = _butterfly_t(Tr, Ti, C1, S1, sign, N1)
     return xr_o.reshape(k, N, f), xi_o.reshape(k, N, f)

@@ -253,7 +253,13 @@ class Pres2:
         solves): the (..., 128, N2) reshapes force lane-hostile layouts
         that cost more than the flops saved — kept opt-in.  =y4 selects
         the sublane-clean j-axis split with permuted mode order
-        (dft_split.cdft_j4), whose reshape is a row-major no-op."""
+        (dft_split.cdft_j4), whose reshape is a row-major no-op; in
+        ISOLATION it solves 2.2x faster (44 vs 96 ms/solve at 512^3),
+        but INSIDE the step it measured 255 vs 243 ms/step (2026-08-18):
+        XLA's whole-program layout assignment already runs the dense
+        matmuls on {0,2,1}-permuted spectra far below their isolated
+        cost, and the split's batched-c dots break that.  Kept opt-in
+        for grids where the dense tables dominate."""
         return os.environ.get("MICROHH_DFT_SPLIT", "0")
 
     def _solve_dft(self, ctx, rhs, pp):
@@ -270,7 +276,7 @@ class Pres2:
         split_y = split in ("1", "y") and "dsy_twc" in pp
         # the permuted-order j split needs the eigen path (its per-mode
         # tables are permuted to match; the TDMA pivots are not)
-        split_y4 = (split == "y4" and "dy4_twc" in pp
+        split_y4 = (split == "y4" and "dy4_mc" in pp
                     and "eigbm_y4" in pp and not self._use_dft_tdma())
         n2x = self.grid.itot // 128
         n2y = self.grid.jtot // 128

@@ -171,7 +171,7 @@ dt=0.1
     p2 = Pres2(ini, g, f, dtype=np.float64)
     p2.set_values()
     pp = p2.device_params()
-    assert "dy4_twc" in pp and "eigbm_y4" in pp
+    assert "dy4_mc" in pp and "eigbm_y4" in pp
     rng = np.random.RandomState(5)
     rhs = jnp.asarray(rng.randn(g.ktot, g.jtot, g.itot))
 
