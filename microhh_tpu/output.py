@@ -65,15 +65,35 @@ class Cross:
         g = m.grid
         ks, ke = g.kstart, g.kend
 
+        def _interior(data):
+            full = np.zeros((g.kcells, g.jtot, g.itot))
+            full[ks:ke] = np.asarray(data)
+            return full
+
         def field_of(base):
+            """Prognostics plus the reference's diagnostic cross variables
+            (thermo_moist.cxx:1860-1866: b, ql, qi, qlqi, qsat, T)."""
             if base in s:
                 return np.asarray(s[base])
             if base == "p" and aux is not None and "p" in aux:
                 return np.asarray(aux["p"])
-            if base == "ql" and hasattr(m.thermo, "get_ql"):
-                ql = np.zeros((g.kcells, g.jtot, g.itot))
-                ql[ks:ke] = np.asarray(m.thermo.get_ql(m.ctx, s))
-                return ql
+            th = m.thermo
+            if base == "ql" and hasattr(th, "get_ql"):
+                return _interior(th.get_ql(m.ctx, s))
+            if base in ("qi", "qlqi") and hasattr(th, "get_ql_qi"):
+                ql, qi = th.get_ql_qi(m.ctx, s)
+                return _interior(qi if base == "qi" else ql + qi)
+            if base == "b" and hasattr(th, "get_buoyancy"):
+                b = np.asarray(th.get_buoyancy(m.ctx, s))
+                return b if b.shape[0] == g.kcells else _interior(b[ks:ke])
+            if base in ("T", "qsat") and hasattr(th, "get_ql_qi"):
+                from .ops.thermo_moist import sat_adjust
+                pref_a, exnref_a, _, _ = th._p_profiles(m.ctx, None)
+                pz = np.asarray(pref_a)[ks:ke][:, None, None]
+                exn = np.asarray(exnref_a)[ks:ke][:, None, None]
+                _, _, T, qs = sat_adjust(np.asarray(s["thl"])[ks:ke],
+                                         np.asarray(s["qt"])[ks:ke], pz, exn)
+                return _interior(T if base == "T" else qs)
             return None
 
         soil_kt = getattr(m.fields, "soil_ktot", 0)
@@ -112,6 +132,24 @@ class Cross:
                     continue
             if aux is not None and name in aux:
                 self._plane(aux[name], name, iotime)
+                continue
+            # cloud base/top height maps (cross_height semantics; NaN
+            # where the column is cloud-free)
+            if name in ("qlbase", "qltop", "qlqibase", "qlqitop"):
+                fld = "ql" if name in ("qlbase", "qltop") else "qlqi"
+                q = field_of(fld)
+                if q is None:
+                    continue
+                cloudy = q[ks:ke] > 0.
+                zc = np.asarray(g.z)[ks:ke]
+                kidx = np.arange(cloudy.shape[0])[:, None, None]
+                anyc = cloudy.any(axis=0)
+                if name.endswith("base"):
+                    kk = np.where(cloudy, kidx, cloudy.shape[0]).min(axis=0)
+                else:
+                    kk = np.where(cloudy, kidx, -1).max(axis=0)
+                h = np.where(anyc, zc[np.clip(kk, 0, len(zc) - 1)], np.nan)
+                self._plane(h, name, iotime)
                 continue
             # <s>path: density-weighted vertical integral (cross_path)
             if name.endswith("path"):

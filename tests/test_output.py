@@ -148,3 +148,113 @@ def test_post_mode(tmp_path):
             os.remove(os.path.join(wd, f))
     run_cli(wd, "post", INI)
     assert any(".xz." in f for f in os.listdir(wd))
+
+
+MOIST_CROSS_INI = """
+[grid]
+itot=8
+jtot=8
+ktot=16
+xsize=1600.
+ysize=1600.
+zsize=1600.
+swspatialorder=2
+
+[advec]
+swadvec=2
+cflmax=1.2
+
+[diff]
+swdiff=smag2
+dnmax=0.3
+
+[thermo]
+swthermo=moist
+swbasestate=anelastic
+pbot=101500.
+
+[boundary]
+swboundary=surface
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=flux
+sbctop=neumann
+sbot[thl]=0.05
+stop[thl]=0.003
+sbot[qt]=4.e-5
+stop[qt]=0.
+z0m=0.1
+z0h=0.1
+
+[fields]
+visc=1.e-5
+svisc=1.e-5
+
+[cross]
+swcross=1
+crosslist=ql,qi,qlqi,b,T,qsat,qlbase,qltop,qlpath
+sampletime=30
+xy=800.
+xz=800.
+
+[time]
+starttime=0
+endtime=30
+savetime=30
+dt=2.
+dtmax=5.
+adaptivestep=true
+"""
+
+
+def test_thermo_diagnostic_crosses(tmp_path):
+    """The reference's thermo cross variables (thermo_moist.cxx:1860-1866):
+    b/ql/qi/qlqi/T/qsat slices, ql path, and cloud base/top height maps."""
+    from microhh_tpu.utils import nc
+    wd = str(tmp_path)
+    ktot = 16
+    z = np.linspace(50., 1550., ktot)
+    f = nc.Dataset(os.path.join(wd, "mcr_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    grp = f.createGroup("init")
+    grp.createVariable("thl", "f8", ("z",))[:] = 289. + 0.004 * z
+    # saturated mid-column: guarantees some cloud
+    qt = np.full(ktot, 0.004)
+    qt[6:10] = 0.02
+    grp.createVariable("qt", "f8", ("z",))[:] = qt
+    grp.createVariable("u", "f8", ("z",))[:] = np.full(ktot, 2.)
+    grp.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    f.close()
+    with open(os.path.join(wd, "mcr.ini"), "w") as fh:
+        fh.write(MOIST_CROSS_INI)
+    m = Model(Ini(MOIST_CROSS_INI), "init", "mcr", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    from microhh_tpu.output import Cross
+    m2 = Model(Ini(MOIST_CROSS_INI), "run", "mcr", workdir=wd)
+    m2.finish_setup()
+    m2.cross = Cross(m2)
+    m2.run()
+
+    files = os.listdir(wd)
+    for base in ("ql", "qi", "qlqi", "b", "T", "qsat"):
+        assert any(fn.startswith(base + ".xy.") for fn in files), base
+        assert any(fn.startswith(base + ".xz.") for fn in files), base
+    for plane in ("qlbase", "qltop", "qlpath"):
+        assert any(fn.startswith(plane + ".xy") for fn in files), plane
+    # physics sanity on the final planes
+    dt = np.float32
+    T = np.fromfile(os.path.join(
+        wd, sorted(fn for fn in files if fn.startswith("T.xy."))[-1]),
+        dtype=np.float64)
+    assert 240. < T.mean() < 310.
+    base_map = np.fromfile(os.path.join(
+        wd, sorted(fn for fn in files if fn.startswith("qlbase.xy"))[-1]),
+        dtype=np.float64)
+    top_map = np.fromfile(os.path.join(
+        wd, sorted(fn for fn in files if fn.startswith("qltop.xy"))[-1]),
+        dtype=np.float64)
+    cloudy = np.isfinite(base_map)
+    assert cloudy.any()
+    assert np.all(top_map[cloudy] >= base_map[cloudy])
