@@ -505,6 +505,12 @@ class Model:
                 and type(self.advec) is Advec2
                 and type(self.diff) is DiffSmag2):
             return None
+        # Mosaic cannot lower f64 kernels (its convert_element_type
+        # lowering recurses forever, jax 0.8); double precision on a real
+        # TPU runs the pure-XLA op pipeline instead.
+        if (np.dtype(self.dtype) == np.float64
+                and jax.default_backend() == "tpu"):
+            return None
         specialized = ((has_thermo and ctx.scalar_names == ("th",))
                        or (isinstance(self.thermo, ThermoDisabled)
                            and ctx.scalar_names == ()))
@@ -580,8 +586,12 @@ class Model:
             return fused
         # VMEM budget: ~19 operand planes double-buffered in the full-plane
         # variant.  Larger planes switch to the j-tiled manual-DMA variant.
+        # MICROHH_FUSED_VARIANT=plane/tiled forces one (the raised
+        # per-kernel vmem cap in pallas_fused admits full 512^2 planes).
+        variant = os.environ.get("MICROHH_FUSED_VARIANT", "")
         plane = ctx.jtot * ctx.itot * np.dtype(self.dtype).itemsize
-        if plane * 40 <= 14 * 1024 * 1024:
+        if variant != "tiled" and (variant == "plane"
+                                   or plane * 40 <= 14 * 1024 * 1024):
             return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
                              interpret=interpret, buffer=fold_buffer,
                              force=fold_force, fold_ghosts=fold_ghosts,
@@ -595,12 +605,17 @@ class Model:
         if tj is None:
             return None
         row = ctx.itot * np.dtype(self.dtype).itemsize
-        # 15 windows, double-buffered, plus four output blocks.  The bound
-        # is empirical: 8.8MB of window scratch (tj=128 at itot=512)
-        # crashes the Mosaic compiler; 6.6MB (tj=128 at 384) compiles.
-        while tj >= 8 and (30 * (tj + 2 * HALO_J) * row + 4 * tj * row
-                           > 7 * 1024 * 1024):
-            tj //= 2
+        # 15 windows, double-buffered, plus four output blocks.  The 7 MB
+        # bound matched the old 16 MB default scoped-vmem cap (the "Mosaic
+        # crash" at tj=128/itot=512 was that limit); with the raised cap
+        # MICROHH_TJ can push the tile height up.
+        tj_env = os.environ.get("MICROHH_TJ")
+        if tj_env:
+            tj = int(tj_env)
+        else:
+            while tj >= 8 and (30 * (tj + 2 * HALO_J) * row + 4 * tj * row
+                               > 7 * 1024 * 1024):
+                tj //= 2
         if tj < 8 or ctx.jtot % tj != 0:
             return None
         return FusedLES2(ctx, self.diff, self.thermo, has_thermo,
@@ -615,6 +630,9 @@ class Model:
         import jax as _jax
         from .ops.pallas_fused import FusedLES2
         interpret = _jax.default_backend() != "tpu"
+        if (np.dtype(self.dtype) == np.float64
+                and _jax.default_backend() == "tpu"):
+            return None  # Mosaic f64 (see _maybe_build_fused)
         if interpret and not getattr(self, "force_fused", False):
             return None
         if not getattr(self.diff, "surface", False):

@@ -56,6 +56,20 @@ from .. import constants as cst
 # fetched as one 8-row tile block per side.
 HALO_J = 8
 
+# All fused kernels get a raised per-kernel scoped-vmem cap: the Mosaic
+# default is 16 MB, v5e has 128 MB, and both the full-plane variant at
+# 512^2 planes and the merged pressure applies legitimately exceed the
+# default (what previously read as a "Mosaic compiler crash" at tj=128
+# was this limit).
+_VMEM_LIMIT = int(os.environ.get("MICROHH_PALLAS_VMEM_MB", "100")) * (1 << 20)
+
+
+def _pallas_call(*args, interpret=False, compiler_params=None, **kw):
+    if not interpret and compiler_params is None:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return pl.pallas_call(*args, interpret=interpret,
+                          compiler_params=compiler_params, **kw)
+
 
 def _im(a):
     return jnp.roll(a, 1, axis=-1)
@@ -824,7 +838,7 @@ class FusedLES2:
                                 memory_space=pltpu.VMEM)
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), dtype)
         body = functools.partial(_stream_body, nf, nout, math_fn)
-        out = pl.pallas_call(
+        out = _pallas_call(
             body, grid=(kt + 2,),
             in_specs=[cc_spec] + [in_spec] * nf,
             out_specs=[out_spec] * nout, out_shape=[shape] * nout,
@@ -864,7 +878,7 @@ class FusedLES2:
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((-1, 0, 1), ks, ke, "w")
                         + self._field_specs((-1, 0, 1), ks, ke, "c"))
-            return pl.pallas_call(
+            return _pallas_call(
                 body, grid=(kt,), in_specs=in_specs,
                 out_specs=self._out_spec_full(), out_shape=shape,
                 interpret=self.interpret,
@@ -875,7 +889,7 @@ class FusedLES2:
                                  self.has_thermo, self.fold_ghosts,
                                  ks, ctx.ke, self.tj, ctx.jtot)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
-        return pl.pallas_call(
+        return _pallas_call(
             body, grid=(kt, ctx.jtot // self.tj),
             in_specs=[cc_spec] + [any_spec] * 4,
             out_specs=self._out_spec_tiled(), out_shape=shape,
@@ -900,7 +914,7 @@ class FusedLES2:
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((0, 1), ks, ke, "w")
                     + [n2_spec])
-        return pl.pallas_call(
+        return _pallas_call(
             body, grid=(kt,), in_specs=in_specs,
             out_specs=self._out_spec_full(), out_shape=shape,
             interpret=self.interpret,
@@ -931,7 +945,7 @@ class FusedLES2:
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((0, 1), ks, ke, "w")
                     + self._field_specs((-1, 0, 1), ks, ke, "e"))
-        return pl.pallas_call(
+        return _pallas_call(
             body_uv, grid=(kt,), in_specs=specs_uv,
             out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
             input_output_aliases={1: 0, 2: 1},
@@ -952,7 +966,7 @@ class FusedLES2:
                  + self._field_specs((-1, 0), ks, ke, "c")
                  + self._field_specs((-1, 0, 1), ks, ke, "w")
                  + self._field_specs((-1, 0), ks, ke, "e"))
-        return pl.pallas_call(
+        return _pallas_call(
             body, grid=(kt,), in_specs=specs,
             out_specs=t_spec, out_shape=t_shape,
             input_output_aliases={1: 0},
@@ -974,7 +988,7 @@ class FusedLES2:
                  + self._field_specs((0, 1), ks, ke, "w")
                  + self._field_specs((-1, 0, 1), ks, ke, "c")
                  + self._field_specs((-1, 0, 1), ks, ke, "e"))
-        return pl.pallas_call(
+        return _pallas_call(
             body, grid=(kt,), in_specs=specs,
             out_specs=t_spec, out_shape=t_shape,
             input_output_aliases={1: 0},
@@ -1045,7 +1059,7 @@ class FusedLES2:
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((0, 1), ks, ke, "w")
                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
-            ut, vt = pl.pallas_call(
+            ut, vt = _pallas_call(
                 body_uv, grid=(kt,), in_specs=specs_uv,
                 out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
                 input_output_aliases={1: 0, 2: 1},
@@ -1065,7 +1079,7 @@ class FusedLES2:
                          + self._field_specs((-1, 0, 1), ks, ke, "e"))
             tth_in = (t_in["th"] if self.has_thermo
                       else jnp.zeros_like(t_in["w"]))
-            wt, tht = pl.pallas_call(
+            wt, tht = _pallas_call(
                 body_wth, grid=(kt,), in_specs=specs_wth,
                 out_specs=[t_spec] * 2, out_shape=[t_shape] * 2,
                 input_output_aliases={1: 0, 2: 1},
@@ -1099,7 +1113,7 @@ class FusedLES2:
                                  self.smag.visc, svisc, self.has_thermo,
                                  self._extras(), self.fold_ghosts,
                                  ks, ctx.ke, self.tj, ctx.jtot)
-        ut, vt, wt, tht = pl.pallas_call(
+        ut, vt, wt, tht = _pallas_call(
             body, grid=grid,
             in_specs=[cc_spec] + [t_spec] * 4 + [any_spec] * 5,
             out_specs=[t_spec] * 4, out_shape=[t_shape] * 4,
@@ -1152,7 +1166,7 @@ class FusedLES2:
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((0, 1), ks, ke, "w")
                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
-            out_uv = pl.pallas_call(
+            out_uv = _pallas_call(
                 body_uv, grid=(kt,), in_specs=specs_uv,
                 out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
                 input_output_aliases={2: 2, 3: 3} if carry else {},
@@ -1171,7 +1185,7 @@ class FusedLES2:
                          + self._field_specs((-1, 0, 1), ks, ke, "w")
                          + self._field_specs((-1, 0, 1), ks, ke, "c")
                          + self._field_specs((-1, 0, 1), ks, ke, "e"))
-            out_wth = pl.pallas_call(
+            out_wth = _pallas_call(
                 body_wth, grid=(kt,), in_specs=specs_wth,
                 out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
                 input_output_aliases={2: 2, 3: 3} if carry else {},
@@ -1196,7 +1210,7 @@ class FusedLES2:
                                  self.smag.visc, svisc, self.has_thermo,
                                  self._extras(), self.fold_ghosts,
                                  ks, ke, self.tj, ctx.jtot, carry)
-        out = pl.pallas_call(
+        out = _pallas_call(
             body, grid=grid,
             in_specs=[cc_spec, rk_spec] + [t_spec_t] * 4 + [any_spec] * 5,
             out_specs=[t_spec_t] * nout_t, out_shape=[t_shape] * nout_t,
@@ -1603,7 +1617,7 @@ class PresGlue:
         body = functools.partial(_pres_rhs_body, float(ctx.dxi),
                                  float(ctx.dyi))
         shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), su.dtype)
-        return pl.pallas_call(
+        return _pallas_call(
             body, grid=(kt,), in_specs=[sm, sm, f_spec, f_spec, f_spec,
                                         w1_spec],
             out_specs=pl.BlockSpec((1, ctx.jtot, ctx.itot),
@@ -1633,7 +1647,7 @@ class PresGlue:
         # the per-kernel cap instead of splitting the pass.
         cparams = (None if self.interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
-        outs = pl.pallas_call(
+        outs = _pallas_call(
             body, grid=(ctx.ktot,),
             in_specs=[sm, sm, p_spec] + [f_spec] * nout,
             out_specs=[f_spec] * nout, out_shape=[shape] * nout,
