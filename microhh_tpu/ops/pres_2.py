@@ -43,6 +43,24 @@ def _mxu_precision(dtype):
             "default": jax.lax.Precision.DEFAULT}[lvl]
 
 
+def _fwd_precision(dtype):
+    """MXU pass count for the FORWARD spectral transforms only.
+
+    Rounding error in the forward transforms is equivalent to solving a
+    slightly perturbed rhs exactly, so the divergence residual picks it up
+    UNAMPLIFIED — unlike inverse-transform/solve error, which the check
+    sees through the Laplacian (k^2-amplified, the measured 25x DIV blowup
+    when ALL transforms ran at HIGH).  That asymmetry makes HIGH (bf16_3x,
+    ~2x faster) the f32 default here; the inverse stays on
+    ``_mxu_precision`` (HIGHEST by default)."""
+    if dtype != jnp.float32:
+        return None
+    lvl = os.environ.get("MICROHH_DFT_FWD_PRECISION", "high").lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[lvl]
+
+
 def _tdma_body(kmax, af_cf_ref, dr, di, wv, xr, xi):
     """In-VMEM Thomas solve over one (kmax, TJ, 128) mode block: forward
     elimination and back substitution as fori_loops with the running value
@@ -212,6 +230,12 @@ class Pres2:
             "dftCi": ((np.cos(ang) * wk[None, :]).T / itot).astype(dt_),
             "dftSi": ((np.sin(ang) * wk[None, :]).T / itot).astype(dt_),
         }
+        # 3M (Karatsuba) complex-multiply tables for the j transforms:
+        # (Xr + iXi) @ (Cy -+ iSy) in 3 real matmuls instead of 4 using
+        # precomputed Cy+Sy / Cy-Sy (the third operand, Xr+Xi, is an
+        # elementwise add).  Opt-in via MICROHH_DFT_3M (see _use_dft_3m).
+        self._dft_np["dftCpS"] = (np.cos(angy) + np.sin(angy)).astype(dt_)
+        self._dft_np["dftCmS"] = (np.cos(angy) - np.sin(angy)).astype(dt_)
         # two-stage Cooley-Tukey tables where the axis factors as 128*N2
         from .dft_split import build_split_tables, build_j4_tables, \
             j4_mode_perm, j4_splittable
@@ -266,10 +290,12 @@ class Pres2:
         """Forward 2-D real DFT, eigen solve on real/imag parts, inverse —
         all as MXU matmuls (no complex arrays anywhere)."""
         prec = _mxu_precision(rhs.dtype)
+        fprec = _fwd_precision(rhs.dtype)
         C, S = pp["dftC"], pp["dftS"]
         Cy, Sy = pp["dftCy"], pp["dftSy"]
         Ci, Si = pp["dftCi"], pp["dftSi"]
         e = functools.partial(jnp.einsum, precision=prec)
+        ef = functools.partial(jnp.einsum, precision=fprec)
         from .dft_split import rdft_last_fwd, cdft_axis1, cdft_j4
         split = self._use_dft_split()
         split_x = split in ("1", "x") and "dsx_twc" in pp
@@ -284,17 +310,22 @@ class Pres2:
 
         # forward: rfft along i, then full fft along j
         if split_x:
-            Xr, Xi = rdft_last_fwd(rhs, pp, "dsx", n2x, ihalf, e)
+            Xr, Xi = rdft_last_fwd(rhs, pp, "dsx", n2x, ihalf, ef)
         else:
-            Xr = e("kji,if->kjf", rhs, C)
-            Xi = -e("kji,if->kjf", rhs, S)
+            Xr = ef("kji,if->kjf", rhs, C)
+            Xi = -ef("kji,if->kjf", rhs, S)
+        m3 = self._use_dft_3m()
         if split_y4:
-            Yr, Yi = cdft_j4(Xr, Xi, pp, -1, e)
+            Yr, Yi = cdft_j4(Xr, Xi, pp, -1, ef)
         elif split_y:
-            Yr, Yi = cdft_axis1(Xr, Xi, pp, "dsy", n2y, -1, e)
+            Yr, Yi = cdft_axis1(Xr, Xi, pp, "dsy", n2y, -1, ef)
+        elif m3 in ("1", "fwd"):
+            t1 = ef("kjf,jg->kgf", Xr + Xi, Cy)
+            Yr = t1 - ef("kjf,jg->kgf", Xi, pp["dftCmS"])
+            Yi = t1 - ef("kjf,jg->kgf", Xr, pp["dftCpS"])
         else:
-            Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
-            Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
+            Yr = ef("kjf,jg->kgf", Xr, Cy) + ef("kjf,jg->kgf", Xi, Sy)
+            Yi = ef("kjf,jg->kgf", Xi, Cy) - ef("kjf,jg->kgf", Xr, Sy)
 
         if self._use_dft_tdma():
             # O(kmax) Thomas solve per mode in a Pallas kernel; the winv
@@ -341,10 +372,23 @@ class Pres2:
             Zr, Zi = cdft_axis1(xr, xi, pp, "dsy", n2y, +1, e)
             Zr = Zr / n_j
             Zi = Zi / n_j
+        elif m3 in ("1", "inv"):
+            t1 = e("kgf,jg->kjf", xr + xi, Cy)
+            Zr = (t1 - e("kgf,jg->kjf", xi, pp["dftCpS"])) / n_j
+            Zi = (t1 - e("kgf,jg->kjf", xr, pp["dftCmS"])) / n_j
         else:
             Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
             Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
         return e("kjf,fi->kji", Zr, Ci) - e("kjf,fi->kji", Zi, Si)
+
+    @staticmethod
+    def _use_dft_3m():
+        """3M complex multiply for the j-axis DFT matmuls: 3 real matmuls
+        + 1 elementwise add instead of 4 matmuls (12.5% fewer transform
+        flops overall).  ``fwd``/``inv`` select one direction, ``1`` both.
+        The subtractive cancellation in t1-t3 costs ~1 bit, which matters
+        only on the k^2-amplified inverse — measure DIV alongside time."""
+        return os.environ.get("MICROHH_DFT_3M", "0")
 
     @staticmethod
     def _use_eigen():

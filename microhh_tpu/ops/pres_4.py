@@ -270,9 +270,12 @@ class Pres4:
     def _solve_dft(self, ctx, rhs, ep):
         """Real DFT via matmuls + eigen hepta solve on real/imag parts."""
         import functools
-        from .pres_2 import _mxu_precision
+        from .pres_2 import _mxu_precision, _fwd_precision
         prec = _mxu_precision(rhs.dtype)
         e = functools.partial(jnp.einsum, precision=prec)
+        # forward transforms at HIGH by default: their rounding reaches the
+        # divergence residual unamplified (see pres_2._fwd_precision)
+        ef = functools.partial(jnp.einsum, precision=_fwd_precision(rhs.dtype))
         C, S = ep["dftC"], ep["dftS"]
         Cy, Sy = ep["dftCy"], ep["dftSy"]
         Ci, Si = ep["dftCi"], ep["dftSi"]
@@ -285,15 +288,15 @@ class Pres4:
         itot_, jtot_ = rhs.shape[2], rhs.shape[1]
         if split_x:
             Xr, Xi = rdft_last_fwd(rhs, ep, "dsx", itot_ // 128,
-                                   itot_ // 2 + 1, e)
+                                   itot_ // 2 + 1, ef)
         else:
-            Xr = e("kji,if->kjf", rhs, C)
-            Xi = -e("kji,if->kjf", rhs, S)
+            Xr = ef("kji,if->kjf", rhs, C)
+            Xi = -ef("kji,if->kjf", rhs, S)
         if split_y:
-            Yr, Yi = cdft_axis1(Xr, Xi, ep, "dsy", jtot_ // 128, -1, e)
+            Yr, Yi = cdft_axis1(Xr, Xi, ep, "dsy", jtot_ // 128, -1, ef)
         else:
-            Yr = e("kjf,jg->kgf", Xr, Cy) + e("kjf,jg->kgf", Xi, Sy)
-            Yi = e("kjf,jg->kgf", Xi, Cy) - e("kjf,jg->kgf", Xr, Sy)
+            Yr = ef("kjf,jg->kgf", Xr, Cy) + ef("kjf,jg->kgf", Xi, Sy)
+            Yi = ef("kjf,jg->kgf", Xi, Cy) - ef("kjf,jg->kgf", Xr, Sy)
 
         denom = ep["eiglam"][:, None, None] + ep["eigbm"][None]
         gr = e("kl,ljf->kjf", ep["eigVi"], Yr) / denom
