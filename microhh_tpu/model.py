@@ -337,8 +337,13 @@ class Model:
                 subdt = cB[sub] * dt
                 can = cA[(sub + 1) % nsub]
                 carry = can != 0.
+                # sub == 0: nothing on the rkfold path touches t before
+                # the kernel and cA[0] == 0, so the carried t is literal
+                # zeros — the 'first' kernel variant skips reading it and
+                # the zero buffers are never materialized (DCE'd).
                 s_star, t_s = fused_tendencies_rk(fused, ctx, s, t, aux,
-                                                  sfc, subdt, can)
+                                                  sfc, subdt, can,
+                                                  first=(sub == 0))
                 aux = dict(aux)
                 aux["subdt"] = subdt
                 if pres_glue is not None:

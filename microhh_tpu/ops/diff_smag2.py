@@ -104,9 +104,10 @@ class DiffSmag2:
             n2 = self.thermo.get_n2(ctx, s)
             if self.surface:
                 n2 = n2.at[0].set(sfc["dbdz_mo"])
-            rit_pr = n2 / strain2 / self.tPr
-            rit_pr = jnp.minimum(rit_pr, 1. - cst.dsmall)
-            evisc_int = mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit_pr)
+            # algebraically strain2*(1 - min(n2/(tPr*strain2), 1-dsmall)):
+            # the max() form needs one sqrt and no divides (VPU-friendly)
+            evisc_int = mlen2 * jnp.sqrt(jnp.maximum(
+                strain2 - n2 * (1. / self.tPr), strain2 * cst.dsmall))
         else:
             # Neutral (calc_evisc_neutral).  Surface model: Mason only.
             evisc_int = mlen2 * jnp.sqrt(strain2)

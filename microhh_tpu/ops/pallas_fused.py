@@ -136,16 +136,18 @@ def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
     strain2 = 2. * (dudx ** 2 + dvdy ** 2 + dwdz ** 2 + horiz + vert_x + vert_y) + cst.dsmall
 
     if n2 is not None:
-        # externally-computed buoyancy frequency (moist/buoy thermo)
-        rit = jnp.minimum(n2 / strain2 / tPr, 1. - cst.dsmall)
-        return mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
+        # externally-computed buoyancy frequency (moist/buoy thermo).
+        # strain2*(1 - min(n2/(tPr*strain2), 1-dsmall)) rewritten as a
+        # max(): one sqrt, no divides (this kernel is VPU-bound).
+        return mlen2 * jnp.sqrt(jnp.maximum(
+            n2 * (-1. / tPr) + strain2, strain2 * cst.dsmall))
     if has_thermo:
         thref = _cc(cc_ref, C_THREFH)  # full-level thref in the evisc table
         # C_TOPS patches the clamped th_up on the last row (ghost-free
         # variant: ghost = th[ke-1] + grad_top*dzh[ke]); zero otherwise.
         n2 = cst.grav / thref * 0.5 * (th_up + _cc(cc_ref, C_TOPS) - th_dn) * dzi
-        rit = jnp.minimum(n2 / strain2 / tPr, 1. - cst.dsmall)
-        return mlen2 * jnp.sqrt(strain2) * jnp.sqrt(1. - rit)
+        return mlen2 * jnp.sqrt(jnp.maximum(
+            n2 * (-1. / tPr) + strain2, strain2 * cst.dsmall))
     return mlen2 * jnp.sqrt(strain2)
 
 
@@ -398,15 +400,23 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
     tht_ref[0] = tth[0] + tht
 
 
-def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, cc_ref, rk_ref,
-                     tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
-                     *outs):
+def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, first, cc_ref,
+                     rk_ref, *args):
     """uv tendencies with the low-storage RK update FOLDED IN: besides the
     scaled carried tendency (cA_next * t_total, aliased on tu/tv) the
     kernel writes the pre-projection state s* = s + cB*dt*t_total — the
     separate XLA axpy+scale pass over all prognostics disappears
     (timeloop.cxx:250-285 update, done in-register here).  carry=False
-    (last substep, cA_next == 0) drops the dead t outputs."""
+    (last substep, cA_next == 0) drops the dead t outputs; first=True
+    (first substep, cA[0] == 0 so the carried t is identically zero)
+    drops the t INPUTS — no zero buffers are materialized or read."""
+    if first:
+        tu = tv = None
+        (um, uc, up, vm, vc, vp, wc, wp, em, ec, ep) = args[:11]
+        outs = args[11:]
+    else:
+        (tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep) = args[:13]
+        outs = args[13:]
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       um[0], uc[0], up[0], vm[0], vc[0], vp[0],
                       wc[0], wp[0], em[0], ec[0], ep[0])
@@ -414,8 +424,8 @@ def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, cc_ref, rk_ref,
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
                        cc_ref, uc[0], vc[0], ut, vt)
     cbdt, can = rk_ref[0], rk_ref[1]
-    ttu = tu[0] + ut
-    ttv = tv[0] + vt
+    ttu = ut if first else tu[0] + ut
+    ttv = vt if first else tv[0] + vt
     outs[0][0] = uc[0] + cbdt * ttu
     outs[1][0] = vc[0] + cbdt * ttv
     if carry:
@@ -424,9 +434,15 @@ def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, cc_ref, rk_ref,
 
 
 def _tend_wth_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras,
-                      carry, cc_ref, rk_ref,
-                      tw, tth, um, uc, vm, vc, wm, wc, wp, thm, thc, thp,
-                      em, ec, ep, *outs):
+                      carry, first, cc_ref, rk_ref, *args):
+    if first:
+        tw = tth = None
+        (um, uc, vm, vc, wm, wc, wp, thm, thc, thp, em, ec, ep) = args[:13]
+        outs = args[13:]
+    else:
+        (tw, tth, um, uc, vm, vc, wm, wc, wp, thm, thc, thp,
+         em, ec, ep) = args[:15]
+        outs = args[15:]
     wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
                         um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
                         thm[0], thc[0], thp[0], em[0], ec[0], ep[0])
@@ -435,8 +451,8 @@ def _tend_wth_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras,
                          has_thermo)
     wt = jnp.where(pl.program_id(0) == 0, 0., wt)
     cbdt, can = rk_ref[0], rk_ref[1]
-    ttw = tw[0] + wt
-    tt_th = tth[0] + tht
+    ttw = wt if first else tw[0] + wt
+    tt_th = tht if first else tth[0] + tht
     outs[0][0] = wc[0] + cbdt * ttw
     outs[1][0] = thc[0] + cbdt * tt_th
     if carry:
@@ -650,12 +666,19 @@ def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
 
 
 def _all_tiled_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
-                       ks, ke, TJ, jtot, carry, cc_ref, rk_ref,
-                       tu, tv, tw, tth,
-                       u_ref, v_ref, w_ref, th_ref, e_ref, *rest):
+                       ks, ke, TJ, jtot, carry, first, cc_ref, rk_ref,
+                       *rest):
     """Tiled merged tendency pass with the RK update folded in (see
     _tend_uv_rk_body): writes s* = s + cB*dt*t_total and the scaled
-    carried tendency cA_next*t_total in the same HBM sweep."""
+    carried tendency cA_next*t_total in the same HBM sweep.  first=True
+    drops the carried-t inputs (identically zero on the first substep)."""
+    if first:
+        tu = tv = tw = tth = None
+        u_ref, v_ref, w_ref, th_ref, e_ref = rest[:5]
+        rest = rest[5:]
+    else:
+        (tu, tv, tw, tth, u_ref, v_ref, w_ref, th_ref, e_ref) = rest[:9]
+        rest = rest[9:]
     refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
             + [e_ref] * 3)
     koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
@@ -681,10 +704,10 @@ def _all_tiled_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
     wt = jnp.where(pl.program_id(0) == 0, 0., wt)
     H = HALO_J
     cbdt, can = rk_ref[0], rk_ref[1]
-    ttu = tu[0] + ut[H:H + TJ]
-    ttv = tv[0] + vt[H:H + TJ]
-    ttw = tw[0] + wt[H:H + TJ]
-    ttth = tth[0] + tht[H:H + TJ]
+    ttu = ut[H:H + TJ] if first else tu[0] + ut[H:H + TJ]
+    ttv = vt[H:H + TJ] if first else tv[0] + vt[H:H + TJ]
+    ttw = wt[H:H + TJ] if first else tw[0] + wt[H:H + TJ]
+    ttth = tht[H:H + TJ] if first else tth[0] + tht[H:H + TJ]
     outs[0][0] = u[H:H + TJ] + cbdt * ttu
     outs[1][0] = v[H:H + TJ] + cbdt * ttv
     outs[2][0] = w[H:H + TJ] + cbdt * ttw
@@ -1128,14 +1151,18 @@ class FusedLES2:
         return ut, vt, wt, tht
 
     def tendencies_rk(self, u, v, w, th, evisc_full, t_in, cbdt, can,
-                      carry=True):
+                      carry=True, first=False):
         """Tendencies with the low-storage RK update folded in: returns
         (us, vs, ws, ths, ut, vt, wt, tht) where s* = s + cbdt*t_total
         (pre-projection state) and t_out = can*t_total (scaled carry,
         aliased on t_in; None when carry=False — the last substep's
-        cA_next is 0, so the dead writes are skipped).  Ghost planes of
-        the s* outputs are NOT written (the substep refills/clamps them);
-        w* at the top wall ke is set to zero by the caller."""
+        cA_next is 0, so the dead writes are skipped).  first=True (first
+        substep: cA[0] == 0, the carried t is identically zero) drops the
+        t INPUTS entirely — the caller's zero buffers are never
+        materialized or read, and the t outputs are fresh allocations.
+        Ghost planes of the s* outputs are NOT written (the substep
+        refills/clamps them); w* at the top wall ke is set to zero by the
+        caller."""
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
         svisc = (self.smag.viscs.get("th", self.smag.visc)
@@ -1144,8 +1171,9 @@ class FusedLES2:
         rk = jnp.stack([jnp.asarray(cbdt, u.dtype),
                         jnp.asarray(can, u.dtype)])
         th_in = th if th is not None else u
-        tth_in = (t_in["th"] if self.has_thermo
-                  else jnp.zeros_like(t_in["w"]))
+        tth_in = (None if first else
+                  (t_in["th"] if self.has_thermo
+                   else jnp.zeros_like(t_in["w"])))
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         rk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec = pl.BlockSpec((1, ctx.jtot, ctx.itot),
@@ -1155,42 +1183,47 @@ class FusedLES2:
                                        u.dtype)
         nout = 4 if carry else 2
         nout_t = 8 if carry else 4
+        nt_in = 0 if first else 2
 
         if not self.tiled:
             body_uv = functools.partial(_tend_uv_rk_body, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
                                         self.smag.visc, self._extras(),
-                                        carry)
-            specs_uv = ([cc_spec, rk_spec] + [t_spec] * 2
+                                        carry, first)
+            specs_uv = ([cc_spec, rk_spec] + [t_spec] * nt_in
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((0, 1), ks, ke, "w")
                         + self._field_specs((-1, 0, 1), ks, ke, "e"))
+            t_args_uv = () if first else (t_in["u"], t_in["v"])
             out_uv = _pallas_call(
                 body_uv, grid=(kt,), in_specs=specs_uv,
                 out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
-                input_output_aliases={2: 2, 3: 3} if carry else {},
+                input_output_aliases=({2: 2, 3: 3} if carry and not first
+                                      else {}),
                 interpret=self.interpret,
-            )(cc, rk, t_in["u"], t_in["v"], u, u, u, v, v, v, w, w,
+            )(cc, rk, *t_args_uv, u, u, u, v, v, v, w, w,
               evisc_full, evisc_full, evisc_full)
 
             body_wth = functools.partial(_tend_wth_rk_body, self.smag.tPr,
                                          float(ctx.dxi), float(ctx.dyi),
                                          self.smag.visc, svisc,
                                          self.has_thermo, self._extras(),
-                                         carry)
-            specs_wth = ([cc_spec, rk_spec] + [t_spec] * 2
+                                         carry, first)
+            specs_wth = ([cc_spec, rk_spec] + [t_spec] * nt_in
                          + self._field_specs((-1, 0), ks, ke, "c")
                          + self._field_specs((-1, 0), ks, ke, "c")
                          + self._field_specs((-1, 0, 1), ks, ke, "w")
                          + self._field_specs((-1, 0, 1), ks, ke, "c")
                          + self._field_specs((-1, 0, 1), ks, ke, "e"))
+            t_args_wth = () if first else (t_in["w"], tth_in)
             out_wth = _pallas_call(
                 body_wth, grid=(kt,), in_specs=specs_wth,
                 out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
-                input_output_aliases={2: 2, 3: 3} if carry else {},
+                input_output_aliases=({2: 2, 3: 3} if carry and not first
+                                      else {}),
                 interpret=self.interpret,
-            )(cc, rk, t_in["w"], tth_in, u, u, v, v, w, w, w, th_in, th_in,
+            )(cc, rk, *t_args_wth, u, u, v, v, w, w, w, th_in, th_in,
               th_in, evisc_full, evisc_full, evisc_full)
             us, vs = out_uv[0], out_uv[1]
             ws, ths = out_wth[0], out_wth[1]
@@ -1209,17 +1242,18 @@ class FusedLES2:
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, svisc, self.has_thermo,
                                  self._extras(), self.fold_ghosts,
-                                 ks, ke, self.tj, ctx.jtot, carry)
+                                 ks, ke, self.tj, ctx.jtot, carry, first)
+        t_args = () if first else (t_in["u"], t_in["v"], t_in["w"], tth_in)
         out = _pallas_call(
             body, grid=grid,
-            in_specs=[cc_spec, rk_spec] + [t_spec_t] * 4 + [any_spec] * 5,
+            in_specs=([cc_spec, rk_spec] + [t_spec_t] * (2 * nt_in)
+                      + [any_spec] * 5),
             out_specs=[t_spec_t] * nout_t, out_shape=[t_shape] * nout_t,
-            input_output_aliases=({2: 4, 3: 5, 4: 6, 5: 7} if carry
-                                  else {}),
+            input_output_aliases=({2: 4, 3: 5, 4: 6, 5: 7}
+                                  if carry and not first else {}),
             scratch_shapes=self._tiled_scratch(15, u.dtype),
             interpret=self.interpret,
-        )(cc, rk, t_in["u"], t_in["v"], t_in["w"], tth_in,
-          u, v, w, th_in, evisc_full)
+        )(cc, rk, *t_args, u, v, w, th_in, evisc_full)
         if carry:
             return out
         return tuple(out) + (None, None, None, None)
@@ -1414,11 +1448,13 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     return t
 
 
-def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can):
+def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
     """fused_tendencies with the RK update folded into the kernels:
     returns (s_star, t_scaled) dicts.  The surface-model wall-row patches
     are applied to BOTH outputs (the kernel computed them with the
-    clamped/periodic vertical term, exactly like the non-RK path)."""
+    clamped/periodic vertical term, exactly like the non-RK path).
+    first=True: the carried t is identically zero (first substep) and is
+    neither materialized nor read."""
     smag = fused.smag
     u, v, w = s["u"], s["v"], s["w"]
     th = s.get("th")
@@ -1430,7 +1466,7 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can):
 
     carry = not (isinstance(can, float) and can == 0.)
     us, vs, ws, ths, ut, vt, wt, tht = fused.tendencies_rk(
-        u, v, w, th, evisc, t, cbdt, can, carry=carry)
+        u, v, w, th, evisc, t, cbdt, can, carry=carry, first=first)
     # w* top wall: the kernel grid never writes plane ke (w tendency is
     # zero there); the buffer is fresh, so pin the wall value explicitly.
     ws = ws.at[ke].set(0.)

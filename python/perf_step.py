@@ -44,10 +44,15 @@ def main():
     s1, sfc1 = chunk_j(s, sfc)
     jax.block_until_ready(s1["u"])
 
+    prof = os.environ.get("MICROHH_PROFILE")
+    if prof:
+        jax.profiler.start_trace(prof)
     t0 = time.perf_counter()
     s2, sfc2 = chunk_j(s1, sfc1)
     jax.block_until_ready(s2["u"])
     t1 = time.perf_counter()
+    if prof:
+        jax.profiler.stop_trace()
 
     div = float(model.pres.divergence_max(model.ctx, s2))
     print("size=%d nsteps=%d  %.1f ms/step  DIV=%.4e  (fwd=%s eigen=%s dft=%s)"
