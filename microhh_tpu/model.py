@@ -248,6 +248,7 @@ class Model:
         # HBM pass per substep).  Auto-enabled on TPU for the matching
         # config when the (jtot, itot) plane set fits VMEM.
         fused = self._maybe_build_fused()
+        self._fused = fused  # introspection (tests, perf tooling)
 
         fold_ghosts = fused is not None and fused.fold_ghosts
 
@@ -341,15 +342,21 @@ class Model:
                 # the kernel and cA[0] == 0, so the carried t is literal
                 # zeros — the 'first' kernel variant skips reading it and
                 # the zero buffers are never materialized (DCE'd).
-                s_star, t_s = fused_tendencies_rk(fused, ctx, s, t, aux,
-                                                  sfc, subdt, can,
-                                                  first=(sub == 0))
+                # Tiled fold_ghosts variant: the Poisson rhs is emitted by
+                # the same kernel sweep (one fewer pass over u*/v*/w*).
+                want_rhs = (pres_glue is not None and fused.tiled
+                            and fused.fold_ghosts
+                            and os.environ.get("MICROHH_RHS_FOLD", "1") == "1")
+                s_star, t_s, rhs = fused_tendencies_rk(
+                    fused, ctx, s, t, aux, sfc, subdt, can,
+                    first=(sub == 0),
+                    rhs_dti=(1. / subdt) if want_rhs else None)
                 aux = dict(aux)
                 aux["subdt"] = subdt
                 if pres_glue is not None:
                     s_new, t_new, aux = fused_pressure_rk(
                         pres_glue, ctx, self.pres, s_star, t_s, aux,
-                        subdt, can, pp, carry)
+                        subdt, can, pp, carry, rhs=rhs)
                     if not carry:
                         t_new = {n: jnp.zeros_like(s[n]) for n in names}
                     return s_new, t_new, sfc, aux

@@ -666,57 +666,109 @@ def _all_tiled_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
 
 
 def _all_tiled_rk_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, fold,
-                       ks, ke, TJ, jtot, carry, first, cc_ref, rk_ref,
-                       *rest):
+                       ks, ke, TJ, jtot, carry, first, want_rhs, cc_ref,
+                       rk_ref, *rest):
     """Tiled merged tendency pass with the RK update folded in (see
     _tend_uv_rk_body): writes s* = s + cB*dt*t_total and the scaled
     carried tendency cA_next*t_total in the same HBM sweep.  first=True
-    drops the carried-t inputs (identically zero on the first substep)."""
+    drops the carried-t inputs (identically zero on the first substep).
+    want_rhs: the Poisson rhs dti*div(rho s*) (pres_2.cxx:156-196) is
+    emitted in the SAME sweep — the separate rhs kernel's re-read of
+    u*/v*/w* disappears.  Plane k's horizontal-divergence + lower-w-flux
+    part is stashed in a VMEM plane and completed one k step later when
+    w*(k+1) exists; an extra flush grid step emits the last plane (its
+    dead s*/t writes land in ghost plane 0, never read under
+    fold_ghosts).  The carried tv rides a 16th DMA window (its j+1 halo
+    row builds v* at the tile edge); it is NOT input/output-aliased —
+    the wrap tile's halo row would race tile 0's already-written out
+    block."""
     if first:
-        tu = tv = tw = tth = None
+        tu = tv = tw = tth = tv_win = None
         u_ref, v_ref, w_ref, th_ref, e_ref = rest[:5]
         rest = rest[5:]
+    elif want_rhs:
+        (tu, tw, tth, u_ref, v_ref, w_ref, th_ref, e_ref, tv_ref) = rest[:9]
+        tv = None
+        rest = rest[9:]
     else:
         (tu, tv, tw, tth, u_ref, v_ref, w_ref, th_ref, e_ref) = rest[:9]
+        tv_win = None
         rest = rest[9:]
     refs = ([u_ref] * 3 + [v_ref] * 3 + [w_ref] * 3 + [th_ref] * 3
             + [e_ref] * 3)
     koffs = [-1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1, -1, 0, 1]
-    bounds = _tiled_bounds(fold, ks, ke,
-                           ["c"] * 6 + ["w"] * 3 + ["c"] * 3 + ["e"] * 3)
-    outs, scratch, sems = rest[:-2], rest[-2], rest[-1]
+    kinds = ["c"] * 6 + ["w"] * 3 + ["c"] * 3 + ["e"] * 3
+    if want_rhs and not first:
+        refs.append(tv_ref)
+        koffs.append(0)
+        kinds.append("c")
+    bounds = _tiled_bounds(fold, ks, ke, kinds)
+    if want_rhs:
+        outs, scratch, sems, xbuf = rest[:-3], rest[-3], rest[-2], rest[-1]
+    else:
+        outs, scratch, sems = rest[:-2], rest[-2], rest[-1]
     slot = _fetch_windows(refs, koffs, scratch, sems, ks, TJ, jtot, bounds)
     s = scratch[slot]
+    kt = ke - ks
+    # the flush step (k == kt) recomputes plane kt-1 with clamped windows
+    # purely to feed the rhs completion; clamp the constant-table row too
+    cc_k = (_CCRow(cc_ref, jnp.minimum(pl.program_id(0), kt - 1))
+            if want_rhs else cc_ref)
     u_dn, u, u_up = s[0], s[1], s[2]
     v_dn, v, v_up = s[3], s[4], s[5]
     w_dn, w, w_up = s[6], s[7], s[8]
     th_dn, th, th_up = s[9], s[10], s[11]
     e_dn, e, e_up = s[12], s[13], s[14]
-    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
+    if want_rhs and not first:
+        tv_win = s[15]
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_k,
                       u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up)
-    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_k,
                         u_dn, u, v_dn, v, w_dn, w, w_up,
                         th_dn, th, th_up, e_dn, e, e_up)
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
-                       cc_ref, u, v, ut, vt)
-    wt, tht = _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo)
+                       cc_k, u, v, ut, vt)
+    wt, tht = _extra_wth(fold_buffer, cc_k, w, th, wt, tht, has_thermo)
     wt = jnp.where(pl.program_id(0) == 0, 0., wt)
     H = HALO_J
     cbdt, can = rk_ref[0], rk_ref[1]
     ttu = ut[H:H + TJ] if first else tu[0] + ut[H:H + TJ]
-    ttv = vt[H:H + TJ] if first else tv[0] + vt[H:H + TJ]
+    if want_rhs and not first:
+        ttv = tv_win[H:H + TJ] + vt[H:H + TJ]
+    else:
+        ttv = vt[H:H + TJ] if first else tv[0] + vt[H:H + TJ]
     ttw = wt[H:H + TJ] if first else tw[0] + wt[H:H + TJ]
     ttth = tht[H:H + TJ] if first else tth[0] + tht[H:H + TJ]
-    outs[0][0] = u[H:H + TJ] + cbdt * ttu
+    us_b = u[H:H + TJ] + cbdt * ttu
+    ws_b = w[H:H + TJ] + cbdt * ttw
+    outs[0][0] = us_b
     outs[1][0] = v[H:H + TJ] + cbdt * ttv
-    outs[2][0] = w[H:H + TJ] + cbdt * ttw
+    outs[2][0] = ws_b
     outs[3][0] = th[H:H + TJ] + cbdt * ttth
     if carry:
         outs[4][0] = can * ttu
         outs[5][0] = can * ttv
         outs[6][0] = can * ttw
         outs[7][0] = can * ttth
+    if want_rhs:
+        k = pl.program_id(0)
+        dti = rk_ref[2]
+        # v* on rows H..H+TJ inclusive: the j-difference needs one row
+        # past the tile body (vt is valid on the window halo rows)
+        ttv_ext = (vt[H:H + TJ + 1] if first
+                   else tv_win[H:H + TJ + 1] + vt[H:H + TJ + 1])
+        vsx = v[H:H + TJ + 1] + cbdt * ttv_ext
+        rho = _cc(cc_k, C_RHO)
+        rhoh = _cc(cc_k, C_RHOH)
+        divh = ((_ip(us_b) - us_b) * dxi + (vsx[1:] - vsx[:-1]) * dyi)
+        xnew = rho * divh - rhoh * ws_b * _cc(cc_k, C_DZI)
+        j0 = pl.multiple_of(pl.program_id(1) * TJ, 8)
+        # complete plane k-1: + rhoh(k) * w*(k) * dzi(k-1); at the flush
+        # step w*(kt) is the top wall (zero), so the term drops out
+        wflux = jnp.where(k == kt, 0., rhoh * ws_b * _cc(cc_k, C_DZI_M1))
+        outs[-1][0] = dti * (xbuf[pl.ds(j0, TJ)] + wflux)
+        xbuf[pl.ds(j0, TJ)] = xnew
 
 
 class FusedLES2:
@@ -1151,25 +1203,34 @@ class FusedLES2:
         return ut, vt, wt, tht
 
     def tendencies_rk(self, u, v, w, th, evisc_full, t_in, cbdt, can,
-                      carry=True, first=False):
+                      carry=True, first=False, rhs_dti=None):
         """Tendencies with the low-storage RK update folded in: returns
-        (us, vs, ws, ths, ut, vt, wt, tht) where s* = s + cbdt*t_total
+        (us, vs, ws, ths, ut, vt, wt, tht, rhs) where s* = s + cbdt*t_total
         (pre-projection state) and t_out = can*t_total (scaled carry,
         aliased on t_in; None when carry=False — the last substep's
         cA_next is 0, so the dead writes are skipped).  first=True (first
         substep: cA[0] == 0, the carried t is identically zero) drops the
         t INPUTS entirely — the caller's zero buffers are never
         materialized or read, and the t outputs are fresh allocations.
-        Ghost planes of the s* outputs are NOT written (the substep
-        refills/clamps them); w* at the top wall ke is set to zero by the
+        rhs_dti != None (tiled + fold_ghosts only): the Poisson rhs
+        rhs_dti*div(rho s*) is emitted in the same sweep (see
+        _all_tiled_rk_body); rhs is None otherwise.  Ghost planes of the
+        s* outputs are NOT written (the substep refills/clamps them) —
+        EXCEPT ghost plane 0, which the rhs flush step overwrites with
+        dead values; w* at the top wall ke is set to zero by the
         caller."""
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        want_rhs = rhs_dti is not None
+        if want_rhs and not (self.tiled and self.fold_ghosts):
+            raise ValueError("rhs fold needs the tiled fold_ghosts variant")
         svisc = (self.smag.viscs.get("th", self.smag.visc)
                  if self.has_thermo else self.smag.visc)
         cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
-        rk = jnp.stack([jnp.asarray(cbdt, u.dtype),
-                        jnp.asarray(can, u.dtype)])
+        rkvals = [jnp.asarray(cbdt, u.dtype), jnp.asarray(can, u.dtype)]
+        if want_rhs:
+            rkvals.append(jnp.asarray(rhs_dti, u.dtype))
+        rk = jnp.stack(rkvals)
         th_in = th if th is not None else u
         tth_in = (None if first else
                   (t_in["th"] if self.has_thermo
@@ -1229,34 +1290,79 @@ class FusedLES2:
             ws, ths = out_wth[0], out_wth[1]
             if carry:
                 return (us, vs, ws, ths,
-                        out_uv[2], out_uv[3], out_wth[2], out_wth[3])
-            return us, vs, ws, ths, None, None, None, None
+                        out_uv[2], out_uv[3], out_wth[2], out_wth[3], None)
+            return us, vs, ws, ths, None, None, None, None, None
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
-        grid = (kt, ctx.jtot // self.tj)
+        grid = (kt + (1 if want_rhs else 0), ctx.jtot // self.tj)
         TJ = self.tj
-        t_spec_t = pl.BlockSpec((1, TJ, ctx.itot),
-                                lambda k, jt: (k + ks, jt, 0),
-                                memory_space=pltpu.VMEM)
+        if want_rhs:
+            # flush step k == kt: blocked t inputs clamp to the last
+            # interior plane; all dead outputs land in ghost plane 0
+            t_spec_t = pl.BlockSpec(
+                (1, TJ, ctx.itot),
+                lambda k, jt: (jnp.minimum(k, kt - 1) + ks, jt, 0),
+                memory_space=pltpu.VMEM)
+            out_spec_t = pl.BlockSpec(
+                (1, TJ, ctx.itot),
+                lambda k, jt: (jnp.where(k == kt, 0, k + ks), jt, 0),
+                memory_space=pltpu.VMEM)
+            rhs_spec = pl.BlockSpec(
+                (1, TJ, ctx.itot),
+                lambda k, jt: (jnp.maximum(k - 1, 0), jt, 0),
+                memory_space=pltpu.VMEM)
+            rhs_shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot),
+                                             u.dtype)
+        else:
+            t_spec_t = pl.BlockSpec((1, TJ, ctx.itot),
+                                    lambda k, jt: (k + ks, jt, 0),
+                                    memory_space=pltpu.VMEM)
+            out_spec_t = t_spec_t
         body = functools.partial(_all_tiled_rk_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, svisc, self.has_thermo,
                                  self._extras(), self.fold_ghosts,
-                                 ks, ke, self.tj, ctx.jtot, carry, first)
-        t_args = () if first else (t_in["u"], t_in["v"], t_in["w"], tth_in)
+                                 ks, ke, self.tj, ctx.jtot, carry, first,
+                                 want_rhs)
+        if first:
+            t_args, nt_blocked, any_extra = (), 0, ()
+        elif want_rhs:
+            # tv rides a DMA window (see the body note); NOT aliased —
+            # the wrap tile's halo fetch would race tile 0's out write
+            t_args = (t_in["u"], t_in["w"], tth_in)
+            nt_blocked, any_extra = 3, (t_in["v"],)
+        else:
+            t_args = (t_in["u"], t_in["v"], t_in["w"], tth_in)
+            nt_blocked, any_extra = 4, ()
+        if carry and not first:
+            if want_rhs:
+                aliases = {2: 4, 3: 6, 4: 7}
+            else:
+                aliases = {2: 4, 3: 5, 4: 6, 5: 7}
+        else:
+            aliases = {}
+        nwin = 16 if (want_rhs and not first) else 15
+        scratch = self._tiled_scratch(nwin, u.dtype)
+        if want_rhs:
+            scratch = scratch + [pltpu.VMEM((ctx.jtot, ctx.itot), u.dtype)]
         out = _pallas_call(
             body, grid=grid,
-            in_specs=([cc_spec, rk_spec] + [t_spec_t] * (2 * nt_in)
-                      + [any_spec] * 5),
-            out_specs=[t_spec_t] * nout_t, out_shape=[t_shape] * nout_t,
-            input_output_aliases=({2: 4, 3: 5, 4: 6, 5: 7}
-                                  if carry and not first else {}),
-            scratch_shapes=self._tiled_scratch(15, u.dtype),
+            in_specs=([cc_spec, rk_spec] + [t_spec_t] * nt_blocked
+                      + [any_spec] * (5 + len(any_extra))),
+            out_specs=([out_spec_t] * nout_t
+                       + ([rhs_spec] if want_rhs else [])),
+            out_shape=([t_shape] * nout_t
+                       + ([rhs_shape] if want_rhs else [])),
+            input_output_aliases=aliases,
+            scratch_shapes=scratch,
             interpret=self.interpret,
-        )(cc, rk, *t_args, u, v, w, th_in, evisc_full)
+        )(cc, rk, *t_args, u, v, w, th_in, evisc_full, *any_extra)
+        rhs = out[-1] if want_rhs else None
+        if want_rhs:
+            out = out[:-1]
         if carry:
-            return out
-        return tuple(out) + (None, None, None, None)
+            return tuple(out) + (rhs,)
+        return tuple(out) + (None, None, None, None, rhs)
 
 
 # ==========================================================================
@@ -1448,13 +1554,18 @@ def fused_tendencies(fused, ctx, s, t, aux, sfc):
     return t
 
 
-def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
+def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False,
+                        rhs_dti=None):
     """fused_tendencies with the RK update folded into the kernels:
-    returns (s_star, t_scaled) dicts.  The surface-model wall-row patches
-    are applied to BOTH outputs (the kernel computed them with the
+    returns (s_star, t_scaled, rhs) dicts.  The surface-model wall-row
+    patches are applied to BOTH outputs (the kernel computed them with the
     clamped/periodic vertical term, exactly like the non-RK path).
     first=True: the carried t is identically zero (first substep) and is
-    neither materialized nor read."""
+    neither materialized nor read.  rhs_dti != None (tiled fold_ghosts
+    variant): the Poisson rhs is emitted by the same kernel sweep and the
+    u*/v* wall-row patches propagate into its wall rows (their horizontal
+    divergence changes; the cbdt factor cancels against rhs_dti = 1/cbdt);
+    rhs is None otherwise."""
     smag = fused.smag
     u, v, w = s["u"], s["v"], s["w"]
     th = s.get("th")
@@ -1465,8 +1576,9 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
     visc = smag.visc
 
     carry = not (isinstance(can, float) and can == 0.)
-    us, vs, ws, ths, ut, vt, wt, tht = fused.tendencies_rk(
-        u, v, w, th, evisc, t, cbdt, can, carry=carry, first=first)
+    us, vs, ws, ths, ut, vt, wt, tht, rhs = fused.tendencies_rk(
+        u, v, w, th, evisc, t, cbdt, can, carry=carry, first=first,
+        rhs_dti=rhs_dti)
     # w* top wall: the kernel grid never writes plane ke (w tendency is
     # zero there); the buffer is fresh, so pin the wall value explicitly.
     ws = ws.at[ke].set(0.)
@@ -1496,6 +1608,8 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
                 t_arr = t_arr.at[ka].add(can * delta)
             return s_arr, t_arr
 
+        uv_deltas = {}
+
         # ---- u rows (diff_smag2.cxx diff_u wall forms) ----
         for row, ka in (("bot", ks), ("top", ke - 1)):
             ev_t = 0.25 * (im(E(ka)) + E(ka) + im(E(ka + 1)) + E(ka + 1)) + visc
@@ -1509,6 +1623,7 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
             old_vert = ((rhoh[ka + 1] * ev_t * ((F(u, ka + 1) - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
                          - rhoh[ka] * ev_b * ((u[ka] - F(u, ka - 1)) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
                         / rho[ka] * dzi[ka])
+            uv_deltas[("u", row)] = corr - old_vert
             us, ut = patch(us, ut, ka, corr - old_vert)
 
         # ---- v rows ----
@@ -1524,6 +1639,7 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
             old_vert = ((rhoh[ka + 1] * ev_t * ((F(v, ka + 1) - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
                          - rhoh[ka] * ev_b * ((v[ka] - F(v, ka - 1)) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
                         / rho[ka] * dzi[ka])
+            uv_deltas[("v", row)] = corr - old_vert
             vs, vt = patch(vs, vt, ka, corr - old_vert)
 
         # ---- th rows ----
@@ -1546,17 +1662,29 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False):
                             / rho[ka] * dzi[ka])
                 ths, tht = patch(ths, tht, ka, corr - old_vert)
 
+        if rhs is not None:
+            # the u*/v* wall patches change the horizontal divergence of
+            # the in-kernel rhs at its wall rows by
+            # rhs_dti * rho * div_h(cbdt * delta)  (== rho * div_h(delta)
+            # in the model, where rhs_dti = 1/cbdt)
+            fac = rhs_dti * cbdt
+            for row, ka, kr in (("bot", ks, 0), ("top", ke - 1, ctx.ktot - 1)):
+                du = uv_deltas[("u", row)]
+                dv = uv_deltas[("v", row)]
+                dd = rho[ka] * ((ip(du) - du) * dxi + (jp(dv) - dv) * dyi)
+                rhs = rhs.at[kr].add(fac * dd)
+
     s_star = dict(s)
     s_star["u"], s_star["v"], s_star["w"] = us, vs, ws
     if fused.has_thermo:
         s_star["th"] = ths
     if not carry:
-        return s_star, None
+        return s_star, None, rhs
     t_out = dict(t)
     t_out["u"], t_out["v"], t_out["w"] = ut, vt, wt
     if fused.has_thermo:
         t_out["th"] = tht
-    return s_star, t_out
+    return s_star, t_out, rhs
 
 
 # ==========================================================================
@@ -1701,13 +1829,16 @@ class PresGlue:
 
 
 def fused_pressure_rk(glue, ctx, pres, s_star, t_s, aux, subdt, can, pp,
-                      carry):
+                      carry, rhs=None):
     """The full projection for the rkfold path: Pallas rhs -> spectral
     solve -> Pallas gradient application.  aux['p'] is still produced (for
     cross/dump/budget consumers) but from the interior solve directly; in
-    the hot loop nothing reads it and XLA dead-code-eliminates the pad."""
+    the hot loop nothing reads it and XLA dead-code-eliminates the pad.
+    rhs: a divergence rhs already emitted by the tendency kernel sweep
+    (fused_tendencies_rk with rhs_dti) — skips the separate rhs pass."""
     ks, ke = ctx.ks, ctx.ke
-    rhs = glue.rhs(s_star["u"], s_star["v"], s_star["w"], 1. / subdt)
+    if rhs is None:
+        rhs = glue.rhs(s_star["u"], s_star["v"], s_star["w"], 1. / subdt)
     p_int = pres.solve(ctx, rhs, pp)
     aux = dict(aux)
     p_full = jnp.pad(p_int, ((ks, ctx.kcells - ke), (0, 0), (0, 0)),
