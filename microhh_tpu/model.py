@@ -259,7 +259,6 @@ class Model:
         # modifies the tendency between the kernels and the RK update.
         use_rkfold = False
         if (fused is not None and not fused.generic
-                and fused.sharded_mesh is None
                 and os.environ.get("MICROHH_RKFOLD", "1") == "1"):
             from .ops.pres_2 import Pres2
             from .ops.microphys import MicrophysDisabled
@@ -295,7 +294,11 @@ class Model:
         if (pres_active_rk
                 and os.environ.get("MICROHH_PRES_FUSED", "1") == "1"):
             from .ops.pallas_fused import PresGlue
-            pres_glue = PresGlue(ctx, fused.interpret)
+            # Sharded: the glue kernels run per shard on halo-padded
+            # planes, so their specs take the LOCAL padded (jtot, itot)
+            # that fused.ctx already carries.
+            pres_glue = PresGlue(fused.ctx, fused.interpret)
+            pres_glue.sharded_mesh = fused.sharded_mesh
 
         def substep(s, t, sfc, aux, pp, dt, time_s, sub):
             if not fold_ghosts:
@@ -586,7 +589,11 @@ class Model:
             jl = ctx.jtot // npy + 2 * HALO
             il = ctx.itot // npx + 2 * HALO
             plane_l = jl * il * np.dtype(self.dtype).itemsize
-            if plane_l * 40 > 14 * 1024 * 1024:
+            # ~19 operand planes double-buffered must fit the (raised)
+            # 100 MB scoped-vmem budget; this admits 512^2+halo shards
+            # (41 MB).  No tiled fallback exists per shard, so beyond the
+            # cap the XLA op pipeline takes over.
+            if plane_l * 40 > 90 * 1024 * 1024:
                 return None  # shard too large for the full-plane variant
             import copy
             ctx_l = copy.copy(ctx)

@@ -1576,9 +1576,42 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False,
     visc = smag.visc
 
     carry = not (isinstance(can, float) and can == 0.)
-    us, vs, ws, ths, ut, vt, wt, tht, rhs = fused.tendencies_rk(
-        u, v, w, th, evisc, t, cbdt, can, carry=carry, first=first,
-        rhs_dti=rhs_dti)
+    if fused.sharded_mesh is not None:
+        # Per-shard kernels on halo-padded planes; the wall-row patches
+        # below run on the trimmed GLOBAL outputs (their rolls lower to
+        # GSPMD collectives).  The in-kernel rhs fold needs the tiled
+        # variant, which has no per-shard form — rhs stays a separate
+        # (sharded) PresGlue pass.
+        from ..parallel.halo import sharded_planes_call
+        assert rhs_dti is None
+        th_in = th if th is not None else u
+        n_out = 8 if carry else 4
+        args = [u, v, w, th_in, evisc]
+        if not first:
+            tth = t["th"] if fused.has_thermo else t["w"]
+            args += [t["u"], t["v"], t["w"], tth]
+
+        def call(uu, vv, ww, tt, ee, *rest):
+            ts, cbdt_l = rest[:-1], rest[-1]
+            t_l = None
+            if ts:
+                t_l = {"u": ts[0], "v": ts[1], "w": ts[2], "th": ts[3]}
+            outs = fused.tendencies_rk(uu, vv, ww, tt, ee, t_l, cbdt_l, can,
+                                       carry=carry, first=first)
+            return outs[:n_out]
+
+        outs = sharded_planes_call(fused.sharded_mesh, call, n_out, *args,
+                                   scalars=(jnp.asarray(cbdt, u.dtype),))
+        us, vs, ws, ths = outs[:4]
+        if carry:
+            ut, vt, wt, tht = outs[4:]
+        else:
+            ut = vt = wt = tht = None
+        rhs = None
+    else:
+        us, vs, ws, ths, ut, vt, wt, tht, rhs = fused.tendencies_rk(
+            u, v, w, th, evisc, t, cbdt, can, carry=carry, first=first,
+            rhs_dti=rhs_dti)
     # w* top wall: the kernel grid never writes plane ke (w tendency is
     # zero there); the buffer is fresh, so pin the wall value explicitly.
     ws = ws.at[ke].set(0.)
@@ -1742,7 +1775,13 @@ def _pres_apply_uvw_body(dxi, dyi, carry, pc_ref, rk_ref, p, *rest):
 
 
 class PresGlue:
-    """The two kernel families around the spectral pressure solve."""
+    """The two kernel families around the spectral pressure solve.
+
+    ``sharded_mesh`` (set by Model together with the fused kernels') makes
+    ``fused_pressure_rk`` run both kernels per shard on halo-padded planes;
+    ``ctx`` then carries the LOCAL padded (jtot, itot)."""
+
+    sharded_mesh = None
 
     def __init__(self, ctx, interpret):
         self.ctx = ctx
@@ -1837,14 +1876,51 @@ def fused_pressure_rk(glue, ctx, pres, s_star, t_s, aux, subdt, can, pp,
     rhs: a divergence rhs already emitted by the tendency kernel sweep
     (fused_tendencies_rk with rhs_dti) — skips the separate rhs pass."""
     ks, ke = ctx.ks, ctx.ke
+    mesh = glue.sharded_mesh
+    dt0 = s_star["u"].dtype
     if rhs is None:
-        rhs = glue.rhs(s_star["u"], s_star["v"], s_star["w"], 1. / subdt)
+        if mesh is not None:
+            from ..parallel.halo import sharded_planes_call
+            rhs = sharded_planes_call(
+                mesh, lambda su, sv, sw, dti: glue.rhs(su, sv, sw, dti),
+                1, s_star["u"], s_star["v"], s_star["w"],
+                scalars=(jnp.asarray(1. / subdt, dt0),))[0]
+        else:
+            rhs = glue.rhs(s_star["u"], s_star["v"], s_star["w"], 1. / subdt)
     p_int = pres.solve(ctx, rhs, pp)
     aux = dict(aux)
     p_full = jnp.pad(p_int, ((ks, ctx.kcells - ke), (0, 0), (0, 0)),
                      mode="edge")
     aux["p"] = p_full
-    s_new, t_new = glue.apply(p_int, s_star, t_s, subdt, can, carry)
+    if mesh is not None:
+        from ..parallel.halo import sharded_planes_call
+        comps = ("u", "v", "w")
+        args = [p_int] + [s_star[n] for n in comps]
+        if carry:
+            args += [t_s[n] for n in comps]
+        n_out = 6 if carry else 3
+
+        def call(p_l, *rest):
+            fields, subdt_l = rest[:-1], rest[-1]
+            s_l = {n: fields[i] for i, n in enumerate(comps)}
+            t_l = ({n: fields[3 + i] for i, n in enumerate(comps)}
+                   if carry else None)
+            sn, tn = glue.apply(p_l, s_l, t_l, subdt_l, can, carry)
+            outs = [sn[n] for n in comps]
+            if carry:
+                outs += [tn[n] for n in comps]
+            return tuple(outs)
+
+        outs = sharded_planes_call(mesh, call, n_out, *args,
+                                   scalars=(jnp.asarray(subdt, dt0),))
+        s_new = dict(s_star)
+        s_new["u"], s_new["v"], s_new["w"] = outs[:3]
+        t_new = None
+        if carry:
+            t_new = dict(t_s)
+            t_new["u"], t_new["v"], t_new["w"] = outs[3:]
+    else:
+        s_new, t_new = glue.apply(p_int, s_star, t_s, subdt, can, carry)
     return s_new, t_new, aux
 
 

@@ -236,6 +236,39 @@ class Pres2:
         # elementwise add).  Opt-in via MICROHH_DFT_3M (see _use_dft_3m).
         self._dft_np["dftCpS"] = (np.cos(angy) + np.sin(angy)).astype(dt_)
         self._dft_np["dftCmS"] = (np.cos(angy) - np.sin(angy)).astype(dt_)
+        # ---- symmetric/antisymmetric j-fold tables ----------------------
+        # The whole j-chain (forward DFT -> per-mode diagonal solve with
+        # bmatj[g] == bmatj[jtot-g] -> inverse DFT) is a real symmetric
+        # circular convolution along j, so it decomposes into FOUR
+        # independent half-size chains: {Xr, Xi} x {symmetric -> cosine
+        # transform, antisymmetric -> sine transform}.  Each dense
+        # (jtot x jtot) table shrinks to (jtot/2+1)^2 — 4x fewer MXU MACs
+        # for the j transforms — with plain 2-D dots and natural mode
+        # order (none of the reshape/layout hostility that made the
+        # Cooley-Tukey splits slower in-step).  Fold weights: rows j=0 and
+        # j=H are self-paired (weight 1); the inverse tables carry the
+        # mode weights cg (2 except g in {0, H}) and the sine factor 2.
+        if jtot % 2 == 0 and jtot >= 4:
+            Hj = jtot // 2
+            jf = np.arange(Hj + 1)
+            angf = 2. * np.pi * np.outer(jf, jf) / jtot
+            cgw = np.ones(Hj + 1)
+            cgw[1:Hj] = 2.
+            self._dft_np["dfj_C"] = np.cos(angf).astype(dt_)
+            self._dft_np["dfj_S"] = np.sin(angf).astype(dt_)
+            self._dft_np["dfj_Cg"] = (np.cos(angf) * cgw[:, None]).astype(dt_)
+            self._dft_np["dfj_Sg"] = (2. * np.sin(angf)).astype(dt_)
+            self._eig_np["eigbm_fj"] = bmji[:Hj + 1].astype(dt_)
+        # ---- i-fold tables (same symmetry trick along the x axis) -------
+        # Forward: half-contraction cos/sin tables (i', f) with i', f =
+        # 0..itot/2; note ihalf == itot/2+1, so these are square.  Inverse:
+        # the weighted dftCi/dftSi tables truncated to the first half of
+        # the output columns (the rest reconstructs by symmetry).
+        if itot % 2 == 0 and itot >= 4:
+            self._dft_np["dfi_C"] = np.cos(ang[:ihalf]).astype(dt_)
+            self._dft_np["dfi_S"] = np.sin(ang[:ihalf]).astype(dt_)
+            self._dft_np["dfi_Ci"] = self._dft_np["dftCi"][:, :ihalf]
+            self._dft_np["dfi_Si"] = self._dft_np["dftSi"][:, :ihalf]
         # two-stage Cooley-Tukey tables where the axis factors as 128*N2
         from .dft_split import build_split_tables, build_j4_tables, \
             j4_mode_perm, j4_splittable
@@ -304,6 +337,13 @@ class Pres2:
         # tables are permuted to match; the TDMA pivots are not)
         split_y4 = (split == "y4" and "dy4_mc" in pp
                     and "eigbm_y4" in pp and not self._use_dft_tdma())
+        # symmetric/antisymmetric j-fold (see set_values): needs the eigen
+        # path (the folded spectra reuse its linearity) and excludes the
+        # other j variants
+        fold_j = (self._use_dft_foldj() and "dfj_C" in pp
+                  and not (split_y or split_y4)
+                  and self._use_dft_3m() == "0"
+                  and not self._use_dft_tdma())
         n2x = self.grid.itot // 128
         n2y = self.grid.jtot // 128
         ihalf = self.grid.itot // 2 + 1
@@ -311,10 +351,27 @@ class Pres2:
         # forward: rfft along i, then full fft along j
         if split_x:
             Xr, Xi = rdft_last_fwd(rhs, pp, "dsx", n2x, ihalf, ef)
+        elif self._use_dft_foldi() and "dfi_C" in pp:
+            # fold the REAL input about i -> itot-i: the cos transform
+            # consumes the even part, the sin transform the odd part —
+            # contraction length itot/2+1 instead of itot
+            Hi = rhs.shape[2] // 2
+            Rp = jnp.concatenate(
+                [rhs[..., :1], rhs[..., 1:Hi] + rhs[..., :Hi:-1],
+                 rhs[..., Hi:Hi + 1]], axis=-1)
+            Rm = jnp.concatenate(
+                [rhs[..., :1], rhs[..., 1:Hi] - rhs[..., :Hi:-1],
+                 rhs[..., Hi:Hi + 1]], axis=-1)
+            Xr = ef("kji,if->kjf", Rp, pp["dfi_C"])
+            Xi = -ef("kji,if->kjf", Rm, pp["dfi_S"])
         else:
             Xr = ef("kji,if->kjf", rhs, C)
             Xi = -ef("kji,if->kjf", rhs, S)
         m3 = self._use_dft_3m()
+        if fold_j:
+            Zr, Zi = self._solve_dft_foldj(ctx, Xr, Xi, pp, rhs.shape[1],
+                                           e, ef)
+            return self._idft_x(Zr, Zi, pp, rhs.shape[2], e)
         if split_y4:
             Yr, Yi = cdft_j4(Xr, Xi, pp, -1, ef)
         elif split_y:
@@ -379,7 +436,103 @@ class Pres2:
         else:
             Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
             Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
-        return e("kjf,fi->kji", Zr, Ci) - e("kjf,fi->kji", Zi, Si)
+        return self._idft_x(Zr, Zi, pp, rhs.shape[2], e)
+
+    def _idft_x(self, Zr, Zi, pp, n_i, e):
+        """Hermitian-weighted inverse real DFT along i.  With the i-fold
+        enabled the two (ihalf x itot) matmuls shrink to (ihalf x ihalf):
+        the weighted tables are symmetric (cos) / antisymmetric (sin)
+        about i -> itot-i, so out[i'] = P+M and out[itot-i'] = P-M with
+        P = Zr @ Ci_half, M = -Zi @ Si_half."""
+        if self._use_dft_foldi() and "dfi_Ci" in pp and n_i % 2 == 0:
+            H = n_i // 2
+            P = e("kjf,fi->kji", Zr, pp["dfi_Ci"])
+            M = -e("kjf,fi->kji", Zi, pp["dfi_Si"])
+            return jnp.concatenate(
+                [P + M, (P - M)[..., H - 1:0:-1]], axis=-1)
+        return e("kjf,fi->kji", Zr, pp["dftCi"]) - e("kjf,fi->kji", Zi,
+                                                     pp["dftSi"])
+
+    @staticmethod
+    def _use_dft_foldi():
+        """Symmetry-folded x transforms: the forward rfft folds its REAL
+        input into even/odd halves (cos/sin transforms of contraction
+        length itot/2+1) and the inverse folds its OUTPUT — 2x fewer
+        x-stage MACs.  The folds are lane-axis reversals (cheap VPU
+        permutes).  Opt-in until measured in-step (MICROHH_DFT_FOLDI=1)."""
+        return os.environ.get("MICROHH_DFT_FOLDI", "0") == "1"
+
+    def _solve_dft_foldj(self, ctx, Xr, Xi, pp, n_j, e, ef):
+        """j-stage of the DFT solve on symmetry-folded half spectra.
+
+        The j-chain is a real symmetric circular convolution (forward DFT,
+        per-mode diagonal eigen solve with bmatj[g] == bmatj[N-g], inverse
+        DFT), so it splits into four independent half-size chains: the
+        symmetric part of each of Xr/Xi through a cosine transform and the
+        antisymmetric part through a sine transform.  4x fewer j-matmul
+        MACs than the dense path; fold/unfold are slice adds/concats along
+        the sublane axis (no reshapes).  Mean-mode (0,0) patch: the g=0
+        row of the folded spectra IS the true g=0 mode (the sine parts
+        vanish there), so the dense eigM0 solve patches the cosine chains
+        exactly as the dense path patches Yr/Yi."""
+        H = n_j // 2
+
+        def foldp(a):
+            return jnp.concatenate(
+                [a[:, :1], a[:, 1:H] + a[:, :H:-1], a[:, H:H + 1]], axis=1)
+
+        def foldm(a):
+            # rows 0 and H multiply zero rows of the sine table; reuse the
+            # unpaired values there rather than materializing zeros
+            return jnp.concatenate(
+                [a[:, :1], a[:, 1:H] - a[:, :H:-1], a[:, H:H + 1]], axis=1)
+
+        Ch, Sh = pp["dfj_C"], pp["dfj_S"]
+        Cr = ef("kjf,jg->kgf", foldp(Xr), Ch)
+        Sr = ef("kjf,jg->kgf", foldm(Xr), Sh)
+        Ci_ = ef("kjf,jg->kgf", foldp(Xi), Ch)
+        Si_ = ef("kjf,jg->kgf", foldm(Xi), Sh)
+
+        lvl = os.environ.get("MICROHH_EIGEN_PRECISION",
+                             "high" if Xr.dtype == jnp.float32
+                             else "highest")
+        ep = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}[lvl]
+        ee = functools.partial(jnp.einsum, precision=ep)
+        Vim, V = pp["eigVim"], pp["eigV"]
+        denom = pp["eiglam"][:, None, None] + pp["eigbm_fj"][None]
+
+        def esolve(Y):
+            g = ee("kl,ljf->kjf", Vim, Y) / denom
+            return ee("kl,ljf->kjf", V, g)
+
+        xCr, xSr = esolve(Cr), esolve(Sr)
+        xCi, xSi = esolve(Ci_), esolve(Si_)
+        x0r = e("kl,l->k", pp["eigM0"], Cr[:, 0, 0])
+        x0i = e("kl,l->k", pp["eigM0"], Ci_[:, 0, 0])
+        xCr = xCr.at[:, 0, 0].set(x0r)
+        xCi = xCi.at[:, 0, 0].set(x0i)
+
+        # inverse cosine/sine transforms (mode weights folded into the
+        # tables), then unfold: x[j] = (P+M)/N, x[N-j] = (P-M)/N
+        Cg, Sg = pp["dfj_Cg"], pp["dfj_Sg"]
+        P_r = e("kgf,gj->kjf", xCr, Cg)
+        M_r = e("kgf,gj->kjf", xSr, Sg)
+        P_i = e("kgf,gj->kjf", xCi, Cg)
+        M_i = e("kgf,gj->kjf", xSi, Sg)
+        Zr = jnp.concatenate([P_r + M_r, (P_r - M_r)[:, H - 1:0:-1]],
+                             axis=1) / n_j
+        Zi = jnp.concatenate([P_i + M_i, (P_i - M_i)[:, H - 1:0:-1]],
+                             axis=1) / n_j
+        return Zr, Zi
+
+    @staticmethod
+    def _use_dft_foldj():
+        """Symmetry-folded j transforms (see _solve_dft_foldj): 4x fewer
+        j-stage MXU MACs via half-size cosine/sine tables.  Opt-in until
+        measured in-step on the TPU (MICROHH_DFT_FOLDJ=1)."""
+        return os.environ.get("MICROHH_DFT_FOLDJ", "0") == "1"
 
     @staticmethod
     def _use_dft_3m():

@@ -55,26 +55,32 @@ def halo_pad(x, ydim=-2, xdim=-1):
     return x
 
 
-def sharded_planes_call(mesh, fn, n_out, *arrays):
-    """Run ``fn(*padded_arrays) -> tuple`` per shard with halo-padded
-    operands, trimming each output's margins.  arrays are (k, j, i) global
-    fields sharded P(None, 'y', 'x'); outputs have the operands' interior
-    shape."""
+def sharded_planes_call(mesh, fn, n_out, *arrays, scalars=()):
+    """Run ``fn(*padded_arrays, *scalars) -> tuple`` per shard with
+    halo-padded operands, trimming each output's margins.  arrays are
+    (k, j, i) global fields sharded P(None, 'y', 'x'); outputs have the
+    operands' interior shape.  ``scalars`` are replicated 0-d/1-d values
+    passed through unpadded (traced values must ride as arguments — a
+    tracer closed over inside shard_map is rejected)."""
     spec = P(None, "y", "x")
+    rep = P()
 
     def local(*xs):
-        padded = [halo_pad(x) for x in xs]
-        outs = fn(*padded)
+        n = len(arrays)
+        padded = [halo_pad(x) for x in xs[:n]]
+        outs = fn(*padded, *xs[n:])
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
         return tuple(o[..., HALO:o.shape[-2] - HALO, HALO:o.shape[-1] - HALO]
                      for o in outs)
 
-    kw = {}
+    in_specs = (spec,) * len(arrays) + (rep,) * len(scalars)
     try:  # pallas out_shapes carry no varying-manual-axes info
-        out = shard_map(local, mesh=mesh, in_specs=(spec,) * len(arrays),
-                        out_specs=(spec,) * n_out, check_vma=False)(*arrays)
+        out = shard_map(local, mesh=mesh, in_specs=in_specs,
+                        out_specs=(spec,) * n_out, check_vma=False)(
+                            *arrays, *scalars)
     except TypeError:  # older jax spells it check_rep
-        out = shard_map(local, mesh=mesh, in_specs=(spec,) * len(arrays),
-                        out_specs=(spec,) * n_out, check_rep=False)(*arrays)
+        out = shard_map(local, mesh=mesh, in_specs=in_specs,
+                        out_specs=(spec,) * n_out, check_rep=False)(
+                            *arrays, *scalars)
     return out

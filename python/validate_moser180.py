@@ -110,6 +110,12 @@ def main():
     tke_visc = prof("tke_visc")
     f.close()
 
+    # Channel budgets are symmetric about mid-channel; fold the two halves
+    # (average bottom and mirrored top) so the envelope checks measure the
+    # developed-flow shape rather than whichever wall argmax lands on.
+    def fold(a):
+        return 0.5 * (a + a[::-1])
+
     # wall units: u_tau from the imposed pressure gradient balance
     # (utau^2 = -dpdx * H with H the half-channel height); moser180 drives
     # a fixed uflux, so measure utau from the wall shear in the mean profile
@@ -118,11 +124,14 @@ def main():
     y_ref, yp_ref = ref[:, 0], ref[:, 1]
     produc_ref, dissip_ref = ref[:, 3], ref[:, 2]
 
-    # model wall units
+    # model wall units: average the two walls (symmetric channel; the
+    # symmetric-stretched grid has z[0] and zsize - z[-1] equal)
     fstats = nc.Dataset(stats_path, "r")
     u_prof = np.asarray(fstats.groups["default"].variables["u"][:])[-1]
     fstats.close()
-    dudz_wall = u_prof[0] / z[0]
+    zsize = z[0] + z[-1]
+    dudz_wall = 0.5 * (abs(u_prof[0]) / z[0]
+                       + abs(u_prof[-1]) / (zsize - z[-1]))
     utau = np.sqrt(visc * abs(dudz_wall))
     print("u_tau = %.5f (Re_tau = %.1f)" % (utau, utau * 1.0 / visc))
     norm = utau ** 4 / visc      # budget normalization
@@ -145,17 +154,19 @@ def main():
     # the flow is still transitional (Re_tau ~ 235, peak at y+ ~ 465).
     rt = args.rtol
     if args.endtime >= 3600.:
-        shear_peak = tke_shear.max() / norm
+        shear_f = fold(tke_shear)
+        diss_f = fold(tke_diss)
+        shear_peak = shear_f.max() / norm
         ref_peak = produc_ref.max()
         check("tke production peak (+)", shear_peak,
               (1. - rt) * ref_peak, (1. + rt) * ref_peak)
-        diss_wall = -tke_diss.min() / norm
+        diss_wall = -diss_f.min() / norm
         ref_dw = -dissip_ref.min()
         check("tke dissipation magnitude", diss_wall,
               (1. - rt) * ref_dw, (1. + rt) * ref_dw)
-        # production peaks near y+ ~ 12
-        zp = z * utau / visc
-        zp_peak = zp[np.argmax(tke_shear)]
+        # production peaks near y+ ~ 12 (distance to the nearest wall)
+        zp = np.minimum(z, zsize - z) * utau / visc
+        zp_peak = zp[np.argmax(shear_f)]
         check("production peak y+", zp_peak, 5., 30.)
     else:
         print("endtime %g < 3600 s: envelope checks skipped "

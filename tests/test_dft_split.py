@@ -190,3 +190,68 @@ dt=0.1
     scale = np.abs(x_direct).max()
     assert np.abs(x_split - x_direct).max() / scale < 1e-11, \
         np.abs(x_split - x_direct).max() / scale
+
+
+@pytest.mark.parametrize("foldj,foldi", [("1", "0"), ("0", "1"),
+                                         ("1", "1")])
+def test_pres2_fold_matches_direct(foldj, foldi):
+    """Whole Poisson solve with the symmetry-folded j and/or i transforms
+    vs the dense DFT path, including an odd-k grid and a non-square plane
+    so the fold indexing is exercised off the power-of-two sweet spot."""
+    from microhh_tpu.config import Ini
+    from microhh_tpu.grid import Grid
+    from microhh_tpu.fields import Fields
+    from microhh_tpu.ops.pres_2 import Pres2
+
+    ini = Ini("""
+[grid]
+itot=96
+jtot=64
+ktot=13
+xsize=6.28
+ysize=3.14
+zsize=2.
+swspatialorder=2
+[fields]
+visc=1e-5
+[boundary]
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=neumann
+sbctop=neumann
+sbot=0
+stop=0
+[time]
+endtime=1
+savetime=1
+dt=0.1
+""")
+    g = Grid(ini)
+    dz = g.zsize / g.ktot
+    g.set_z(np.linspace(0.5 * dz, g.zsize - 0.5 * dz, g.ktot))
+    f = Fields(ini, g)
+    p2 = Pres2(ini, g, f, dtype=np.float64)
+    p2.set_values()
+    pp = p2.device_params()
+    assert "dfj_C" in pp and "eigbm_fj" in pp
+    rng = np.random.RandomState(6)
+    rhs = jnp.asarray(rng.randn(g.ktot, g.jtot, g.itot))
+
+    class Ctx:
+        pass
+
+    os.environ["MICROHH_DFT_POISSON"] = "1"
+    try:
+        os.environ["MICROHH_DFT_FOLDJ"] = foldj
+        os.environ["MICROHH_DFT_FOLDI"] = foldi
+        x_fold = np.asarray(p2.solve(Ctx(), rhs, pp))
+        os.environ["MICROHH_DFT_FOLDJ"] = "0"
+        os.environ["MICROHH_DFT_FOLDI"] = "0"
+        x_direct = np.asarray(p2.solve(Ctx(), rhs, pp))
+    finally:
+        os.environ.pop("MICROHH_DFT_POISSON", None)
+        os.environ.pop("MICROHH_DFT_FOLDJ", None)
+        os.environ.pop("MICROHH_DFT_FOLDI", None)
+    scale = np.abs(x_direct).max()
+    assert np.abs(x_fold - x_direct).max() / scale < 1e-11, \
+        np.abs(x_fold - x_direct).max() / scale

@@ -292,6 +292,9 @@ def test_sharded_fused_matches_single_device():
     m2 = build(mesh)
     f2 = m2._maybe_build_fused()
     assert f2 is not None and f2.sharded_mesh is mesh
+    # the production multi-chip path folds the RK update into the sharded
+    # kernels too — pin it so a silent fallback regression fails here
+    assert m2._use_rkfold
     s2, sfc2 = initial(m2)
     s2, _t, sfc2 = pmesh.shard_state(s2, {k: jnp.zeros_like(v) for k, v in s2.items()}, sfc2, mesh)
     with mesh:
