@@ -279,6 +279,21 @@ class Pres2:
         self._dft_np.update(build_j4_tables(jtot, dt_))
         if j4_splittable(jtot):
             self._eig_np["eigbm_y4"] = bmji[j4_mode_perm(jtot)].astype(dt_)
+        # ---- fused radix-4 Pallas transform tables (see ops/pallas_dft) —
+        # permuted mode order on BOTH axes; the wavenumber table absorbs it.
+        # bmat* from the closed form (valid at any f; symmetric about N/2).
+        from .pallas_dft import (build_pallas_dft_tables, pallas_dft_ok,
+                                 pallas_mode_perm)
+        self._dft_np.update(build_pallas_dft_tables(itot, jtot, dt_))
+        if pallas_dft_ok(itot, jtot):
+            bmati_f = 2. * (np.cos(2. * np.pi * np.arange(itot) / itot)
+                            - 1.) * dxidxi
+            bmatj_f = 2. * (np.cos(2. * np.pi * np.arange(jtot) / jtot)
+                            - 1.) * dyidyi
+            bm_pl = (bmatj_f[pallas_mode_perm(jtot, 4)][:, None]
+                     + bmati_f[pallas_mode_perm(itot, 3)][None, :])
+            bm_pl[0, 0] = -1.      # dummy: the (0,0) column is overwritten
+            self._eig_np["eigbm_pl"] = bm_pl.astype(dt_)
         self._built = True
 
     def device_params(self):
@@ -319,9 +334,75 @@ class Pres2:
         for grids where the dense tables dominate."""
         return os.environ.get("MICROHH_DFT_SPLIT", "0")
 
+    @staticmethod
+    def _use_dft_pallas(dtype):
+        """Fused radix-4 Pallas transform kernels (ops/pallas_dft): the
+        forward x+j transforms in ONE per-plane kernel and likewise the
+        inverse — 4x-shorter MXU contractions with VMEM-local butterflies
+        and twiddles, where the XLA-level splits/folds lost to layout
+        assignment.  MEASURED at 512^3 on v5e (2026-08-18): 188.8 vs 212.1
+        ms/step, DIV unchanged (2.1e-5) — the default on TPU for f32
+        (Mosaic cannot compile f64 kernels; see model.py's f64 fallback).
+        MICROHH_DFT_PALLAS=0/1 overrides."""
+        sw = os.environ.get("MICROHH_DFT_PALLAS", "auto")
+        if sw == "0":
+            return False
+        if sw == "1":
+            return True
+        return (jax.default_backend() == "tpu"
+                and dtype == jnp.float32)
+
+    def _eigen_ri(self, Yr, Yi, pp, bm):
+        """Fast-diagonalization vertical solve on separated real/imag
+        spectra with the given per-mode wavenumber table; returns (xr, xi)
+        with the mean-mode (0,0) dense patch applied."""
+        lvl = os.environ.get("MICROHH_EIGEN_PRECISION",
+                             "high" if Yr.dtype == jnp.float32
+                             else "highest")
+        ep = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}[lvl]
+        ee = functools.partial(jnp.einsum, precision=ep)
+        Vim, V = pp["eigVim"], pp["eigV"]
+        denom = pp["eiglam"][:, None, None] + bm[None]
+        gr = ee("kl,ljf->kjf", Vim, Yr) / denom
+        gi = ee("kl,ljf->kjf", Vim, Yi) / denom
+        xr = ee("kl,ljf->kjf", V, gr)
+        xi = ee("kl,ljf->kjf", V, gi)
+        x0r = jnp.einsum("kl,l->k", pp["eigM0"], Yr[:, 0, 0])
+        x0i = jnp.einsum("kl,l->k", pp["eigM0"], Yi[:, 0, 0])
+        return xr.at[:, 0, 0].set(x0r), xi.at[:, 0, 0].set(x0i)
+
+    def _solve_dft_pallas(self, ctx, rhs, pp):
+        """Radix-4 Pallas transforms around the eigen solve (doubly
+        permuted mode order; see ops/pallas_dft.py).  Mosaic lowers only
+        DEFAULT/HIGHEST dot precisions, so the f32 kernels run HIGHEST
+        (exact f32) both ways — the 4x-shorter contractions make that
+        cheaper than the dense path's HIGH forward, and it removes the
+        forward-transform rounding entirely."""
+        from .pallas_dft import dft2_fwd, dft2_inv
+
+        def kprec(p):
+            if p is None or p == jax.lax.Precision.DEFAULT:
+                return p
+            return jax.lax.Precision.HIGHEST
+
+        interp = jax.default_backend() != "tpu"
+        Yr, Yi = dft2_fwd(rhs, pp, kprec(_fwd_precision(rhs.dtype)),
+                          interpret=interp)
+        xr, xi = self._eigen_ri(Yr, Yi, pp, pp["eigbm_pl"])
+        return dft2_inv(xr, xi, pp, kprec(_mxu_precision(rhs.dtype)),
+                        self.grid.itot, interpret=interp)
+
     def _solve_dft(self, ctx, rhs, pp):
         """Forward 2-D real DFT, eigen solve on real/imag parts, inverse —
         all as MXU matmuls (no complex arrays anywhere)."""
+        if (self._use_dft_pallas(rhs.dtype) and "plxf_c0" in pp
+                and "eigbm_pl" in pp and self._use_eigen()
+                and not self._use_dft_tdma()
+                and (rhs.dtype == jnp.float32
+                     or jax.default_backend() != "tpu")):
+            return self._solve_dft_pallas(ctx, rhs, pp)
         prec = _mxu_precision(rhs.dtype)
         fprec = _fwd_precision(rhs.dtype)
         C, S = pp["dftC"], pp["dftS"]
