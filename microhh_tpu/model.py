@@ -313,7 +313,20 @@ class Model:
             elif fused is not None:
                 from .ops.pallas_fused import (fused_exec_viscosity,
                                                fused_tendencies)
-                aux = fused_exec_viscosity(fused, ctx, s, sfc, aux)
+                if (use_rkfold and getattr(fused, "fold_evisc", False)
+                        and fused.sharded_mesh is None):
+                    # evisc rides the RK kernel sweep; only the MOST
+                    # surface row is computed here (2-D XLA) so it sees
+                    # the PREVIOUS substep's MO gradients, exactly like
+                    # the standalone pass (model.cxx runs exec_viscosity
+                    # before boundary->exec)
+                    if fused.smag.surface:
+                        from .ops.pallas_fused import _surface_evisc_row
+                        aux = dict(aux)
+                        aux["se_row"] = _surface_evisc_row(
+                            fused.smag, ctx, s, sfc, fused.has_thermo)
+                else:
+                    aux = fused_exec_viscosity(fused, ctx, s, sfc, aux)
             else:
                 aux = self.diff.exec_viscosity(ctx, s, sfc, aux)
                 t = self.thermo.exec(ctx, s, t, aux)

@@ -616,14 +616,15 @@ def _fetch_windows(hbm_refs, koffs, scratch, sems, ks, TJ, jtot,
 #  (plane k+2, one step ahead of first use), cutting the RK kernels' HBM
 #  reads by ~40% at 512^3 (measured memory-bound at ~88% of HBM peak).
 
-def _ring_copies(ref, bound, scratch, sems, f, r_signed, TJ, jtot, jt_idx):
+def _ring_copies(ref, bound, scratch, sems, f, r_signed, TJ, jtot, jt_idx,
+                 depth=4):
     """DMA descriptors for ring field f at signed relative plane r_signed
     (clamped per the field's (base, lo, hi) bound): TJ body rows of tile
-    jt_idx plus HALO_J-row periodic halos into ring slot (r_abs - lo) % 4
-    (same 8-aligned three-copy layout as _window_copies)."""
+    jt_idx plus HALO_J-row periodic halos into ring slot (r_abs - lo) %
+    depth (same 8-aligned three-copy layout as _window_copies)."""
     base, lo, hi = bound
     r_abs = jnp.clip(jnp.int32(r_signed + base), jnp.int32(lo), jnp.int32(hi))
-    slot = jax.lax.rem(r_abs - jnp.int32(lo), jnp.int32(4))
+    slot = jax.lax.rem(r_abs - jnp.int32(lo), jnp.int32(depth))
     j0 = pl.multiple_of(jt_idx * TJ, 8)
     top = pl.multiple_of(
         jax.lax.rem(jnp.int32(j0 - HALO_J + jtot), jnp.int32(jtot)), 8)
@@ -642,49 +643,55 @@ def _ring_copies(ref, bound, scratch, sems, f, r_signed, TJ, jtot, jt_idx):
     ]
 
 
-def _ring_fetch(hbm_refs, bounds, scratch, sems, TJ, jtot):
-    """Ring orchestration for the (jt, k) grid: at k == 0 prime planes 0
-    and 1 (offset -1 clamps onto plane 0); every step but the last starts
-    the fetch of plane k+2; every step k >= 1 waits for plane k+1
-    (started one step earlier).  Clamped duplicate fetches at the top
-    edge rewrite a slot with identical bytes — benign.  Returns a reader
-    ``win(f, off)`` for the (TJ+2H, itot) window of field f at the
-    clamped plane k+off."""
+def _ring_fetch(hbm_refs, bounds, scratch, sems, TJ, jtot, extra=0):
+    """Ring orchestration for the (jt, k) grid: at k == 0 prime planes
+    0..1+extra (offset -1 clamps onto plane 0); every step but the last
+    starts the fetch of plane k+2+extra; every step k >= 1 waits for
+    plane k+1+extra (started one step earlier).  ``extra`` raises the
+    lookahead (and the ring depth to 4+extra) for kernels that read up to
+    offset +1+extra (the evisc fold needs +2).  Clamped duplicate fetches
+    at the top edge rewrite a slot with identical bytes — benign.
+    Returns a reader ``win(f, off)`` for the (TJ+2H, itot) window of
+    field f at the clamped plane k+off."""
     jt = pl.program_id(0)
     k = pl.program_id(1)
     nk = pl.num_programs(1)
     nf = len(hbm_refs)
+    depth = 4 + extra
 
     def copies(f, r_signed):
         return _ring_copies(hbm_refs[f], bounds[f], scratch, sems, f,
-                            r_signed, TJ, jtot, jt)
+                            r_signed, TJ, jtot, jt, depth=depth)
 
     @pl.when(k == 0)
     def _prime():
+        prime_rs = list(range(2 + extra))
         for f in range(nf):
-            for c in copies(f, 0) + copies(f, 1):
-                c.start()
+            for r in prime_rs:
+                for c in copies(f, r):
+                    c.start()
         for f in range(nf):
-            for c in copies(f, 0) + copies(f, 1):
-                c.wait()
+            for r in prime_rs:
+                for c in copies(f, r):
+                    c.wait()
 
     @pl.when(k < nk - 1)
     def _prefetch():
         for f in range(nf):
-            for c in copies(f, k + 2):
+            for c in copies(f, k + 2 + extra):
                 c.start()
 
     @pl.when(k >= 1)
     def _wait():
         for f in range(nf):
-            for c in copies(f, k + 1):
+            for c in copies(f, k + 1 + extra):
                 c.wait()
 
     def win(f, off):
         base, lo, hi = bounds[f]
         r_abs = jnp.clip(jnp.int32(k + off + base),
                          jnp.int32(lo), jnp.int32(hi))
-        slot = jax.lax.rem(r_abs - jnp.int32(lo), jnp.int32(4))
+        slot = jax.lax.rem(r_abs - jnp.int32(lo), jnp.int32(depth))
         return scratch[slot, f]
 
     return win
@@ -773,6 +780,147 @@ def _all_tiled_rk_ring_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras,
         j0 = pl.multiple_of(pl.program_id(0) * TJ, 8)
         wflux = jnp.where(k == kt, 0., rhoh * ws_b * _cc(cc_k, C_DZI_M1))
         outs[-1][0] = dti * (xbuf[pl.ds(j0, TJ)] + wflux)
+        xbuf[pl.ds(j0, TJ)] = xnew
+
+
+def _all_tiled_rk_ev_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras,
+                          ks, ke, TJ, jtot, carry, first, want_rhs, surface,
+                          cc_ref, cce_ref, rk_ref, *rest):
+    """k-ring RK body with the Smagorinsky viscosity FOLDED IN: the
+    separate evisc pass (its 4 field reads + 1 write + the RK kernel's
+    re-read) disappears.  At step k the kernel computes the evisc plane
+    k+1 from the field ring (which runs one plane deeper, offsets up to
+    +2) into a 4-deep VMEM e-ring; plane 0 is primed from the XLA
+    surface-row input (MOST wall form) or computed in-kernel with clamped
+    planes.  Each step also writes e(k) out, so the wall-row patches and
+    any aux consumer see exactly the array the standalone pass produced."""
+    kt = ke - ks
+    if first:
+        tu = tw = tth = tv_blk = None
+        hbm = list(rest[:4])          # u, v, w, th
+        rest = rest[4:]
+        kinds = ["c", "c", "w", "c"]
+    elif want_rhs:
+        tu, tw, tth = rest[:3]
+        tv_blk = None
+        hbm = list(rest[3:8])         # u, v, w, th, tv
+        rest = rest[8:]
+        kinds = ["c", "c", "w", "c", "c"]
+    else:
+        tu, tv_blk, tw, tth = rest[:4]
+        hbm = list(rest[4:8])
+        rest = rest[8:]
+        kinds = ["c", "c", "w", "c"]
+    if surface:
+        se_ref = rest[0]
+        rest = rest[1:]
+    bounds = _tiled_bounds(True, ks, ke, kinds)
+    if want_rhs:
+        outs, rest = rest[:-5], rest[-5:]
+        scratch, sems, ering, esem, xbuf = rest
+    else:
+        outs, rest = rest[:-4], rest[-4:]
+        scratch, sems, ering, esem = rest
+    win = _ring_fetch(hbm, bounds, scratch, sems, TJ, jtot, extra=1)
+    k = pl.program_id(1)
+    jt = pl.program_id(0)
+    H = HALO_J
+
+    def eslot(p):
+        pc = jnp.clip(jnp.int32(p), jnp.int32(0), jnp.int32(kt - 1))
+        return jax.lax.rem(pc, jnp.int32(4))
+
+    # ---- prime e(0): the XLA MOST surface row, or the interior formula
+    # with clamped lower planes (matching the standalone kernel's row 0)
+    @pl.when(k == 0)
+    def _prime_e0():
+        if surface:
+            j0 = pl.multiple_of(jt * TJ, 8)
+            top = pl.multiple_of(
+                jax.lax.rem(jnp.int32(j0 - H + jtot), jnp.int32(jtot)), 8)
+            bot = pl.multiple_of(
+                jax.lax.rem(jnp.int32(j0 + TJ), jnp.int32(jtot)), 8)
+            cps = [pltpu.make_async_copy(
+                       se_ref.at[pl.ds(top, H)],
+                       ering.at[0, pl.ds(0, H)], esem.at[0]),
+                   pltpu.make_async_copy(
+                       se_ref.at[pl.ds(j0, TJ)],
+                       ering.at[0, pl.ds(H, TJ)], esem.at[1]),
+                   pltpu.make_async_copy(
+                       se_ref.at[pl.ds(bot, H)],
+                       ering.at[0, pl.ds(H + TJ, H)], esem.at[2])]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+        else:
+            ering[0] = _evisc_math(
+                tPr, dxi, dyi, has_thermo, _CCRow(cce_ref, jnp.int32(0)),
+                win(0, -1), win(0, 0), win(0, 1),
+                win(1, -1), win(1, 0), win(1, 1),
+                win(2, 0), win(2, 1), win(3, -1), win(3, 1))
+
+    # ---- compute e(k+1) while it exists (the ring holds planes to k+2)
+    @pl.when(k + 1 <= kt - 1)
+    def _compute_e():
+        ev = _evisc_math(
+            tPr, dxi, dyi, has_thermo,
+            _CCRow(cce_ref, jnp.minimum(jnp.int32(k + 1), jnp.int32(kt - 1))),
+            win(0, 0), win(0, 1), win(0, 2),
+            win(1, 0), win(1, 1), win(1, 2),
+            win(2, 1), win(2, 2), win(3, 0), win(3, 2))
+        ering[eslot(k + 1)] = ev
+
+    u_dn, u, u_up = win(0, -1), win(0, 0), win(0, 1)
+    v_dn, v, v_up = win(1, -1), win(1, 0), win(1, 1)
+    w_dn, w, w_up = win(2, -1), win(2, 0), win(2, 1)
+    th_dn, th, th_up = win(3, -1), win(3, 0), win(3, 1)
+    e_dn, e, e_up = ering[eslot(k - 1)], ering[eslot(k)], ering[eslot(k + 1)]
+    tv_win = win(4, 0) if (want_rhs and not first) else None
+    cc_k = _CCRow(cc_ref, jnp.minimum(k, kt - 1))
+    ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_k,
+                      u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up)
+    wt, tht = _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_k,
+                        u_dn, u, v_dn, v, w_dn, w, w_up,
+                        th_dn, th, th_up, e_dn, e, e_up)
+    fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
+    ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
+                       cc_k, u, v, ut, vt)
+    wt, tht = _extra_wth(fold_buffer, cc_k, w, th, wt, tht, has_thermo)
+    wt = jnp.where(k == 0, 0., wt)
+    cbdt, can = rk_ref[0], rk_ref[1]
+    ttu = ut[H:H + TJ] if first else tu[0] + ut[H:H + TJ]
+    if want_rhs and not first:
+        ttv = tv_win[H:H + TJ] + vt[H:H + TJ]
+    else:
+        ttv = vt[H:H + TJ] if first else tv_blk[0] + vt[H:H + TJ]
+    ttw = wt[H:H + TJ] if first else tw[0] + wt[H:H + TJ]
+    ttth = tht[H:H + TJ] if first else tth[0] + tht[H:H + TJ]
+    us_b = u[H:H + TJ] + cbdt * ttu
+    ws_b = w[H:H + TJ] + cbdt * ttw
+    outs[0][0] = us_b
+    outs[1][0] = v[H:H + TJ] + cbdt * ttv
+    outs[2][0] = ws_b
+    outs[3][0] = th[H:H + TJ] + cbdt * ttth
+    if carry:
+        outs[4][0] = can * ttu
+        outs[5][0] = can * ttv
+        outs[6][0] = can * ttw
+        outs[7][0] = can * ttth
+    # e(k) is final at step k — emit it for the wall patches / aux
+    outs[-1][0] = e[H:H + TJ]
+    if want_rhs:
+        dti = rk_ref[2]
+        ttv_ext = (vt[H:H + TJ + 1] if first
+                   else tv_win[H:H + TJ + 1] + vt[H:H + TJ + 1])
+        vsx = v[H:H + TJ + 1] + cbdt * ttv_ext
+        rho = _cc(cc_k, C_RHO)
+        rhoh = _cc(cc_k, C_RHOH)
+        divh = ((_ip(us_b) - us_b) * dxi + (vsx[1:] - vsx[:-1]) * dyi)
+        xnew = rho * divh - rhoh * ws_b * _cc(cc_k, C_DZI)
+        j0 = pl.multiple_of(jt * TJ, 8)
+        wflux = jnp.where(k == kt, 0., rhoh * ws_b * _cc(cc_k, C_DZI_M1))
+        outs[-2][0] = dti * (xbuf[pl.ds(j0, TJ)] + wflux)
         xbuf[pl.ds(j0, TJ)] = xnew
 
 
@@ -994,6 +1142,12 @@ class FusedLES2:
         # in fused_tendencies / fused_exec_viscosity, which mirror the
         # clamp semantics.  Skips two full ghost-fill passes per substep.
         self.fold_ghosts = fold_ghosts
+        # Fold the Smagorinsky viscosity into the RK kernel sweep (kills
+        # the separate evisc pass; see _all_tiled_rk_ev_body).  Engaged
+        # only when the caller passes evisc_full=None.
+        self.fold_evisc = (tiled and fold_ghosts
+                           and os.environ.get("MICROHH_EVFOLD", "1") == "1"
+                           and os.environ.get("MICROHH_RKRING", "1") == "1")
         # Folded ops: a Buffer (non-swupdate) and/or a geo-Coriolis Force.
         self.fold_buffer = buffer is not None
         self.fold_coriolis = force is not None
@@ -1419,7 +1573,7 @@ class FusedLES2:
         return ut, vt, wt, tht
 
     def tendencies_rk(self, u, v, w, th, evisc_full, t_in, cbdt, can,
-                      carry=True, first=False, rhs_dti=None):
+                      carry=True, first=False, rhs_dti=None, se_row=None):
         """Tendencies with the low-storage RK update folded in: returns
         (us, vs, ws, ths, ut, vt, wt, tht, rhs) where s* = s + cbdt*t_total
         (pre-projection state) and t_out = can*t_total (scaled carry,
@@ -1584,6 +1738,56 @@ class FusedLES2:
         else:
             t_args = (t_in["u"], t_in["v"], t_in["w"], tth_in)
             nt_blocked, any_extra = 4, ()
+        fold_ev = (use_ring and evisc_full is None
+                   and getattr(self, "fold_evisc", False))
+        if fold_ev:
+            # evisc folded into the sweep (see _all_tiled_rk_ev_body)
+            cce = jnp.asarray(self.cc_evisc, dtype=u.dtype)
+            surface = bool(self.smag.surface) and se_row is not None
+            body = functools.partial(_all_tiled_rk_ev_body, self.smag.tPr,
+                                     float(ctx.dxi), float(ctx.dyi),
+                                     self.smag.visc, svisc, self.has_thermo,
+                                     self._extras(), ks, ke, self.tj,
+                                     ctx.jtot, carry, first, want_rhs,
+                                     surface)
+            nf_ring = 5 if (want_rhs and not first) else 4
+            scratch = [pltpu.VMEM((5, nf_ring, TJ + 2 * HALO_J, ctx.itot),
+                                  u.dtype),
+                       pltpu.SemaphoreType.DMA((5, nf_ring, 3)),
+                       pltpu.VMEM((4, TJ + 2 * HALO_J, ctx.itot), u.dtype),
+                       pltpu.SemaphoreType.DMA((3,))]
+            if want_rhs:
+                scratch.append(pltpu.VMEM((ctx.jtot, ctx.itot), u.dtype))
+            e_spec = pl.BlockSpec(
+                (1, TJ, ctx.itot),
+                lambda jt, k: (jnp.minimum(k, kt - 1), jt, 0),
+                memory_space=pltpu.VMEM)
+            e_shape = jax.ShapeDtypeStruct((kt, ctx.jtot, ctx.itot), u.dtype)
+            if carry and not first:
+                aliases = ({3: 4, 4: 6, 5: 7} if want_rhs
+                           else {3: 4, 4: 5, 5: 6, 6: 7})
+            else:
+                aliases = {}
+            se_args = (se_row,) if surface else ()
+            n_any = 4 + len(any_extra) + len(se_args)
+            out = _pallas_call(
+                body, grid=grid,
+                in_specs=([cc_spec, cc_spec, rk_spec]
+                          + [t_spec_t] * nt_blocked + [any_spec] * n_any),
+                out_specs=([out_spec_t] * nout_t
+                           + ([rhs_spec] if want_rhs else []) + [e_spec]),
+                out_shape=([t_shape] * nout_t
+                           + ([rhs_shape] if want_rhs else []) + [e_shape]),
+                input_output_aliases=aliases,
+                scratch_shapes=scratch,
+                interpret=self.interpret,
+            )(cc, cce, rk, *t_args, u, v, w, th_in, *any_extra, *se_args)
+            e_int = out[-1]
+            rhs = out[-2] if want_rhs else None
+            out = out[:-2] if want_rhs else out[:-1]
+            if carry:
+                return tuple(out) + (rhs, e_int)
+            return tuple(out) + (None, None, None, None, rhs, e_int)
         if carry and not first:
             if want_rhs:
                 aliases = {2: 4, 3: 6, 4: 7}
@@ -1826,13 +2030,34 @@ def fused_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can, first=False,
     u, v, w = s["u"], s["v"], s["w"]
     th = s.get("th")
     fold = fused.fold_ghosts
-    evisc = aux["evisc_int"] if fold else aux["evisc"]
     ks, ke = ctx.ks, ctx.ke
     dxi, dyi = ctx.dxi, ctx.dyi
     visc = smag.visc
 
     carry = not (isinstance(can, float) and can == 0.)
-    if fused.sharded_mesh is not None:
+    fold_ev = (getattr(fused, "fold_evisc", False)
+               and fused.sharded_mesh is None)
+    if fold_ev:
+        # evisc computed inside the sweep; the MOST surface row is a
+        # cheap 2-D XLA computation fed in as the e-ring's plane 0.  It
+        # must see the PREVIOUS substep's MO gradients (the substep
+        # stashes it in aux before boundary.exec); fall back to computing
+        # it here for direct callers (tests).
+        if smag.surface:
+            se_row = aux.get("se_row")
+            if se_row is None:
+                se_row = _surface_evisc_row(smag, ctx, s, sfc,
+                                            fused.has_thermo)
+        else:
+            se_row = None
+        (us, vs, ws, ths, ut, vt, wt, tht, rhs, evisc) = fused.tendencies_rk(
+            u, v, w, th, None, t, cbdt, can, carry=carry, first=first,
+            rhs_dti=rhs_dti, se_row=se_row)
+    else:
+        evisc = aux["evisc_int"] if fold else aux["evisc"]
+    if fold_ev:
+        pass  # kernel already ran above
+    elif fused.sharded_mesh is not None:
         # Per-shard kernels on halo-padded planes; the wall-row patches
         # below run on the trimmed GLOBAL outputs (their rolls lower to
         # GSPMD collectives).  The in-kernel rhs fold needs the tiled
