@@ -97,6 +97,10 @@ class Variable:
             self._h5.resize(tuple(shape))
 
     def __setitem__(self, key, value):
+        # netCDF4-python accepts var[:] = scalar on 0-d variables
+        if self._h5.ndim == 0 and key in (slice(None), Ellipsis, ()):
+            self._h5[()] = value
+            return
         self._grow_for(key)
         self._h5[key] = value
 
