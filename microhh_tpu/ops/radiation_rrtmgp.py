@@ -636,6 +636,34 @@ class RadiationRrtmgp:
         """Domain-mean flux profiles on half levels for the statistics
         (radiation_rrtmgp.cxx exec_all_stats; ``clear`` zeroes the cloud
         water path — swclearskystats, :590,628-642)."""
+        return {k: jnp.mean(v, axis=(1, 2)) for k, v in
+                self.flux_fields(ctx, s, time_s, thermo, clear=clear).items()}
+
+    def _mu0_at(self, time_s):
+        """cos(solar zenith) at model time [s]."""
+        if self.sw_fixed_sza:
+            return self.mu0
+        if self._utc is not None:
+            return utc_zenith(self._utc, self.lat, self.lon, time_s)
+        return calc_zenith(self.lat, self.lon, time_s / 86400.)
+
+    def solar_series(self, ctx, time_s):
+        """(sza [rad], sw_flux_dn_toa [W m-2]) time series
+        (radiation_rrtmgp.cxx exec_all_stats tail:
+        stats.set_time_series("sza"/"sw_flux_dn_toa"))."""
+        mu0 = jnp.asarray(self._mu0_at(time_s), ctx.dtype)
+        if self.kdist_sw is not None:
+            tsi = jnp.sum(jnp.asarray(self.kdist_sw.solar_source, ctx.dtype))
+        else:
+            tsi = jnp.asarray(1365.0, ctx.dtype)
+        toa = tsi * ctx.dtype(self.tsi_scaling) * jnp.maximum(mu0, 0.)
+        sza = jnp.arccos(jnp.clip(mu0, -1., 1.))
+        return sza, toa
+
+    def flux_fields(self, ctx, s, time_s, thermo, clear=False):
+        """Full 3-D flux fields on the ktot+1 half levels — the source
+        arrays the reference saves as stats/cross/column
+        (radiation_rrtmgp.cxx exec_all_stats save_stats_and_cross)."""
         T, wv_path, dry_path, lwp, rho, dz, exn = self._domain_paths(
             ctx, s, thermo)
         if clear:
@@ -651,15 +679,10 @@ class RadiationRrtmgp:
             else:
                 lw_up, lw_dn = self._longwave(ctx, T, wv_path, dry_path,
                                               lwp, t_sfc, self._bg_lw())
-            out["lw_flux_up" + sfx] = jnp.mean(lw_up, axis=(1, 2))
-            out["lw_flux_dn" + sfx] = jnp.mean(lw_dn, axis=(1, 2))
+            out["lw_flux_up" + sfx] = lw_up
+            out["lw_flux_dn" + sfx] = lw_dn
         if self.sw_shortwave:
-            if self.sw_fixed_sza:
-                mu0 = self.mu0
-            elif self._utc is not None:
-                mu0 = utc_zenith(self._utc, self.lat, self.lon, time_s)
-            else:
-                mu0 = calc_zenith(self.lat, self.lon, time_s / 86400.)
+            mu0 = self._mu0_at(time_s)
             day = mu0 > 0.
             if self.kdist_sw is not None:
                 sw_up, sw_dn, sw_dir = self._sw_table_flux(
@@ -671,12 +694,9 @@ class RadiationRrtmgp:
                     ctx, wv_path, dry_path, lwp,
                     jnp.asarray(mu0, ctx.dtype), toa)
             zero = jnp.zeros_like(sw_up)
-            out["sw_flux_up" + sfx] = jnp.mean(
-                jnp.where(day, sw_up, zero), axis=(1, 2))
-            out["sw_flux_dn" + sfx] = jnp.mean(
-                jnp.where(day, sw_dn, zero), axis=(1, 2))
-            out["sw_flux_dn_dir" + sfx] = jnp.mean(
-                jnp.where(day, sw_dir, zero), axis=(1, 2))
+            out["sw_flux_up" + sfx] = jnp.where(day, sw_up, zero)
+            out["sw_flux_dn" + sfx] = jnp.where(day, sw_dn, zero)
+            out["sw_flux_dn_dir" + sfx] = jnp.where(day, sw_dir, zero)
         return out
 
     def get_surface_radiation(self):

@@ -13,6 +13,12 @@ import numpy as np
 
 from .timeloop import IFACTOR
 
+# radiation flux cross variables (radiation_rrtmgp.cxx exec_all_stats)
+_RAD_FLUX_NAMES = frozenset(
+    b + sfx for b in ("lw_flux_up", "lw_flux_dn", "sw_flux_up",
+                      "sw_flux_dn", "sw_flux_dn_dir")
+    for sfx in ("", "_clear"))
+
 
 class Cross:
     def __init__(self, model):
@@ -97,7 +103,40 @@ class Cross:
             return None
 
         soil_kt = getattr(m.fields, "soil_ktot", 0)
+        rad_cache = {}
         for name in self.crosslist:
+            # radiation flux crosses: full 3-D half-level fields computed
+            # on demand, once per clear/all-sky set (radiation_rrtmgp.cxx
+            # exec_all_stats save_stats_and_cross)
+            if name in _RAD_FLUX_NAMES:
+                rad = getattr(m, "radiation", None)
+                if rad is None or not hasattr(rad, "flux_fields"):
+                    continue
+                clear = name.endswith("_clear")
+                if clear not in rad_cache:
+                    rad_cache[clear] = {
+                        k2: np.asarray(v) for k2, v in rad.flux_fields(
+                            m.ctx, s, m.timeloop.time, m.thermo,
+                            clear=clear).items()}
+                fld = rad_cache[clear].get(name)
+                if fld is not None:
+                    self._slices(fld, name, (0, 0, 1), 0., iotime,
+                                 interior=True)
+                continue
+            # w at the first half level above 500 hPa
+            # (thermo_moist.cxx:299 calc_w500hpa)
+            if name == "w500hpa":
+                th = m.thermo
+                if not hasattr(th, "_p_profiles"):
+                    continue
+                _, _, prefh_a, _ = th._p_profiles(m.ctx, aux)
+                ph = np.asarray(prefh_a)
+                above = np.nonzero(ph[ks:ke + 1] <= 5.e4)[0]
+                if above.size == 0 or above[0] in (0, ke - ks):
+                    raise RuntimeError(
+                        "w500hpa: no 500 hPa level inside the domain")
+                self._plane(np.asarray(s["w"])[ks + above[0]], name, iotime)
+                continue
             # soil fields: xy planes at the xy_soil levels
             # (<name>.xy.<k>.<iotime>, cross.cxx cross_soil); soil
             # prognostics are ghost-free (soil_ktot, jtot, itot) arrays
@@ -182,11 +221,15 @@ class Cross:
             offset = g.utrans if name == "u" else (g.vtrans if name == "v" else 0.)
             self._slices(data, name, loc, offset, iotime)
 
-    def _slices(self, data, name, loc, offset, iotime):
+    def _slices(self, data, name, loc, offset, iotime, interior=False):
+        """``interior=True`` for ghost-free arrays (radiation fluxes)."""
         m = self.model
         g = m.grid
         ks, ke = g.kstart, g.kend
-        interior = data[ks:ke + (1 if loc[2] else 0)] + offset
+        if interior:
+            interior = data + offset
+        else:
+            interior = data[ks:ke + (1 if loc[2] else 0)] + offset
 
         jlist = self.jxzh if loc[1] else self.jxz
         for j in jlist:

@@ -198,6 +198,13 @@ class Stats:
                         self.add_prof("sw_flux_%s%s" % (d, sfx),
                                       "Shortwave %s flux" % d,
                                       "W m-2", "zh", "radiation")
+            if rad.sw_shortwave:
+                # exec_all_stats tail (radiation_rrtmgp.cxx:1690-1692)
+                self.add_time_series("sza", "Solar zenith angle", "rad",
+                                     "radiation")
+                self.add_time_series("sw_flux_dn_toa",
+                                     "Shortwave downwelling TOA flux",
+                                     "W m-2", "radiation")
 
         if self.swtendency:
             for fld in fields.prognostic_names:
@@ -396,6 +403,10 @@ class Stats:
                 self._rad_diag = jax.jit(rad_diag)
             rvals = self._rad_diag(s, jnp.asarray(tl.time, model.dtype))
             out.update({k: np.asarray(v) for k, v in rvals.items()})
+            if rad.sw_shortwave:
+                sza, toa = rad.solar_series(model.ctx, tl.time)
+                out["sza"] = np.asarray(sza)
+                out["sw_flux_dn_toa"] = np.asarray(toa)
         i = self._idx
         self.v_time[i] = tl.time
         self.v_iter[i] = tl.iteration

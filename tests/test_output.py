@@ -258,3 +258,125 @@ def test_thermo_diagnostic_crosses(tmp_path):
     cloudy = np.isfinite(base_map)
     assert cloudy.any()
     assert np.all(top_map[cloudy] >= base_map[cloudy])
+
+
+RAD_CROSS_INI = """
+[grid]
+itot=8
+jtot=8
+ktot=24
+xsize=6400.
+ysize=6400.
+zsize=12000.
+swspatialorder=2
+
+[advec]
+swadvec=2
+cflmax=1.2
+
+[diff]
+swdiff=smag2
+dnmax=0.3
+
+[thermo]
+swthermo=moist
+swbasestate=anelastic
+pbot=101500.
+
+[boundary]
+swboundary=surface
+mbcbot=noslip
+mbctop=freeslip
+sbcbot=flux
+sbctop=neumann
+sbot[thl]=0.05
+stop[thl]=0.003
+sbot[qt]=4.e-5
+stop[qt]=0.
+z0m=0.1
+z0h=0.1
+
+[fields]
+visc=1.e-5
+svisc=1.e-5
+
+[radiation]
+swradiation=rrtmgp
+swlongwave=1
+swshortwave=1
+t_sfc=300.
+emis_sfc=1.
+sza=0.5
+sfc_alb_dir=0.07
+sfc_alb_dif=0.07
+swclearskystats=1
+
+[cross]
+swcross=1
+crosslist=lw_flux_up,lw_flux_dn,sw_flux_up,sw_flux_dn,sw_flux_dn_dir,lw_flux_dn_clear,w500hpa
+sampletime=30
+xy=0,11500.
+xz=3200.
+
+[time]
+starttime=0
+endtime=30
+savetime=30
+dt=2.
+dtmax=5.
+adaptivestep=true
+"""
+
+
+def test_radiation_flux_and_w500hpa_crosses(tmp_path):
+    """Radiation flux crosses are full 3-D half-level fields sliced at the
+    cross levels (radiation_rrtmgp.cxx exec_all_stats), and w500hpa is w
+    at the first half level above 500 hPa (thermo_moist.cxx:299)."""
+    from microhh_tpu.utils import nc
+    wd = str(tmp_path)
+    ktot = 24
+    z = np.linspace(250., 11750., ktot)
+    f = nc.Dataset(os.path.join(wd, "rcr_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    grp = f.createGroup("init")
+    grp.createVariable("thl", "f8", ("z",))[:] = 295. + 0.005 * z
+    qt = 0.012 * np.exp(-z / 2500.)
+    qt[8:12] += 0.01    # saturated band: some cloud in the all-sky path
+    grp.createVariable("qt", "f8", ("z",))[:] = qt
+    grp.createVariable("u", "f8", ("z",))[:] = np.full(ktot, 2.)
+    grp.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    f.close()
+    with open(os.path.join(wd, "rcr.ini"), "w") as fh:
+        fh.write(RAD_CROSS_INI)
+    m = Model(Ini(RAD_CROSS_INI), "init", "rcr", workdir=wd)
+    m.finish_setup()
+    m.save_initial_state()
+    from microhh_tpu.output import Cross
+    m2 = Model(Ini(RAD_CROSS_INI), "run", "rcr", workdir=wd)
+    m2.finish_setup()
+    m2.cross = Cross(m2)
+    m2.run()
+
+    files = os.listdir(wd)
+    for base in ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn",
+                 "sw_flux_dn_dir", "lw_flux_dn_clear"):
+        assert any(fn.startswith(base + ".xy.") for fn in files), base
+        assert any(fn.startswith(base + ".xz.") for fn in files), base
+    assert any(fn.startswith("w500hpa.xy") for fn in files)
+
+    # physics sanity: downwelling SW at the surface level is positive and
+    # no larger than TOA; clear-sky LW down <= all-sky LW down (cloud
+    # emission only adds)
+    def last(base):
+        fn = sorted(f2 for f2 in files if f2.startswith(base))[-1]
+        return np.fromfile(os.path.join(wd, fn), dtype=np.float64)
+
+    sw_dn_sfc = last("sw_flux_dn.xy.00000.")
+    assert np.all(sw_dn_sfc > 0.)
+    assert np.all(sw_dn_sfc < 1365.)
+    lw_dn = last("lw_flux_dn.xy.00000.")
+    lw_dn_clear = last("lw_flux_dn_clear.xy.00000.")
+    assert np.all(lw_dn_clear <= lw_dn + 1e-9)
+    # the plane files hold exactly jtot*itot values
+    assert sw_dn_sfc.size == 64 and last("w500hpa.xy").size == 64
