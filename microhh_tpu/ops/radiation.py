@@ -123,29 +123,27 @@ class RadiationGcss:
         self.lon = grid.lon
         self._utc = utc_anchor(ini)
 
-    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
-        """LW always; SW gated on daytime zenith (exec_gcss_rad)."""
+    def _layer_geom(self, ctx):
+        """dz as used by the reference: z[k]-z[max(1,k-1)] in
+        ghost-indexing."""
         ks, ke = ctx.ks, ctx.ke
-        ql = thermo.get_ql(ctx, s)  # (ktot, j, i)
-        qt = s["qt"][ks:ke]
-        rho = ctx.rhoref[ks:ke][:, None, None]
         z = ctx.z
-        # dz as used by the reference: z[k]-z[max(1,k-1)] in ghost-indexing.
         zc = z[ks:ke]
         zm = jnp.concatenate([z[ks - 1:ks], z[ks:ke - 1]])
-        dlayer = (zc - zm)[:, None, None]
+        return zc, (zc - zm)[:, None, None]
 
-        # ---- LW (calc_gcss_rad_LW) ----
+    def _lw_flux(self, ctx, s, thermo):
+        """Full-level LW flux (calc_gcss_rad_LW flux part)."""
+        ks, ke = ctx.ks, ctx.ke
+        ql = thermo.get_ql(ctx, s)
+        qt = s["qt"][ks:ke]
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        zc, dlayer = self._layer_geom(ctx)
         dlwp = jnp.maximum(0., ql * rho * dlayer)
-        lwp = jnp.cumsum(dlwp, axis=0)          # lwp including layer k
+        lwp = jnp.cumsum(dlwp, axis=0)
         lwp_tot = lwp[-1]
-        # NOTE: the reference adds the fr0 term with the FINAL (total) lwp at
-        # every level (the per-level decrement is commented out in
-        # calc_gcss_rad_LW) — mirror that behavior exactly.
         flx = (self.fr1 * jnp.exp(-self.xka * lwp)
                + self.fr0 * jnp.exp(-self.xka * lwp_tot)[None])
-
-        # PBL top index ki: last level where cloudy & moist
         cond = (ql > 0.01e-3) & (qt >= 0.008)
         kidx = jnp.arange(ql.shape[0])[:, None, None]
         ki = jnp.max(jnp.where(cond, kidx, -1), axis=0)
@@ -155,11 +153,41 @@ class RadiationGcss:
         z_ki = z_int[ki_c]
         rho_ki = ctx.rhoref[ks:ke][ki_c]
         fact = self.div * cst.cp * rho_ki
-        above = kidx > ki_c[None] if False else kidx > ki
+        above = kidx > ki
         dz_above = jnp.maximum(z_int[:, None, None] - z_ki[None], 0.)
         cooling_top = fact[None] * (0.25 * dz_above ** (4. / 3.)
                                     + z_ki[None] * dz_above ** (1. / 3.))
-        flx = flx + jnp.where(above & has_pbl[None] & (fact[None] > 0.), cooling_top, 0.)
+        return flx + jnp.where(above & has_pbl[None] & (fact[None] > 0.),
+                               cooling_top, 0.)
+
+    def flux_fields(self, ctx, s, time_s, thermo):
+        """Full 3-D lflx/sflx fields on full levels for stats, crosses and
+        columns (radiation_gcss.cxx get_radiation_field; sflx is zero at
+        night like the reference's daytime gate)."""
+        if self._utc is not None:
+            day_of_year = (self._utc[0] + time_s) / 86400. + 1.
+        else:
+            day_of_year = time_s / 86400.
+        mu = calc_zenith(self.lat, self.lon, day_of_year)
+        swn, _ = self._sw_flux(ctx, s, mu, thermo)
+        lflx = self._lw_flux(ctx, s, thermo)
+        return {"lflx": lflx,
+                "sflx": jnp.where(mu > self.mu_min, swn,
+                                  jnp.zeros_like(swn))}
+
+    def flux_profiles(self, ctx, s, time_s, thermo):
+        return {k: jnp.mean(v, axis=(1, 2)) for k, v in
+                self.flux_fields(ctx, s, time_s, thermo).items()}
+
+    def exec(self, ctx, s, t, sfc, aux, time_s, thermo):
+        """LW always; SW gated on daytime zenith (exec_gcss_rad)."""
+        ks, ke = ctx.ks, ctx.ke
+        rho = ctx.rhoref[ks:ke][:, None, None]
+
+        # ---- LW (calc_gcss_rad_LW); the fr0 term uses the FINAL (total)
+        # lwp at every level — the per-level decrement is commented out in
+        # the reference — mirror that behavior exactly (see _lw_flux) ----
+        flx = self._lw_flux(ctx, s, thermo)
 
         # heating: tt -= d(flx)/dz / (rho cp), k from ks+1 (km1 clamped)
         dflx = flx[1:] - flx[:-1]
@@ -184,7 +212,19 @@ class RadiationGcss:
         else:
             day_of_year = time_s / 86400.
         mu = calc_zenith(lat, lon, day_of_year)
+        swn, _ = self._sw_flux(ctx, s, mu, thermo)
+        dswn = swn[1:] - swn[:-1]
+        heat_sw = dswn * dzi_c / (rho[1:] * cst.cp)
+        do_sw = mu > self.mu_min
+        t[name] = t[name].at[ks + 1:ke].add(jnp.where(do_sw, heat_sw, 0.))
+        return t, sfc
 
+    def _sw_flux(self, ctx, s, mu, thermo):
+        """Full-level net SW flux (calc_gcss_rad_SW / sunray)."""
+        ks, ke = ctx.ks, ctx.ke
+        ql = thermo.get_ql(ctx, s)
+        rho = ctx.rhoref[ks:ke][:, None, None]
+        _, dlayer = self._layer_geom(ctx)
         reff, rho_l, sw0, gc_, alb = 1.e-5, 1000., 1100., 0.85, 0.05
         tau = jnp.where(ql > 1.e-5, jnp.maximum(0., 1.5 * ql * rho * dlayer / reff / rho_l), 0.)
         tauc = jnp.sum(tau, axis=0)
@@ -221,11 +261,7 @@ class RadiationGcss:
                                         - c2 * jnp.exp(rk * taupath))
                                   - beta * jnp.exp(-taupath / mu_eff))
                + mu_eff * sw0 * jnp.exp(-taupath / mu_eff))
-        dswn = swn[1:] - swn[:-1]
-        heat_sw = dswn * dzi_c / (rho[1:] * cst.cp)
-        do_sw = mu > self.mu_min
-        t[name] = t[name].at[ks + 1:ke].add(jnp.where(do_sw, heat_sw, 0.))
-        return t, sfc
+        return swn, mu_eff
 
 
 def make_radiation(ini, grid):

@@ -123,6 +123,33 @@ class Cross:
                     self._slices(fld, name, (0, 0, 1), 0., iotime,
                                  interior=True)
                 continue
+            # gcss radiative flux crosses: full-level fields
+            # (radiation_gcss.cxx get_radiation_field / create_cross)
+            if name in ("sflx", "lflx"):
+                rad = getattr(m, "radiation", None)
+                if getattr(rad, "sw", None) != "gcss":
+                    continue
+                if "gcss" not in rad_cache:
+                    rad_cache["gcss"] = {
+                        k2: np.asarray(v) for k2, v in rad.flux_fields(
+                            m.ctx, s, m.timeloop.time, m.thermo).items()}
+                self._slices(rad_cache["gcss"][name], name, (0, 0, 0), 0.,
+                             iotime, interior=True)
+                continue
+            # the filtered surface diffuse SW plane (radiation_rrtmgp.cxx
+            # :1686-1689); rides sfc/aux from the last radiation update
+            if name == "sw_flux_dn_diff_filtered":
+                rad = getattr(m, "radiation", None)
+                if not getattr(rad, "sw_diffuse_filter", False):
+                    continue
+                src = None
+                if aux is not None and "sw_flux_dn_dif_sfc" in aux:
+                    src = aux["sw_flux_dn_dif_sfc"]
+                elif sfc is not None and "rad_sw_flux_dn_dif" in sfc:
+                    src = sfc["rad_sw_flux_dn_dif"]
+                if src is not None:
+                    self._plane(src, name, iotime)
+                continue
             # w at the first half level above 500 hPa
             # (thermo_moist.cxx:299 calc_w500hpa)
             if name == "w500hpa":
@@ -324,6 +351,25 @@ class Column:
                                      "H", "LE", "G")]
         self.svars = {n: f.createVariable(n, "f8", ("time", "col"))
                       for n in self.series}
+        # radiation flux profiles at the column points
+        # (radiation_rrtmgp.cxx exec_all_stats calls column.calc_column
+        # for every enabled flux field)
+        rad = getattr(model, "radiation", None)
+        self.rad_names = []
+        rad_dim = "zh"
+        if getattr(rad, "sw", None) == "rrtmgp":
+            for sfx in [""] + (["_clear"] if rad.sw_clear_sky_stats else []):
+                if rad.sw_longwave:
+                    self.rad_names += ["lw_flux_up" + sfx, "lw_flux_dn" + sfx]
+                if rad.sw_shortwave:
+                    self.rad_names += ["sw_flux_up" + sfx, "sw_flux_dn" + sfx,
+                                       "sw_flux_dn_dir" + sfx]
+        elif getattr(rad, "sw", None) == "gcss":
+            # radiation_gcss.cxx:457-458 (full-level fluxes)
+            self.rad_names = ["sflx", "lflx"]
+            rad_dim = "z"
+        self.rad_vars = {n: f.createVariable(n, "f8", ("time", "col", rad_dim))
+                         for n in self.rad_names}
         self.file = f
         self._idx = 0
 
@@ -349,6 +395,18 @@ class Column:
             hi = ke + 1 if name == "w" else ke
             for c, (ix, jy) in enumerate(self.cols):
                 var[i, c] = data[ks:hi, jy, ix]
+        if self.rad_names:
+            rad = m.radiation
+            ff = {k: np.asarray(v) for k, v in rad.flux_fields(
+                m.ctx, s, time, m.thermo).items()}
+            if getattr(rad, "sw_clear_sky_stats", False):
+                ff.update({k: np.asarray(v) for k, v in rad.flux_fields(
+                    m.ctx, s, time, m.thermo, clear=True).items()})
+            for name in self.rad_names:
+                if name not in ff:
+                    continue
+                for c, (ix, jy) in enumerate(self.cols):
+                    self.rad_vars[name][i, c] = ff[name][:, jy, ix]
         self._idx += 1
         self.file.sync()
 

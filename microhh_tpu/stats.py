@@ -205,6 +205,12 @@ class Stats:
                 self.add_time_series("sw_flux_dn_toa",
                                      "Shortwave downwelling TOA flux",
                                      "W m-2", "radiation")
+        elif getattr(rad, "sw", None) == "gcss":
+            # radiation_gcss.cxx:445-446
+            self.add_prof("sflx", "Total shortwave radiative flux",
+                          "W m-2", "z", "radiation")
+            self.add_prof("lflx", "Total longwave radiative flux",
+                          "W m-2", "z", "radiation")
 
         if self.swtendency:
             for fld in fields.prognostic_names:
@@ -407,6 +413,13 @@ class Stats:
                 sza, toa = rad.solar_series(model.ctx, tl.time)
                 out["sza"] = np.asarray(sza)
                 out["sw_flux_dn_toa"] = np.asarray(toa)
+        elif getattr(rad, "sw", None) == "gcss":
+            if self._rad_diag is None:
+                self._rad_diag = jax.jit(
+                    lambda s_, time_: rad.flux_profiles(
+                        model.ctx, s_, time_, model.thermo))
+            rvals = self._rad_diag(s, jnp.asarray(tl.time, model.dtype))
+            out.update({k: np.asarray(v) for k, v in rvals.items()})
         i = self._idx
         self.v_time[i] = tl.time
         self.v_iter[i] = tl.iteration

@@ -318,6 +318,12 @@ sampletime=30
 xy=0,11500.
 xz=3200.
 
+[column]
+swcolumn=1
+sampletime=30
+coordinates[x]=3200.
+coordinates[y]=3200.
+
 [time]
 starttime=0
 endtime=30
@@ -352,11 +358,13 @@ def test_radiation_flux_and_w500hpa_crosses(tmp_path):
     m = Model(Ini(RAD_CROSS_INI), "init", "rcr", workdir=wd)
     m.finish_setup()
     m.save_initial_state()
-    from microhh_tpu.output import Cross
+    from microhh_tpu.output import Cross, Column
     m2 = Model(Ini(RAD_CROSS_INI), "run", "rcr", workdir=wd)
     m2.finish_setup()
     m2.cross = Cross(m2)
+    m2.column = Column(m2)
     m2.run()
+    m2.column.close()
 
     files = os.listdir(wd)
     for base in ("lw_flux_up", "lw_flux_dn", "sw_flux_up", "sw_flux_dn",
@@ -380,3 +388,14 @@ def test_radiation_flux_and_w500hpa_crosses(tmp_path):
     assert np.all(lw_dn_clear <= lw_dn + 1e-9)
     # the plane files hold exactly jtot*itot values
     assert sw_dn_sfc.size == 64 and last("w500hpa.xy").size == 64
+
+    # radiation flux profiles ride the column output too
+    # (exec_all_stats -> column.calc_column)
+    from microhh_tpu.utils import nc as ncmod
+    col = sorted(f2 for f2 in files if ".column." in f2)
+    assert col, "column file missing"
+    cf = ncmod.Dataset(os.path.join(wd, col[-1]), "r")
+    lw_col = np.asarray(cf.variables["lw_flux_up"][:])
+    assert lw_col.shape[-1] == 25          # ktot+1 half levels
+    assert np.all(lw_col[np.isfinite(lw_col)] >= 0.)
+    cf.close()
