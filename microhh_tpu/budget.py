@@ -505,6 +505,9 @@ class Budget:
                     continue
                 stats.add_prof(name, name.replace("_", " "), "m2 s-3", "zh",
                                group="budget")
+            if has_thermo:
+                stats.add_prof("b_sort", "Sorted buoyancy", "m s-2", "z",
+                               group="budget")
             return
         for name in self.FULL:
             stats.add_prof(name, name.replace("_", " "), "m2 s-3", "z",

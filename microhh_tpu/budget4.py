@@ -1,11 +1,11 @@
 """True 4th-order TKE / variance / flux budget statistics (reference
 ``src/budget_4.cxx``, all 3,104 LoC of ladder forms).
 
-The kernel math lives in ``budget4_kernels.py`` — jnp-vectorized versions
-of the reference's k-row ladders, generated from the same transliteration
-source as the scalar-loop oracle (tests/oracle_ref/budget4_ref*) and
-validated against it to 1e-12 on random fields
-(tests/test_oracle_budget4.py).  This module assembles the inputs exactly
+The kernel math lives in ``budget4_kernels.py`` — an independent
+composition of cell/face interpolation, gradient, and wall-row
+divergence primitives, validated to 1e-12 on random fields against the
+scalar-loop transliteration oracle (tests/oracle_ref/budget4_ref*,
+tests/test_oracle_budget4.py).  This module assembles the inputs exactly
 like ``Budget_4::exec_stats`` (budget_4.cxx:2804-2980):
 
 * w' = w - <w>; wx / wy = 4th-order horizontal interps of w' to the u / v
@@ -16,8 +16,10 @@ like ``Budget_4::exec_stats`` (budget_4.cxx:2804-2980):
 
 Profiles are returned as horizontal means (masks are not applied to
 budget terms, matching budget.py's 2nd-order convention).  The sorted-
-buoyancy diagnostic ``b_sort`` (calc_sorted_prof, a background-potential-
-energy helper) is not implemented."""
+buoyancy diagnostic ``b_sort`` follows calc_sorted_prof
+(budget_4.cxx:2565-2692): an equivalent-height histogram of the
+buoyancy field integrated back onto the grid heights — the background-
+potential-energy reference profile."""
 
 import jax.numpy as jnp
 
@@ -35,6 +37,43 @@ def _wx(w):
 def _wy(w):
     return fd.ci0 * jm(w, 2) + fd.ci1 * jm(w, 1) + fd.ci2 * w \
         + fd.ci3 * jp(w, 1)
+
+
+def sorted_buoyancy_prof(ctx, b, nbins=None):
+    """Sorted ("background potential energy") buoyancy profile b_sort.
+
+    Mirrors calc_sorted_prof (budget_4.cxx:2565-2692): bin the interior
+    buoyancy into ``nbins`` equal-width bins, each sample weighted by its
+    equivalent height contribution dz[k]/(itot*jtot); integrate bin
+    half-widths into a monotone height coordinate; then read the profile
+    back at the grid's cell heights with the reference's linear
+    bin-fraction correction.  ``nbins`` defaults to the reference's
+    gd.nmax = itot*jtot*ktot.  Returns the ktot interior rows."""
+    ks, ke = ctx.ks, ctx.ke
+    data = b[ks:ke]
+    ktot, jtot, itot = data.shape
+    nmax = int(itot * jtot * ktot) if nbins is None else int(nbins)
+    minval = data.min()
+    maxval = data.max() * (1. + 1e-9)        # Constants::dsmall
+    rng = maxval - minval
+    uniform = rng < 1e-16
+    dbin = jnp.where(uniform, 1., rng / (nmax - 1))
+    lo = minval - 0.5 * dbin
+    idx = jnp.clip(((data - lo) / dbin).astype(jnp.int32), 0, nmax - 1)
+    w = jnp.broadcast_to((ctx.dz[ks:ke] / (itot * jtot))[:, None, None],
+                         data.shape)
+    hist = jnp.zeros(nmax, dtype=data.dtype).at[idx.ravel()].add(w.ravel())
+    # zpos[i] = equivalent height after integrating through bin centre i
+    zpos = 0.5 * hist[0] + jnp.concatenate(
+        [jnp.zeros(1, dtype=data.dtype),
+         jnp.cumsum(0.5 * (hist[:-1] + hist[1:]))])
+    z = ctx.z[ks:ke]
+    index = jnp.clip(jnp.searchsorted(zpos, z, side="left"), 0, nmax - 1)
+    profval = minval + index * dbin
+    binm1 = hist[jnp.clip(index - 1, 0, nmax - 1)]
+    dzfrac = (zpos[index] - z) / (0.5 * (binm1 + hist[index]))
+    prof = jnp.where(index == 0, profval, profval - dzfrac * dbin)
+    return jnp.where(uniform, minval, prof)
 
 
 FULL_TERMS = ("ke", "tke",
@@ -124,4 +163,7 @@ def budget4_profiles(ctx, s, aux, thermo, visc):
             out[name] = prof[ks:ke + 1]       # half levels ks..ke
         else:
             out[name] = prof[ks:ke]           # full levels
+
+    if has_thermo:
+        out["b_sort"] = sorted_buoyancy_prof(ctx, A["b"])
     return out

@@ -277,3 +277,83 @@ adaptivestep=false
     # commutation/truncation residual: measured 0.28 at 16^3, 0.15 at
     # 24^3 (converging ~2nd order in the mean) -- bound with headroom
     assert err.max() < 0.35 * scale, (err.max(), scale)
+
+
+def _sorted_prof_scalar(data, z, dz, ks, ke, nmax):
+    """Scalar transliteration of calc_sorted_prof (budget_4.cxx:2565-2692),
+    interior rows only."""
+    vals = data[ks:ke]
+    ktot, jtot, itot = vals.shape
+    minval = vals.min()
+    maxval = vals.max() * (1. + 1e-9)
+    rng = maxval - minval
+    prof = np.zeros(ktot)
+    if rng < 1e-16:
+        prof[:] = minval
+        return prof
+    dbin = rng / (nmax - 1)
+    minv = minval - 0.5 * dbin
+    bins = np.zeros(nmax)
+    nslice = itot * jtot
+    for k in range(ks, ke):
+        dzs = dz[k] / nslice
+        for j in range(jtot):
+            for i in range(itot):
+                bins[int((data[k, j, i] - minv) / dbin)] += dzs
+    index = 0
+    zbin = 0.5 * bins[0]
+    profval = minv + 0.5 * dbin
+    for kk, k in enumerate(range(ks, ke)):
+        while zbin < z[k]:
+            zbin += 0.5 * (bins[index] + bins[index + 1])
+            profval += dbin
+            index += 1
+        if index == 0:
+            prof[kk] = profval
+        else:
+            dzfrac = (zbin - z[k]) / (0.5 * (bins[index - 1] + bins[index]))
+            prof[kk] = profval - dzfrac * dbin
+    return prof
+
+
+def test_sorted_buoyancy_profile_matches_reference_binning():
+    import jax.numpy as jnp
+    from microhh_tpu.budget4 import sorted_buoyancy_prof
+
+    class Ctx:
+        pass
+
+    rng = np.random.default_rng(7)
+    kgc, ktot, jtot, itot = 3, 12, 6, 8
+    kc = ktot + 2 * kgc
+    ctx = Ctx()
+    ctx.ks, ctx.ke = kgc, kgc + ktot
+    dz = np.full(kc, 0.1)
+    z = np.zeros(kc)
+    z[kgc:kgc + ktot] = 0.05 + 0.1 * np.arange(ktot)
+    ctx.dz = jnp.asarray(dz)
+    ctx.z = jnp.asarray(z)
+
+    # stably-stratified buoyancy + noise; raw field incl. garbage ghosts
+    b = rng.normal(size=(kc, jtot, itot))
+    b[kgc:kgc + ktot] += np.linspace(0., 1., ktot)[:, None, None]
+
+    want = _sorted_prof_scalar(b, z, dz, ctx.ks, ctx.ke,
+                               nmax=itot * jtot * ktot)
+    got = np.asarray(sorted_buoyancy_prof(ctx, jnp.asarray(b)))
+    assert got.shape == (ktot,)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    # near-uniform field still goes through the binning (the reference's
+    # uniform guard only fires below 1e-16); a zero field takes the guard
+    bu = np.full((kc, jtot, itot), 0.3)
+    gu = np.asarray(sorted_buoyancy_prof(ctx, jnp.asarray(bu)))
+    wu = _sorted_prof_scalar(bu, z, dz, ctx.ks, ctx.ke,
+                             nmax=itot * jtot * ktot)
+    np.testing.assert_allclose(gu, wu, rtol=1e-12, atol=1e-14)
+    b0 = np.zeros((kc, jtot, itot))
+    g0 = np.asarray(sorted_buoyancy_prof(ctx, jnp.asarray(b0)))
+    np.testing.assert_allclose(g0, 0.0, atol=0.)
+
+    # monotone ordering: sorted profile of a stratified field increases
+    assert (np.diff(got) > -1e-12).all()

@@ -1,8 +1,9 @@
-"""budget_4 vectorized kernels (microhh_tpu/budget4_kernels.py) vs the
-scalar-loop transliteration oracle (tests/oracle_ref/budget4_ref*) —
-pure-math f64 agreement on random fields.  The two share the generated
-expression text but use different index machinery (k-slices + periodic
-rolls vs per-point loops), so this catches any vectorization mistake."""
+"""budget_4 production kernels (microhh_tpu/budget4_kernels.py, an
+independent ladder-primitive composition) vs the scalar-loop
+transliteration oracle (tests/oracle_ref/budget4_ref*) — pure-math f64
+agreement on random fields to 1e-12.  The two implementations share
+nothing but the finite-difference coefficients, so this pins every
+boundary-row ladder and every deliberate reference quirk."""
 
 import numpy as np
 import jax.numpy as jnp
