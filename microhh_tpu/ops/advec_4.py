@@ -36,14 +36,17 @@ def advec_u(ctx, u, v, w, dim3):
 
 
 def advec_v(ctx, u, v, w, dim3):
+    """v is advected even in 2-D runs; only the vv y-flux is gated
+    (advec_4.cxx:605 instantiates advec_v<TF,0>)."""
     ks, ke = ctx.ks, ctx.ke
     dzi4 = ctx.dzi4[ks:ke][:, None, None]
 
     F = fd4.jyh(u) * fd4.ixh(v)
     out = -fd4.ixd(F)[ks:ke] * ctx.dxi
 
-    G = fd4.jyh(v)
-    out = out - fd4.jyd(G * G)[ks:ke] * ctx.dyi
+    if dim3:
+        G = fd4.jyh(v)
+        out = out - fd4.jyd(G * G)[ks:ke] * ctx.dyi
 
     wjy = fd4.jyh(w)
     phi_mid = wjy[ks:ke + 1] * fd4.izh_mid(v, ks, ke)
@@ -122,8 +125,7 @@ class Advec4:
         dim3 = self.jtot > 1
         t = dict(t)
         t["u"] = t["u"].at[ks:ke].add(advec_u(ctx, u, v, w, dim3))
-        if dim3:
-            t["v"] = t["v"].at[ks:ke].add(advec_v(ctx, u, v, w, dim3))
+        t["v"] = t["v"].at[ks:ke].add(advec_v(ctx, u, v, w, dim3))
         t["w"] = t["w"].at[ks + 1:ke].add(advec_w(ctx, u, v, w, dim3))
         for name in ctx.scalar_names:
             t[name] = t[name].at[ks:ke].add(advec_s(ctx, s[name], u, v, w, dim3))

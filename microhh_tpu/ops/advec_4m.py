@@ -70,12 +70,13 @@ class Advec4m(Advec4):
         tu = tu + _vert_4m(ctx, fd4.ixh(w), u)
         t["u"] = t["u"].at[ks:ke].add(tu)
 
-        # ---- v ----
+        # ---- v (advected in 2-D too; only the y-flux is gated,
+        #      advec_4m.cxx:536 instantiates advec_v<TF,0>) ----
+        tv = _flux4_x(fd4.jyh(u), v)[ks:ke] * dxi
         if dim3:
-            tv = _flux4_x(fd4.jyh(u), v)[ks:ke] * dxi
             tv = tv + _flux4_y(fd4.jyh(v), v)[ks:ke] * dyi
-            tv = tv + _vert_4m(ctx, fd4.jyh(w), v)
-            t["v"] = t["v"].at[ks:ke].add(tv)
+        tv = tv + _vert_4m(ctx, fd4.jyh(w), v)
+        t["v"] = t["v"].at[ks:ke].add(tv)
 
         # ---- w (half levels ks+1..ke-1; uses conservation w ghosts) ----
         lo, hi = ks + 1, ke

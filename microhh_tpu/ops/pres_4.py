@@ -172,6 +172,9 @@ class Pres4:
 
         fac = _hdma_factorize(m)
         self._lu_np = fac.astype(self.dtype)
+        self._mk_np = mk          # raw m1..m7 bands (oracle-tested)
+        self._bmati_np = bmati
+        self._bmatj_np = bmatj
         self.kmax = kmax
         self._build_eigen(mk, bm, m, mean)
 
