@@ -30,6 +30,7 @@ ENDTIME = {
     "rayleightaylor": 1., "andren1994": 20., "eady": 400., "SBL_DNN": 2.,
     "jaenschwalde": 60., "drycblslope": 0.2, "vanheerwaarden2016": 2.,
     "weakscaling": 0.1, "sullivan2011": 60., "gabls4s3": 60.,
+    "rcemip": 100.,   # iotimeprec=2: io times must be multiples of 100 s
     "SBL_Smag": 2., "SBL_DNNglobalScales": 2., "SBL_DNNstatsScales": 2.,
 }
 
@@ -43,6 +44,8 @@ def smoke_ini(src, case):
     txt = re.sub(r"(?m)^ktot=.*$", "ktot=%d" % SMOKE["ktot"], txt, count=1)
     txt = re.sub(r"(?m)^endtime=.*$", "endtime=%s" % et, txt)
     txt = re.sub(r"(?m)^savetime=.*$", "savetime=%s" % et, txt)
+    # the shrunken smoke domain may not reach 500 hPa
+    txt = re.sub(r"w500hpa,|,w500hpa|w500hpa", "", txt)
     return txt
 
 

@@ -39,9 +39,20 @@ class Fields:
         }
         # Prognostic scalars: passive ones from [fields] slist; physics modules
         # (thermo/microphys) register more via init_prognostic_field().
+        # Initial-condition options are consumed at construction in every
+        # sim mode, mirroring the reference Fields ctor (src/fields.cxx),
+        # so run/post do not flag them as unused.
+        self._rnd = {}
         self.sp = {}
         for name in ini.get_list(str, "fields", "slist", default=[]):
             self.init_prognostic_field(name, name, "-")
+
+        self.rndseed = ini.get_int("fields", "rndseed", default=0)
+        self.vortexnpair = ini.get_int("fields", "vortexnpair", default=0)
+        self.vortexamp = ini.get_float("fields", "vortexamp", default=1.e-3)
+        self.vortexaxis = ini.get_str("fields", "vortexaxis", default="y")
+        for name in ("u", "v", "w"):
+            self._read_rnd_options(name)
         # Diagnostic fields (p is always registered, like the reference).
         self.sd = {"p": Field("p", "Pressure", "Pa", (0, 0, 0))}
         # Prognostic soil fields (ktot_soil, jtot, itot; no ghosts) and 2-D
@@ -58,12 +69,21 @@ class Fields:
         self.rhorefh = np.ones(kc)
 
     # -- registry ----------------------------------------------------------
+    def _read_rnd_options(self, name):
+        ini = self.ini
+        self._rnd[name] = (
+            ini.get_float("fields", "rndamp", subitem=name, default=0.),
+            ini.get_float("fields", "rndz", subitem=name,
+                          default=self.grid.zsize),
+            ini.get_float("fields", "rndexp", subitem=name, default=0.))
+
     def init_prognostic_field(self, name, longname, unit, group=""):
         if name in self.sp or name in self.mp:
             raise ValueError("field %s already exists" % name)
         svisc = self.ini.get_float("fields", "svisc", subitem=name,
                                    default=self.ini.get_float("fields", "svisc", default=self.visc))
         self.sp[name] = Field(name, longname, unit, (0, 0, 0), svisc)
+        self._read_rnd_options(name)
 
     def init_diagnostic_field(self, name, longname, unit, group=""):
         self.sd[name] = Field(name, longname, unit, (0, 0, 0))
@@ -94,13 +114,13 @@ class Fields:
         ini, g = self.ini, self.grid
         state = {name: self.zeros(dtype) for name in self.prognostic_names}
 
-        seed = ini.get_int("fields", "rndseed", default=0) + 2
-        rng = np.random.RandomState(seed)
+        rng = np.random.RandomState(self.rndseed + 2)
 
         def randomize(name, data):
-            rndamp = ini.get_float("fields", "rndamp", subitem=name, default=0.)
-            rndz = ini.get_float("fields", "rndz", subitem=name, default=g.zsize)
-            rndexp = ini.get_float("fields", "rndexp", subitem=name, default=0.)
+            rndamp, rndz, rndexp = self._rnd.get(name) or (
+                ini.get_float("fields", "rndamp", subitem=name, default=0.),
+                ini.get_float("fields", "rndz", subitem=name, default=g.zsize),
+                ini.get_float("fields", "rndexp", subitem=name, default=0.))
             if rndz > g.zsize:
                 raise ValueError("rndz higher than domain top")
             if rndamp == 0.:
@@ -127,10 +147,8 @@ class Fields:
         return state
 
     def _add_vortex_pair(self, state):
-        ini, g = self.ini, self.grid
-        npair = ini.get_int("fields", "vortexnpair", default=0)
-        amp = ini.get_float("fields", "vortexamp", default=1.e-3)
-        axis = ini.get_str("fields", "vortexaxis", default="y")
+        g = self.grid
+        npair, amp, axis = self.vortexnpair, self.vortexamp, self.vortexaxis
         if npair <= 0:
             return
         ks, ke = g.kstart, g.kend

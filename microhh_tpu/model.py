@@ -1125,6 +1125,15 @@ def run_case(case_dir, casename, mode, dtype=None):
     model = Model(ini, mode, casename, workdir=case_dir, dtype=dtype)
     model.finish_setup()
     if mode == "init":
+        # The reference constructs every component in init mode too, so the
+        # same ini options are consumed regardless of mode; mirror that so
+        # init never flags run-only options as unused.
+        from .output import Cross, Dump, Column
+        from .stats import Stats
+        Cross(model)
+        Dump(model)
+        Column.consume_options(model.ini)
+        Stats.consume_options(model.ini)
         model.save_initial_state()
     elif mode in ("run", "post"):
         from .output import Cross, Dump, Column

@@ -66,6 +66,67 @@ def _L(a):
     return a[:, None, None] if getattr(a, "ndim", 0) == 1 else a
 
 
+def seb_fluxes(T_a, qt1, T_b, T_soil_top, qsat_bot, dqsatdT_bot, ra, rs_lim,
+               lam, cs_lim, sw_dn, sw_up, lw_dn, lw_up, rhoh, emis_sfc,
+               subdt):
+    """Linearised surface-energy-balance solve for one tile
+    (land_surface_kernels.h calc_fluxes :294-381): solve the new skin
+    temperature from the linearised budget, then diagnose H/LE/G/S with
+    the linearised qsat so the SEB closes.  Returns
+    (H, LE, G, S, T_new, qsat_new)."""
+    fH = rhoh * cst.cp / ra
+    fLE = rhoh * cst.Lv / (ra + rs_lim)
+    Qnet = sw_dn - sw_up + lw_dn - lw_up
+    num = (Qnet + lw_up + fH * T_a
+           + fLE * (qt1 + dqsatdT_bot * T_b - qsat_bot)
+           + lam * T_soil_top + 3. * emis_sfc * cst.sigma_b * T_b ** 4
+           - (1. - emis_sfc) * lw_dn)
+    den = (fH + fLE * dqsatdT_bot + lam
+           + 4. * emis_sfc * cst.sigma_b * T_b ** 3)
+    T_new = (num + cs_lim / subdt * T_b) / (den + cs_lim / subdt)
+    qsat_new = qsat_bot + dqsatdT_bot * (T_new - T_b)
+    H = fH * (T_new - T_a)
+    LE = fLE * (qsat_new - qt1)
+    G = lam * (T_new - T_soil_top)
+    S = cs_lim * (T_new - T_b) / subdt
+    return H, LE, G, S, T_new, qsat_new
+
+
+def liquid_water_reservoir(wl, wl_t0, frac, LE_t, rain, c_veg, lai, subdt):
+    """Interception-reservoir tendency, throughfall and interception
+    (land_surface_kernels.h calc_liquid_water_reservoir :89-155).
+    Returns (wl_tend_lim, throughfall, interception)."""
+    to_ms = 1. / (cst.rho_w * cst.Lv)
+    rr_ms = rain / cst.rho_w
+    subdti = 1. / subdt
+    wlm = WLMAX * (1. - c_veg + c_veg * lai)
+    wl_tend_max = (wlm - wl) * subdti - wl_t0
+    wl_tend_min = -wl * subdti - wl_t0
+    wl_liq = -jnp.maximum(0., frac["wet"] * LE_t["wet"] * to_ms)
+    wl_dew = -(jnp.minimum(0., frac["wet"] * LE_t["wet"] * to_ms)
+               + jnp.minimum(0., frac["veg"] * LE_t["veg"] * to_ms)
+               + jnp.minimum(0., frac["soil"] * LE_t["soil"] * to_ms))
+    intercept_eff = 0.5
+    wl_precip = intercept_eff * c_veg * rr_ms
+    wl_sum = wl_liq + wl_dew + wl_precip
+    wl_lim = jnp.minimum(wl_tend_max, jnp.maximum(wl_tend_min, wl_sum))
+    throughfall = (-(1. - c_veg) * rr_ms
+                   - (1. - intercept_eff) * c_veg * rr_ms
+                   + jnp.minimum(0., wl_lim - wl_sum))
+    interception = jnp.maximum(0., wl_lim)
+    return wl_lim, throughfall, interception
+
+
+def soil_thermal_diffusivity(theta, tsat, gdry, rhoC):
+    """IFS soil heat conductivity/diffusivity (soil_kernels.h
+    calc_thermal_properties :213-249).  Returns (kappa, gamma)."""
+    gamma_T_sat = (GAMMA_T_MATRIX ** (1. - tsat)
+                   * GAMMA_T_WATER ** theta * 2.2 ** (tsat - theta))
+    kersten = jnp.log10(jnp.maximum(0.1, theta / tsat)) + 1.
+    gam = kersten * (gamma_T_sat - gdry) + gdry
+    return gam / rhoC, gam
+
+
 def _vg_conductivity(tn, vg_l, vg_m, gamma_sat):
     """van Genuchten conductivity (soil_kernels.h:45-51)."""
     return gamma_sat * tn ** vg_l * (1. - (1. - tn ** (1. / vg_m)) ** vg_m) ** 2
@@ -379,20 +440,10 @@ class BoundarySurfaceLSM(BoundarySurface):
             cs_lim = self.props["cs_veg"] if tile == "veg" else 0.
             lam = jnp.where(db > 0., self.props["lambda_stable"],
                             self.props["lambda_unstable"])
-            fH = rhoh * cst.cp / ra
-            fLE = rhoh * cst.Lv / (ra + rs_lim)
-            Qnet = sw_dn - sw_up + lw_dn - lw_up
-            num = (Qnet + lw_up + fH * T_a
-                   + fLE * (qt1 + dqsatdT_bot * T_b - qsat_bot)
-                   + lam * T_soil_top + 3. * self.emis_sfc * cst.sigma_b * T_b ** 4
-                   - (1. - self.emis_sfc) * lw_dn)
-            den = (fH + fLE * dqsatdT_bot + lam
-                   + 4. * self.emis_sfc * cst.sigma_b * T_b ** 3)
-            T_new = (num + cs_lim / subdt * T_b) / (den + cs_lim / subdt)
-            qsat_new = qsat_bot + dqsatdT_bot * (T_new - T_b)
-            H_t[tile] = fH * (T_new - T_a)
-            LE_t[tile] = fLE * (qsat_new - qt1)
-            G_t[tile] = lam * (T_new - T_soil_top)
+            H_t[tile], LE_t[tile], G_t[tile], _, T_new, _ = seb_fluxes(
+                T_a, qt1, T_b, T_soil_top, qsat_bot, dqsatdT_bot, ra,
+                rs_lim, lam, cs_lim, sw_dn, sw_up, lw_dn, lw_up, rhoh,
+                self.emis_sfc, subdt)
             sfc["thl_bot_" + tile] = T_new / exnh
             sfc["qt_bot_" + tile] = qt1 + LE_t[tile] * ra / (rhoh * cst.Lv)
 
@@ -488,24 +539,11 @@ class BoundarySurfaceLSM(BoundarySurface):
         sfc["dbdz_mo"] = -bfluxbot / (cst.kappa * zsl * ustar) * most.phih(zsl / obuk)
 
         # liquid water reservoir tendency (calc_liquid_water_reservoir)
-        to_ms = 1. / (cst.rho_w * cst.Lv)
-        rr_ms = rain / cst.rho_w
-        subdti = 1. / subdt
         wl_t0 = t["wl"]
-        wl_tend_max = (wlm - wl) * subdti - wl_t0
-        wl_tend_min = -wl * subdti - wl_t0
-        wl_liq = -jnp.maximum(0., frac["wet"] * LE_t["wet"] * to_ms)
-        wl_dew = -(jnp.minimum(0., frac["wet"] * LE_t["wet"] * to_ms)
-                   + jnp.minimum(0., frac["veg"] * LE_t["veg"] * to_ms)
-                   + jnp.minimum(0., frac["soil"] * LE_t["soil"] * to_ms))
-        intercept_eff = 0.5
-        wl_precip = intercept_eff * c_veg * rr_ms
-        wl_sum = wl_liq + wl_dew + wl_precip
-        wl_lim = jnp.minimum(wl_tend_max, jnp.maximum(wl_tend_min, wl_sum))
-        throughfall = (-(1. - c_veg) * rr_ms - (1. - intercept_eff) * c_veg * rr_ms
-                       + jnp.minimum(0., wl_lim - wl_sum))
+        wl_lim, throughfall, interception = liquid_water_reservoir(
+            wl, wl_t0, frac, LE_t, rain, c_veg, lai, subdt)
         sfc["throughfall"] = throughfall
-        sfc["interception"] = jnp.maximum(0., wl_lim)
+        sfc["interception"] = interception
         t["wl"] = wl_t0 + wl_lim
 
         # ---- soil columns ---------------------------------------------------
@@ -515,12 +553,8 @@ class BoundarySurfaceLSM(BoundarySurface):
         tsat = _L(self.theta_sat)
 
         # soil temperature: thermal diffusivity (calc_thermal_properties)
-        gamma_T_sat = (GAMMA_T_MATRIX ** (1. - tsat)
-                       * GAMMA_T_WATER ** theta * 2.2 ** (tsat - theta))
-        gdry = _L(self.gamma_T_dry)
-        kersten = jnp.log10(jnp.maximum(0.1, theta / tsat)) + 1.
-        gam_T = kersten * (gamma_T_sat - gdry) + gdry
-        kap_T = gam_T / _L(self.rho_C)
+        kap_T, _ = soil_thermal_diffusivity(theta, tsat, _L(self.gamma_T_dry),
+                                            _L(self.rho_C))
 
         def interp_harmonic(f):
             dzs = self.sgrid.dz

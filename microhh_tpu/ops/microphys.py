@@ -27,8 +27,7 @@ QL_MIN = 1.e-6
 QR_MIN = 1.e-15
 X_STAR = 2.6e-10
 PIRHOW = np.pi * cst.rho_w / 6.
-MC_MAX = 1.3e-9   # not used directly; mr_min = mc_max
-MR_MIN = 1.3e-9
+MR_MIN = 2.6e-10  # mr_min = mc_max (microphys_2mom_warm.h:62-63)
 MR_MAX = 3e-6
 D_V = 3.e-5       # diffusivity of water vapor [m2 s-1] (constants.h D_v)
 K_T = 2.5e-2      # thermal conductivity of air  (constants.h K_t)
@@ -50,13 +49,20 @@ def ss08_cfl(ctx, w_qc, dt):
     return 0.25 * (wp[:-2] + 2. * wp[1:-1] + wp[2:]) * dzi * dt
 
 
-def ss08_flux_tendency(ctx, a, c, rho, dt):
+def ss08_flux_tendency(ctx, a, c, rho, dt, dzi_at_out=False, nsed=NSED):
     """Limited SS08 flux divergence: returns (tendency, surface_flux>0).
 
     The reference's data-dependent while loop over the cells a particle
     crosses in one dt (microphys_nsw6.cxx:786-797) is a fixed NSED-deep
     unrolled sweep of shifted adds; the downward positivity limiter (which
-    couples levels sequentially) is a lax.scan."""
+    couples levels sequentially) is a lax.scan.
+
+    The cc carried to the next cell is ``min(1, c[cell m] - dzz*dzi[cell
+    m+1])`` — the reference reads c at the cell it just LEFT (ikk/ijkc are
+    computed before the kk increment, microphys_2mom_warm.cxx:480-487,
+    microphys_nsw6.cxx:789-796).  ``dzi_at_out`` mirrors the 2mom nr loop's
+    quirk of using dzi at the fixed output row instead
+    (microphys_2mom_warm.cxx:508, ``dzz*dzi[k]``)."""
     ks, ke = ctx.ks, ctx.ke
     dzi = ctx.dzi[ks:ke][:, None, None]
     dz = ctx.dz[ks:ke][:, None, None]
@@ -77,18 +83,20 @@ def ss08_flux_tendency(ctx, a, c, rho, dt):
     rho_b = jnp.broadcast_to(rho, a.shape)
     dz_b = jnp.broadcast_to(dz, a.shape)
     dzi_b = jnp.broadcast_to(dzi, a.shape)
+    c_b = jnp.broadcast_to(c, a.shape)
     ftot = jnp.zeros_like(a)
     dzz = jnp.zeros_like(a)
     cc = jnp.minimum(1., c)
-    for m in range(NSED):
+    for m in range(nsed):
         active = cc > 0.
         ftot = ftot + jnp.where(
             active,
             shift_up(rho_b, m) * (shift_up(a, m) + 0.5 * shift_up(sl, m) * (1. - cc))
             * cc * shift_up(dz_b, m), 0.)
         dzz = dzz + jnp.where(active, shift_up(dz_b, m), 0.)
-        cn = shift_up(jnp.broadcast_to(c, a.shape), m + 1)
-        cc = jnp.where(active, jnp.minimum(1., cn - dzz * shift_up(dzi_b, m + 1)), 0.)
+        dzi_next = dzi_b if dzi_at_out else shift_up(dzi_b, m + 1)
+        cc = jnp.where(active,
+                       jnp.minimum(1., shift_up(c_b, m) - dzz * dzi_next), 0.)
 
     mass = rho_b * dz_b * a
 
@@ -106,12 +114,19 @@ def ss08_flux_tendency(ctx, a, c, rho, dt):
     return tend, -flux[0]
 
 
+def _tanh2(x):
+    """Rational tanh approximation (microphys_2mom_warm.h:74-78) — NOT a
+    true tanh: it diverges like x/9 for large |x|, and the reference's
+    mu_r inherits that tail, so we must use the same form."""
+    return x * (27. + x * x) / (27. + 9. * x * x)
+
+
 def calc_rain_props(qr, nr, rho):
     """mean mass, diameter, shape mu_r, slope lambda_r."""
     mr = rho * qr / jnp.maximum(nr, 1.)
     mr = jnp.clip(mr, MR_MIN, MR_MAX)
     dr = (mr / PIRHOW) ** (1. / 3.)
-    mur = 10. * (1. + jnp.tanh(1200. * (dr - 0.0015)))
+    mur = 10. * (1. + _tanh2(1200. * (dr - 0.0015)))
     lamr = ((mur + 3.) * (mur + 2.) * (mur + 1.)) ** (1. / 3.) / dr
     return mr, dr, mur, lamr
 
@@ -157,9 +172,8 @@ class Microphys2momWarm:
         has_ql = ql > QL_MIN
         xc = rho * ql / self.Nc0
         tau = 1. - ql / (ql + qr + cst.dsmall)
-        tau_s = jnp.clip(tau, 1e-12, 1. - 1e-12)
-        phi_au = 600. * tau_s ** 0.68 * (1. - tau_s ** 0.68) ** 3
-        au = RHO_0 * kccxs * ql ** 2 * xc ** 2 * (1. + phi_au / (1. - tau_s) ** 2)
+        phi_au = 600. * tau ** 0.68 * (1. - tau ** 0.68) ** 3
+        au = RHO_0 * kccxs * ql ** 2 * xc ** 2 * (1. + phi_au / (1. - tau) ** 2)
         au = jnp.where(has_ql, au, 0.)
         qrt += au
         nrt += au * rho / X_STAR
@@ -167,8 +181,11 @@ class Microphys2momWarm:
         thlt += lv_cpe * au
 
         # ---- accretion (SB06 eq 7) ----
+        # the reference recomputes tau here WITHOUT dsmall (:149); the
+        # ql/qr > 0 mask keeps the quotient well-defined
         has_both = has_ql & (qr > QR_MIN)
-        phi_ac = (tau_s / (tau_s + 5e-5)) ** 4
+        tau_ac = 1. - ql / jnp.maximum(ql + qr, cst.dsmall)
+        phi_ac = (tau_ac / (tau_ac + 5e-5)) ** 4
         ac = 5.25 * ql * qr * phi_ac * jnp.sqrt(RHO_0 / rho)
         ac = jnp.where(has_both, ac, 0.)
         qrt += ac
@@ -229,8 +246,14 @@ class Microphys2momWarm:
 
         c_qr = ss08_cfl(ctx, w_qr, dt)
         c_nr = ss08_cfl(ctx, w_nr, dt)
-        qrt_s, rr_bot = ss08_flux_tendency(ctx, qr, c_qr, rho, dt)
-        nrt_s, _ = ss08_flux_tendency(ctx, nr, c_nr, rho, dt)
+        # the dt limit keeps the sedimentation CFL <= cflmax, so a drop
+        # crosses at most ceil(cflmax)+1 cells per step
+        nsed = int(np.ceil(self.cflmax)) + 2
+        qrt_s, rr_bot = ss08_flux_tendency(ctx, qr, c_qr, rho, dt, nsed=nsed)
+        # quirk: the reference nr loop advances cc with dzi at the output
+        # row (microphys_2mom_warm.cxx:508), unlike the qr loop.
+        nrt_s, _ = ss08_flux_tendency(ctx, nr, c_nr, rho, dt,
+                                      dzi_at_out=True, nsed=nsed)
         return qrt_s, nrt_s, rr_bot
 
     def get_time_limit_rate(self, ctx, s):

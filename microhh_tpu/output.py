@@ -308,6 +308,15 @@ class Dump:
 class Column:
     """Single-column profile time series (reference ``src/column.cxx``)."""
 
+    @staticmethod
+    def consume_options(ini):
+        """Option reads only (init mode; see Stats.consume_options)."""
+        if ini.get_str("column", "swcolumn", default="0") in ("0", "false"):
+            return
+        ini.get_float("column", "sampletime")
+        ini.get_list(float, "column", "coordinates", subitem="x", default=[])
+        ini.get_list(float, "column", "coordinates", subitem="y", default=[])
+
     def __init__(self, model):
         ini = model.ini
         self.sw = ini.get_str("column", "swcolumn", default="0") not in ("0", "false")

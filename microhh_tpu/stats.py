@@ -24,6 +24,23 @@ from .ops.stencil import i2, im, ip, jm, jp
 
 
 class Stats:
+    @staticmethod
+    def consume_options(ini):
+        """Read the [stats]/[budget] options without building the writer.
+        The reference constructs Stats in every sim mode (its ctor does the
+        option reads); init mode calls this so the same options are
+        consumed and never flagged as unused."""
+        ini.flag_as_used("stats", "swstats")
+        if not ini.get_int("stats", "swstats", default=0):
+            return
+        ini.get_float("stats", "sampletime")
+        ini.get_bool("stats", "swtendency", default=False)
+        ini.get_list(str, "stats", "whitelist", default=[])
+        ini.get_list(str, "stats", "blacklist", default=[])
+        ini.get_list(str, "stats", "masklist", default=[])
+        ini.get_list(str, "stats", "xymasklist", default=[])
+        ini.get_str("budget", "swbudget", default="0")
+
     def __init__(self, model):
         ini = model.ini
         self.model = model
