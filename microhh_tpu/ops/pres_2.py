@@ -487,6 +487,87 @@ class Pres2:
         return dft2_inv(xr, xi, pp, kprec(_mxu_precision(rhs.dtype)),
                         self.grid.itot, interpret=interp)
 
+    def _solve_dft_sharded(self, ctx, rhs, pp, plan):
+        """Distributed fast spectral solve — the TPU form of the
+        reference's transpose-interleaved FFTs (transpose.cxx:118-245).
+
+        The single-chip fast kernels run unchanged PER SHARD between the
+        plan's all-to-all reshards: in the z-slab stage every device holds
+        full (jtot, itot) planes for kmax/n levels, so the radix-4 Pallas
+        DFT (or the dense MXU-DFT einsums) is shard-local inside a
+        shard_map; in the mode-slab stage every device holds full-kmax
+        columns for jtot/n rows of modes, so the Pallas Thomas pivot sweep
+        is shard-local with its pivot table sliced over j."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axes = plan.mesh, plan.axes
+        zspec = P(axes, None, None)
+        mspec = P(None, axes, None)
+        interp = jax.default_backend() != "tpu"
+        prec = _mxu_precision(rhs.dtype)
+        fprec = _fwd_precision(rhs.dtype)
+
+        use_pl = (self._use_dft_pallas(rhs.dtype) and "plxf_c0" in pp
+                  and "winv_pl" in pp and self._use_pl_tdma())
+        if interp and os.environ.get("MICROHH_DFT_PALLAS") == "1":
+            # CPU tests exercise the Pallas path in interpret mode
+            use_pl = "plxf_c0" in pp and "winv_pl" in pp
+
+        self.solve_path = ("dft_sharded_pallas" if use_pl
+                           else "dft_sharded_dense")
+        rhs = plan.zslab(rhs)
+        if use_pl:
+            from .pallas_dft import dft2_fwd, dft2_inv
+
+            def kprec(p):
+                if p is None or p == jax.lax.Precision.DEFAULT:
+                    return p
+                return jax.lax.Precision.HIGHEST
+
+            fwd_tabs = {n: pp[n] for n in FWD_TABLES}
+            inv_tabs = {n: pp[n] for n in INV_TABLES}
+            fwd = shard_map(
+                lambda r, t: dft2_fwd(r, t, kprec(fprec), interpret=interp),
+                mesh=mesh, in_specs=(zspec, P()),
+                out_specs=(zspec, zspec), check_rep=False)
+            Yr, Yi = fwd(rhs, fwd_tabs)
+            Yr = plan.modeslab(Yr)
+            Yi = plan.modeslab(Yi)
+            tdma = shard_map(
+                lambda a, b, w: self._tdma_pl(a, b, {"winv_pl": w}),
+                mesh=mesh, in_specs=(mspec, mspec, mspec),
+                out_specs=(mspec, mspec), check_rep=False)
+            xr, xi = tdma(Yr, Yi, pp["winv_pl"])
+            xr = plan.zslab(xr, from_modes=True)
+            xi = plan.zslab(xi, from_modes=True)
+            inv = shard_map(
+                lambda a, b, t: dft2_inv(a, b, t, kprec(prec),
+                                         self.grid.itot, interpret=interp),
+                mesh=mesh, in_specs=(zspec, zspec, P()),
+                out_specs=zspec, check_rep=False)
+            return plan.pencil(inv(xr, xi, inv_tabs))
+
+        # dense MXU-DFT stages: einsums contract only shard-local axes, so
+        # GSPMD keeps them communication-free between the reshards
+        e = functools.partial(jnp.einsum, precision=prec)
+        ef = functools.partial(jnp.einsum, precision=fprec)
+        C, S = pp["dftC"], pp["dftS"]
+        Cy, Sy = pp["dftCy"], pp["dftSy"]
+        Xr = ef("kji,if->kjf", rhs, C)
+        Xi = -ef("kji,if->kjf", rhs, S)
+        Yr = ef("kjf,jg->kgf", Xr, Cy) + ef("kjf,jg->kgf", Xi, Sy)
+        Yi = ef("kjf,jg->kgf", Xi, Cy) - ef("kjf,jg->kgf", Xr, Sy)
+        Yr = plan.modeslab(Yr)
+        Yi = plan.modeslab(Yi)
+        xr, xi = self._eigen_ri(Yr, Yi, pp, pp["eigbm"])
+        xr = plan.zslab(xr, from_modes=True)
+        xi = plan.zslab(xi, from_modes=True)
+        n_j = xr.shape[1]
+        Zr = (e("kgf,jg->kjf", xr, Cy) - e("kgf,jg->kjf", xi, Sy)) / n_j
+        Zi = (e("kgf,jg->kjf", xi, Cy) + e("kgf,jg->kjf", xr, Sy)) / n_j
+        return plan.pencil(self._idft_x(Zr, Zi, pp, self.grid.itot, e))
+
     def _solve_dft(self, ctx, rhs, pp):
         """Forward 2-D real DFT, eigen solve on real/imag parts, inverse —
         all as MXU matmuls (no complex arrays anywhere)."""
@@ -852,10 +933,14 @@ class Pres2:
         from ..parallel.mesh import spectral_slab_plan
         plan = spectral_slab_plan(self.mesh, kmax, rhs.shape[1])
 
-        if (plan is None and self._use_dft()
-                and pp is not None and "dftC" in pp and self._use_eigen()):
-            return self._solve_dft(ctx, rhs, pp).astype(rhs.dtype)
+        if (self._use_dft() and pp is not None and "dftC" in pp
+                and self._use_eigen()):
+            if plan is None:
+                self.solve_path = "dft"
+                return self._solve_dft(ctx, rhs, pp).astype(rhs.dtype)
+            return self._solve_dft_sharded(ctx, rhs, pp, plan).astype(rhs.dtype)
 
+        self.solve_path = "fft" if plan is None else "fft_slab"
         if plan is not None:
             rhs = plan.zslab(rhs)
         p_hat = jnp.fft.rfft2(rhs, axes=(-2, -1))
