@@ -60,6 +60,65 @@ def _run_size(ge, size, ktot, nsteps):
     return (t1 - t0) / nsteps
 
 
+def _run_moist_size(size, ktot, nsteps):
+    """Bomex/rico-class moist step: thermo_moist + 2mom_warm + limiter +
+    geo/ls/subsidence forcing — the generic fused path the headline dry
+    metric never touches (round-4 item 4)."""
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wd = tempfile.mkdtemp(prefix="bench_rico_")
+    ini_txt = open(os.path.join(repo, "cases/rico/rico.ini")).read()
+    for key, val in (("itot", size), ("jtot", size), ("ktot", ktot)):
+        ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=%d" % (key, val), ini_txt)
+    for key in ("swstats", "swcross", "swdump", "swcolumn", "swbudget"):
+        ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=0" % key, ini_txt)
+    open(os.path.join(wd, "rico.ini"), "w").write(ini_txt)
+    shutil.copy(os.path.join(repo, "cases/rico/rico_input.py"), wd)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run([sys.executable, "rico_input.py"], cwd=wd, env=env,
+                   check=True, capture_output=True)
+
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    model = Model(Ini(os.path.join(wd, "rico.ini")), "run", "rico",
+                  workdir=wd, dtype=np.float32)
+    model.finish_setup()
+    model.build_step()
+    st = model.fields.create(model.input_nc, dtype=model.dtype)
+    s, t, sfc = model.as_device_state(st)
+    dt = jnp.asarray(1.0, dtype=model.dtype)
+    time0 = jnp.asarray(0.0, dtype=model.dtype)
+    pp = model.pres_params
+
+    def chunk(s, sfc, pp):
+        def body(carry, _):
+            s, sfc = carry
+            s, sfc, _aux = model._step_raw(s, sfc, pp, dt, time0)
+            return (s, sfc), 0
+        (s, sfc), _ = jax.lax.scan(body, (s, sfc), None, length=nsteps)
+        return s, sfc
+
+    chunk_j = jax.jit(chunk, donate_argnums=(0, 1))
+    s1, sfc1 = chunk_j(s, sfc, pp)
+    jax.block_until_ready(s1["u"])
+    t0 = time.perf_counter()
+    s2, sfc2 = chunk_j(s1, sfc1, pp)
+    jax.block_until_ready(s2["u"])
+    t1 = time.perf_counter()
+    del s, t, sfc, s1, sfc1, s2, sfc2, pp, model, chunk_j
+    gc.collect()
+    shutil.rmtree(wd, ignore_errors=True)
+    return (t1 - t0) / nsteps
+
+
 T_START = time.perf_counter()
 
 
@@ -122,6 +181,40 @@ def main():
                                     "vs_baseline": 256 ** 3 / sec256 / baseline_agg}
         except Exception as e:
             out["secondary_256"] = {"error": "%s" % type(e).__name__}
+
+    # moist (rico-class) metric: thermo_moist + 2mom_warm + limiter +
+    # geo/ls/subsidence — the generic fused path
+    elapsed = time.perf_counter() - T_START
+    if (os.environ.get("BENCH_MOIST", "1") == "1"
+            and elapsed < float(os.environ.get("BENCH_BUDGET_S", "900"))):
+        m_attempted, m_failed = [], {}
+        if "BENCH_MOIST_SIZE" in os.environ:
+            m_sizes = [int(os.environ["BENCH_MOIST_SIZE"])]
+        else:
+            m_sizes = [384, 256]
+        for msize in m_sizes:
+            mktot = int(os.environ.get("BENCH_MOIST_KTOT", str(msize)))
+            m_attempted.append([msize, msize, mktot])
+            try:
+                sec = _run_moist_size(msize, mktot, nsteps)
+                pts = msize * msize * mktot
+                out["moist"] = {
+                    "metric": "rico %dx%dx%d moist LES (2mom_warm+limiter"
+                              "+ls/subsidence) per RK3 step (1 chip)"
+                              % (msize, msize, mktot),
+                    "value": sec, "unit": "s/step",
+                    "updates_per_s": pts / sec,
+                    "vs_baseline": pts / sec / baseline_agg,
+                    "sizes_attempted": m_attempted,
+                }
+                break
+            except Exception as e:
+                m_failed["%d" % msize] = "%s: %s" % (type(e).__name__,
+                                                     str(e)[:200])
+                gc.collect()
+        if "moist" not in out:
+            out["moist"] = {"error": m_failed,
+                            "sizes_attempted": m_attempted}
     print(json.dumps(out))
 
 

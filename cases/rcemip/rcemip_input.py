@@ -106,6 +106,17 @@ def main():
     f.close()
     print("wrote rcemip_input.nc")
 
+    # Reduced physically-plausible k-distribution + cloud LUTs so the run
+    # takes the FULL RRTMGP spectral path instead of the two-band stand-in
+    # (the reference's rte-rrtmgp data files are absent from its checkout).
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.join(repo, "python"))
+    import make_rrtmgp_coefficients
+    make_rrtmgp_coefficients.main(".")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,250 @@
+"""Generate a REDUCED, physically-plausible RRTMGP coefficient set.
+
+The reference loads its k-distributions and cloud-optics LUTs from the
+rte-rrtmgp data files (``coefficients_{lw,sw}.nc``,
+``cloud_coefficients_{lw,sw}.nc``), but its rte-rrtmgp-cpp submodule is
+EMPTY in the checkout, so no tables ship anywhere.  This script builds a
+small in-repo substitute in the exact same NetCDF schema
+(radiation_rrtmgp.cxx:1222-1267 load path; microhh_tpu/ops/rrtmgp_optics.py
+reader), so cases can exercise the FULL spectral machinery — per-g-point
+major+minor gas optics, Planck fractions, solar source, Rayleigh, LUT
+cloud optics — end to end with physically sensible fluxes:
+
+* LW: 4 bands x 2 g-points covering the H2O rotation band, the CO2 15 um
+  band, the 800-1200 cm-1 window (with O3 as a MINOR gas at 9.6 um), and
+  the H2O 6.3 um band.  Each band carries a strong/weak g-point pair (the
+  reduced k-distribution idea); totplnk is the band-integrated Planck
+  function on the standard 160 K + n*1 K grid.
+* SW: 3 bands x 2 g-points (UV/vis with O3 + Rayleigh, two near-IR H2O
+  bands); solar_source sums to the solar constant 1361 W m-2.
+* Clouds: liquid/ice LUTs with ext = 3/(2 rho r_e) geometric-optics
+  extinction, SW ssa/asy from Mie-regime values, LW absorption-dominated.
+
+Mass absorption coefficients are band-mean cross sections (cm2/molec) in
+the right decades for each absorber, tuned so a midlatitude column gives
+clear-sky OLR ~ 260-290 W m-2 and surface SW transmittance ~ 0.7-0.8.
+
+Usage: python python/make_rrtmgp_coefficients.py [case_dir]
+writes the four NetCDFs into case_dir (default .).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H = 6.62607015e-34
+C = 2.99792458e8
+KB = 1.380649e-23
+
+GASES = ["h2o", "co2", "o3"]
+N_TEMP, N_PRESS, N_ETA = 6, 12, 3
+TEMP_REF = np.linspace(160., 340., N_TEMP)
+PRESS_REF = np.geomspace(1.09e5, 1., N_PRESS)
+PRESS_TROP = 9948.5                      # the rte-rrtmgp value [Pa]
+N_PLANCK_T = 196                         # 160..355 K, 1 K steps
+
+
+def planck_band_integral(nu1, nu2, T):
+    """pi * integral of B_nu over [nu1, nu2] cm-1 at temperature T
+    [W m-2]."""
+    nu = np.linspace(nu1 * 100., nu2 * 100., 257)   # m-1
+    # Planck spectral radiance per unit wavenumber (m-1)
+    x = H * C * nu / (KB * T)
+    B = 2. * H * C ** 2 * nu ** 3 / np.expm1(np.clip(x, 1e-9, 500.))
+    return np.pi * np.trapezoid(B, nu)
+
+
+def _char_array(names, maxlen=32):
+    out = np.zeros((len(names), maxlen), dtype="S1")
+    for i, n in enumerate(names):
+        for j, ch in enumerate(n[:maxlen]):
+            out[i, j] = ch.encode()
+    return out
+
+
+def _kmajor(bands, pressure_exp=0.8):
+    """kmajor[t, p+1, eta, g]: per band a (key-A, key-B) cross-section
+    pair, linear in eta (so tau ~= kA*colA + kB*colB), with a
+    pressure-broadening profile and a mild temperature dependence.
+    ``bands``: list of (kA_strong, kA_weak, kB) in cm2/molec."""
+    n_gpt = 2 * len(bands)
+    km = np.zeros((N_TEMP, N_PRESS + 1, N_ETA, n_gpt))
+    # pressure grid of the table: N_PRESS+1 entries (lower then upper)
+    p_tab = np.concatenate([PRESS_REF, [PRESS_REF[-1] * 0.5]])
+    pfac = (p_tab / 1.013e5) ** pressure_exp
+    tfac = (TEMP_REF / 250.) ** -0.5
+    eta = np.linspace(0., 1., N_ETA)
+    for b, (kA_s, kA_w, kB) in enumerate(bands):
+        for gi, kA in enumerate((kA_s, kA_w)):
+            g = 2 * b + gi
+            k_eta = kA * eta + kB * (1. - eta)          # (N_ETA,)
+            km[:, :, :, g] = (tfac[:, None, None] * pfac[None, :, None]
+                              * k_eta[None, None, :])
+    return km
+
+
+def _common_vars(bands_key, kmaj):
+    n_bnd = len(bands_key)
+    n_gpt = 2 * n_bnd
+    gidx = {g: i + 1 for i, g in enumerate(GASES)}      # 1-based
+    key_species = np.zeros((n_bnd, 2, 2), dtype=np.int32)
+    for b, (gA, gB) in enumerate(bands_key):
+        pair = (gidx[gA], gidx[gB] if gB else 0)
+        key_species[b, 0] = pair
+        key_species[b, 1] = pair
+    bnd_limits = np.stack([np.arange(n_bnd) * 2 + 1,
+                           np.arange(n_bnd) * 2 + 2], axis=1).astype(np.int32)
+    # vmr_ref all ones -> eta is the raw column fraction of key gas A
+    vmr_ref = np.ones((N_TEMP, len(GASES) + 1, 2))
+    return {
+        "gas_names": _char_array(GASES),
+        "key_species": key_species,
+        "bnd_limits_gpt": bnd_limits,
+        "press_ref": PRESS_REF,
+        "temp_ref": TEMP_REF,
+        "press_ref_trop": np.float64(PRESS_TROP),
+        "vmr_ref": vmr_ref,
+        "kmajor": kmaj,
+    }
+
+
+def _minor_o3_window(n_gpt_window_lo, n_gpt_window_hi):
+    """O3 9.6 um as a minor gas over the window band's g-points (both
+    atmospheres), density-scaled like the real minor machinery."""
+    k_o3 = 4.0e-21                                      # cm2/molec, strong
+    km = np.zeros((N_TEMP, N_ETA, 2))
+    km[:, :, 0] = k_o3
+    km[:, :, 1] = k_o3 * 0.2
+    v = {}
+    for atm in ("lower", "upper"):
+        v["minor_gases_" + atm] = _char_array(["o3"])
+        v["minor_limits_gpt_" + atm] = np.array(
+            [[n_gpt_window_lo, n_gpt_window_hi]], dtype=np.int32)
+        v["minor_scales_with_density_" + atm] = np.array([1], dtype=np.int8)
+        v["scale_by_complement_" + atm] = np.array([0], dtype=np.int8)
+        v["scaling_gas_" + atm] = _char_array([""])
+        v["kminor_start_" + atm] = np.array([1], dtype=np.int32)
+        v["kminor_" + atm] = km
+    v["gas_minor"] = _char_array(["o3"])
+    v["identifier_minor"] = _char_array(["o3"])
+    return v
+
+
+def make_lw():
+    # (kA_strong, kA_weak, kB) per band, cm2/molec; key pairs below
+    bands = [
+        (8.0e-22, 4.0e-23, 1.0e-26),    # 10-500: H2O rotation
+        (1.0e-26, 1.0e-26, 6.0e-22),    # 500-800: CO2 15um (key B=co2)
+        (4.0e-25, 2.0e-26, 1.0e-26),    # 800-1200: window (+O3 minor)
+        (3.0e-22, 2.0e-23, 1.0e-26),    # 1200-2600: H2O 6.3um
+    ]
+    wavenum = [(10., 500.), (500., 800.), (800., 1200.), (1200., 2600.)]
+    keys = [("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2")]
+    # band 2 is CO2-dominated: swap strong/weak onto the B side
+    v = _common_vars(keys, _kmajor(bands))
+    T = TOTPLNK = 160. + np.arange(N_PLANCK_T)
+    totplnk = np.zeros((N_PLANCK_T, len(bands)))
+    for b, (n1, n2) in enumerate(wavenum):
+        for i, t in enumerate(T):
+            totplnk[i, b] = planck_band_integral(n1, n2, t)
+    v["totplnk"] = totplnk.T                            # file: (bnd, nT)
+    # strong/weak pair shares the band Planck energy equally
+    v["plank_fraction"] = np.full((N_TEMP, N_PRESS + 1, N_ETA,
+                                   2 * len(bands)), 0.5)
+    v.update(_minor_o3_window(5, 6))                    # window band g-points
+    return v
+
+
+def make_sw():
+    bands = [
+        (5.0e-27, 5.0e-27, 3.0e-21),    # UV/vis: O3 (key B)
+        (6.0e-24, 4.0e-25, 1.0e-27),    # 8000-14500: H2O weak near-IR
+        (2.0e-22, 6.0e-24, 1.0e-27),    # 2600-8000: H2O strong near-IR
+    ]
+    keys = [("h2o", "o3"), ("h2o", "co2"), ("h2o", "co2")]
+    v = _common_vars(keys, _kmajor(bands, pressure_exp=0.3))
+    # solar constant split: vis 53%, 8000-14500 31%, 2600-8000 16%
+    frac = np.array([0.53, 0.31, 0.16])
+    src = np.zeros(6)
+    for b in range(3):
+        src[2 * b] = 0.6 * 1361. * frac[b]
+        src[2 * b + 1] = 0.4 * 1361. * frac[b]
+    v["solar_source"] = src
+    # Rayleigh cross sections (cm2/molec): nu^4 scaling across the bands
+    rayl = np.zeros((N_TEMP, N_ETA, 6))
+    for b, k_r in enumerate((2.4e-26, 6.0e-28, 3.0e-29)):
+        rayl[:, :, 2 * b:2 * b + 2] = k_r
+    v["rayl_lower"] = rayl
+    v["rayl_upper"] = rayl
+    return v
+
+
+def make_cloud(lw, n_bnd):
+    """Geometric-optics LUTs: ext = 3/(2 rho r_e) in m2/g of condensate."""
+    nsize = 20
+    rel = np.linspace(2.5, 21.5, nsize)                 # micron
+    rei = np.linspace(10., 180., nsize)
+    ext_liq = 1.5 / (1.0 * rel)                         # m2/g (rho_w=1 g/cm3)
+    ext_ice = 1.5 / (0.917 * rei)
+    if lw:
+        ssa_l, asy_l = 0.5, 0.9                         # absorption-dominated
+        ssa_i, asy_i = 0.55, 0.92
+    else:
+        ssa_l, asy_l = 0.9995, 0.86
+        ssa_i, asy_i = 0.9998, 0.80
+    v = {
+        "radliq_lwr": np.float64(rel[0]), "radliq_upr": np.float64(rel[-1]),
+        "radice_lwr": np.float64(rei[0]), "radice_upr": np.float64(rei[-1]),
+        # file layout (nband, nsize); ice adds a leading roughness axis
+        "lut_extliq": np.tile(ext_liq, (n_bnd, 1)),
+        "lut_ssaliq": np.full((n_bnd, nsize), ssa_l),
+        "lut_asyliq": np.full((n_bnd, nsize), asy_l),
+        "lut_extice": np.tile(ext_ice, (3, n_bnd, 1)),
+        "lut_ssaice": np.full((3, n_bnd, nsize), ssa_i),
+        "lut_asyice": np.full((3, n_bnd, nsize), asy_i),
+    }
+    return v
+
+
+def _write(path, v):
+    from microhh_tpu.utils import nc
+    f = nc.Dataset(path, "w")
+    dims = {}
+
+    def dim(n):
+        name = "d%d" % n
+        if name not in dims:
+            f.createDimension(name, n)
+            dims[name] = True
+        return name
+
+    for name, arr in v.items():
+        arr = np.asarray(arr)
+        if arr.dtype.kind == "S":
+            var = f.createVariable(name, "S1", tuple(dim(n) for n in arr.shape))
+            var[:] = arr
+        elif arr.ndim == 0:
+            var = f.createVariable(name, "f8", ())
+            var[...] = arr
+        else:
+            kind = "i4" if arr.dtype.kind == "i" else "f8"
+            var = f.createVariable(name, kind, tuple(dim(n) for n in arr.shape))
+            var[:] = arr
+    f.close()
+
+
+def main(outdir="."):
+    _write(os.path.join(outdir, "coefficients_lw.nc"), make_lw())
+    _write(os.path.join(outdir, "coefficients_sw.nc"), make_sw())
+    _write(os.path.join(outdir, "cloud_coefficients_lw.nc"),
+           make_cloud(True, 4))
+    _write(os.path.join(outdir, "cloud_coefficients_sw.nc"),
+           make_cloud(False, 3))
+    print("wrote 4 coefficient files to", outdir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".")
