@@ -4,6 +4,16 @@ import numpy as np
 from microhh_tpu.utils import nc
 
 ktot, zsize = 100, 4000.
+# honor the local ini (like bomex_input.py), so resized runs/benches work
+try:
+    with open("rico.ini") as _f:
+        for _line in _f:
+            if _line.split("=")[0] == "ktot":
+                ktot = int(_line.split("=")[1])
+            if _line.split("=")[0] == "zsize":
+                zsize = float(_line.split("=")[1])
+except OSError:
+    pass
 dz = zsize / ktot
 z = np.linspace(0.5 * dz, zsize - 0.5 * dz, ktot)
 

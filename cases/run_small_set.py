@@ -52,7 +52,15 @@ def smoke_ini(src, case):
 def run(cmd, cwd, env):
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True,
                        timeout=1200)
-    return r.returncode, (r.stdout + r.stderr).strip().splitlines()[-3:]
+    out = r.stdout + r.stderr
+    rc = r.returncode
+    # config-lifecycle parity: the reference consumes every option at
+    # component construction in every sim mode, so an "unused ini options"
+    # warning is a parity bug — treat it as a failure
+    if rc == 0 and "WARNING unused ini options" in out:
+        rc = 98
+        out += "\n(unused-ini-options warning treated as failure)"
+    return rc, out.strip().splitlines()[-3:]
 
 
 def main():

@@ -287,7 +287,36 @@ class Model:
                 and not getattr(self.limiter, "limitlist", None)
                 and force_idle and buffer_idle)
         self._use_rkfold = use_rkfold
-        pres_active_rk = use_rkfold and hasattr(self.pres, "exec_star")
+
+        # Generic-path RK fold (moist/vapor/buoy + any scalar list — the
+        # bomex/rico class): every tendency producer that is ADDITIVE and
+        # does not READ t (thermo, microphysics, radiation, buffer, decay,
+        # source, geo/ls/subsidence/nudge forcing, the limiter via its
+        # s*-clamp form) moves BEFORE the tendency kernels so the fold
+        # sees the total; excluded: uflux forcing (reads t), IB/outflow
+        # (modify s/t non-additively), LSM (soil/wl prognostics live
+        # outside the kernel set), sharded meshes (per-shard rk variants
+        # not built).
+        use_rkfold_generic = False
+        if (fused is not None and fused.generic
+                and os.environ.get("MICROHH_RKFOLD", "1") == "1"
+                and fused.sharded_mesh is None):
+            from .ops.pres_2 import Pres2
+            from .ops.force import Force
+            from .ops import DisabledOp
+            pres_ok = isinstance(self.pres, (Pres2, DisabledOp))
+            force_ok = (getattr(self, "_skip_force", False)
+                        or type(self.force).__name__ == "_NoForce"
+                        or (type(self.force) is Force
+                            and self.force.swlspres != "uflux"))
+            use_rkfold_generic = (
+                pres_ok and force_ok
+                and not getattr(self.boundary, "is_lsm", False)
+                and not self.ib.active and not self.outflow.active)
+        self._use_rkfold_generic = use_rkfold_generic
+
+        pres_active_rk = ((use_rkfold or use_rkfold_generic)
+                          and hasattr(self.pres, "exec_star"))
         # Single-pass Pallas kernels for the projection glue (divergence
         # rhs + gradient application) — see pallas_fused.PresGlue.
         pres_glue = None
@@ -348,6 +377,61 @@ class Model:
                     ctx, s, sfc, names=self.boundary.flux_ghost_names())
             if self.ib.active:
                 s = self.ib.exec_scalars(ctx, s)
+            if use_rkfold_generic:
+                from .ops.pallas_fused import (fused_generic_tendencies_rk,
+                                               fused_pressure_rk)
+                ks, ke = ctx.ks, ctx.ke
+                subdt = cB[sub] * dt
+                aux = dict(aux)
+                aux["subdt"] = subdt
+                # additive tendency producers move BEFORE the kernels
+                if not getattr(self, "_skip_buffer", False):
+                    t = self.buffer(ctx, s, t, aux)
+                t = self.decay(ctx, s, t, aux)
+                t = self.source(ctx, s, t, aux, sfc)
+                if not getattr(self, "_skip_force", False):
+                    t = self.force(ctx, s, t, aux, sfc)
+                can = cA[(sub + 1) % nsub]
+                carry = can != 0.
+                s_star, t_s = fused_generic_tendencies_rk(
+                    fused, ctx, s, t, aux, sfc, subdt, can, carry=carry)
+                if pres_glue is not None:
+                    s_new, t_new, aux = fused_pressure_rk(
+                        pres_glue, ctx, self.pres, s_star, t_s, aux,
+                        subdt, can, pp, carry)
+                elif pres_active_rk:
+                    (gx, gy, gz), aux = self.pres.exec_star(
+                        ctx, s_star, aux, subdt, pp)
+                    s_new = dict(s_star)
+                    s_new["u"] = s_star["u"] - subdt * gx
+                    s_new["v"] = s_star["v"] - subdt * gy
+                    s_new["w"] = s_star["w"] - subdt * gz
+                    t_new = dict(t_s)
+                    if carry:
+                        cv = ctx.dtype(can)
+                        t_new["u"] = t_s["u"] - cv * gx
+                        t_new["v"] = t_s["v"] - cv * gy
+                        t_new["w"] = t_s["w"] - cv * gz
+                else:
+                    s_new, t_new = s_star, dict(t_s)
+                # limiter as the s*-clamp it is equivalent to: the
+                # reference applies it AFTER pressure (limiter.h:36-57;
+                # max(t, -s/dt) <=> s_new = max(s + dt*t, 0))
+                if getattr(self.limiter, "limitlist", None):
+                    cv = ctx.dtype(can)
+                    for name in self.limiter.limitlist:
+                        if name not in s_new:
+                            continue
+                        sold = s_new[name]
+                        sclip = sold.at[ks:ke].set(
+                            jnp.maximum(sold[ks:ke], 0.))
+                        if carry:
+                            t_new[name] = t_new[name].at[ks:ke].add(
+                                cv * (sclip[ks:ke] - sold[ks:ke]) / subdt)
+                        s_new[name] = sclip
+                if not carry:
+                    t_new = {n: jnp.zeros_like(s[n]) for n in names}
+                return s_new, t_new, sfc, aux
             if use_rkfold:
                 from .ops.pallas_fused import (fused_pressure_rk,
                                                fused_tendencies_rk)

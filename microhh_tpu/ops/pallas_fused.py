@@ -355,6 +355,34 @@ def _scalar_body(tPr, dxi, dyi, svisc, cc_ref, ta,
         em[0], ec[0], ep[0])
 
 
+def _w_rk_body(dxi, dyi, visc, carry, cc_ref, rk_ref, tw,
+               um, uc, vm, vc, wm, wc, wp, em, ec, *outs):
+    """Generic-path w pass with the low-storage RK update folded in: the
+    carried t (which already holds thermo/micro/force contributions)
+    enters as input; the kernel writes w* = w + cB*dt*t_total and the
+    scaled carry cA_next*t_total (see _tend_uv_rk_body)."""
+    wt = _w_math(dxi, dyi, visc, cc_ref,
+                 um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
+                 em[0], ec[0])
+    wt = jnp.where(pl.program_id(0) == 0, 0., wt)  # wall half level
+    tt = tw[0] + wt
+    outs[0][0] = wc[0] + rk_ref[0] * tt
+    if carry:
+        outs[1][0] = rk_ref[1] * tt
+
+
+def _scalar_rk_body(tPr, dxi, dyi, svisc, carry, cc_ref, rk_ref, ta,
+                    uc, vc, wc, wp, am, ac, ap, em, ec, ep, *outs):
+    """Generic-path scalar pass with the RK update folded in."""
+    tt = ta[0] + _scalar_math(
+        tPr, dxi, dyi, svisc, cc_ref,
+        uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
+        em[0], ec[0], ep[0])
+    outs[0][0] = ac[0] + rk_ref[0] * tt
+    if carry:
+        outs[1][0] = rk_ref[1] * tt
+
+
 def _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans, cc_ref,
               u, v, ut, vt):
     """Folded buffer u/v-relaxation + geostrophic Coriolis (force.cxx
@@ -1440,6 +1468,86 @@ class FusedLES2:
             interpret=self.interpret,
         )(cc, ta, u, v, w, w, a, a, a, evisc_full, evisc_full, evisc_full)
 
+    def _rk_smem(self, cbdt, can, dtype):
+        return jnp.stack([jnp.asarray(cbdt, dtype), jnp.asarray(can, dtype)])
+
+    def tend_uv_rk(self, u, v, w, evisc_full, tu, tv, cbdt, can, carry=True):
+        """Generic-path uv pass with the RK update folded in: returns
+        (us, vs[, ut, vt]).  The carried t always enters (upstream ops —
+        thermo, microphysics, force — have already written into it), so
+        there is no 'first' variant on the generic path."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        rk = self._rk_smem(cbdt, can, u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
+        nout = 4 if carry else 2
+        body = functools.partial(_tend_uv_rk_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 self.smag.visc, self._extras(),
+                                 carry, False)
+        specs = ([cc_spec, cc_spec] + [t_spec] * 2
+                 + self._field_specs((-1, 0, 1), ks, ke, "c")
+                 + self._field_specs((-1, 0, 1), ks, ke, "c")
+                 + self._field_specs((0, 1), ks, ke, "w")
+                 + self._field_specs((-1, 0, 1), ks, ke, "e"))
+        return _pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+            input_output_aliases=({2: 2, 3: 3} if carry else {}),
+            interpret=self.interpret,
+        )(cc, rk, tu, tv, u, u, u, v, v, v, w, w,
+          evisc_full, evisc_full, evisc_full)
+
+    def tend_w_rk(self, u, v, w, evisc_full, tw, cbdt, can, carry=True):
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        rk = self._rk_smem(cbdt, can, u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
+        nout = 2 if carry else 1
+        body = functools.partial(_w_rk_body, float(ctx.dxi), float(ctx.dyi),
+                                 self.smag.visc, carry)
+        specs = ([cc_spec, cc_spec] + [t_spec]
+                 + self._field_specs((-1, 0), ks, ke, "c")
+                 + self._field_specs((-1, 0), ks, ke, "c")
+                 + self._field_specs((-1, 0, 1), ks, ke, "w")
+                 + self._field_specs((-1, 0), ks, ke, "e"))
+        return _pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+            input_output_aliases=({2: 1} if carry else {}),
+            interpret=self.interpret,
+        )(cc, rk, tw, u, u, v, v, w, w, w, evisc_full, evisc_full)
+
+    def tend_scalar_rk(self, a, u, v, w, evisc_full, svisc, ta, cbdt, can,
+                       carry=True):
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        rk = self._rk_smem(cbdt, can, u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
+        nout = 2 if carry else 1
+        body = functools.partial(_scalar_rk_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 float(svisc), carry)
+        specs = ([cc_spec, cc_spec] + [t_spec]
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0, 1), ks, ke, "w")
+                 + self._field_specs((-1, 0, 1), ks, ke, "c")
+                 + self._field_specs((-1, 0, 1), ks, ke, "e"))
+        return _pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+            input_output_aliases=({2: 1} if carry else {}),
+            interpret=self.interpret,
+        )(cc, rk, ta, u, v, w, w, a, a, a,
+          evisc_full, evisc_full, evisc_full)
+
     def tendencies(self, u, v, w, th, evisc_full, t_in=None):
         """Tendencies.  t_in: carried-tendency dict for the aliased
         accumulate-in-kernel variant (full-plane path); when given, the
@@ -2448,6 +2556,127 @@ def fused_generic_viscosity(fused, ctx, s, sfc, aux, thermo):
     return aux
 
 
+def _generic_wall_deltas(fused, ctx, s, aux, sfc):
+    """Per-field wall-row TENDENCY corrections for the generic kernels
+    (surface-model flux replacement, diff_smag2.cxx diff_u/diff_c):
+    returns {field: [(k_row, delta_plane), ...]}.  Shared by the plain
+    path (adds deltas to t) and the rkfold path (adds cbdt*delta to s*
+    and can*delta to the carry)."""
+    smag = fused.smag
+    u, v, w = s["u"], s["v"], s["w"]
+    e = aux["evisc"]
+    ks, ke = ctx.ks, ctx.ke
+    dxi, dyi = ctx.dxi, ctx.dyi
+    visc = smag.visc
+    from .stencil import im, jm
+    rho = ctx.rhoref
+    rhoh = ctx.rhorefh
+    dzi = ctx.dzi
+    dzhi = ctx.dzhi
+    out = {}
+
+    du = []
+    for row, ka in (("bot", ks), ("top", ke - 1)):
+        ev_t = 0.25 * (im(e)[ka] + e[ka] + im(e)[ka + 1] + e[ka + 1]) + visc
+        ev_b = 0.25 * (im(e)[ka - 1] + e[ka - 1] + im(e)[ka] + e[ka]) + visc
+        if row == "bot":
+            fz_top = ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+            corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["u_fluxbot"]) / rho[ka] * dzi[ka]
+        else:
+            fz_bot = ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi)
+            corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+        old_vert = ((rhoh[ka + 1] * ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
+                     - rhoh[ka] * ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
+                    / rho[ka] * dzi[ka])
+        du.append((ka, corr - old_vert))
+    out["u"] = du
+
+    dv = []
+    for row, ka in (("bot", ks), ("top", ke - 1)):
+        ev_t = 0.25 * (jm(e)[ka] + e[ka] + jm(e)[ka + 1] + e[ka + 1]) + visc
+        ev_b = 0.25 * (jm(e)[ka - 1] + e[ka - 1] + jm(e)[ka] + e[ka]) + visc
+        if row == "bot":
+            fz_top = ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+            corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["v_fluxbot"]) / rho[ka] * dzi[ka]
+        else:
+            fz_bot = ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi)
+            corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
+        old_vert = ((rhoh[ka + 1] * ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
+                     - rhoh[ka] * ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
+                    / rho[ka] * dzi[ka])
+        dv.append((ka, corr - old_vert))
+    out["v"] = dv
+
+    for name in ctx.scalar_names:
+        a = s[name]
+        svisc = smag.viscs.get(name, visc)
+        da = []
+        for row, ka in (("bot", ks), ("top", ke - 1)):
+            st_ = 0.5 * (e[ka] + e[ka + 1]) / smag.tPr + svisc
+            sb = 0.5 * (e[ka - 1] + e[ka]) / smag.tPr + svisc
+            if row == "bot":
+                fz_top = st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
+                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc[name + "_fluxbot"]) / rho[ka] * dzi[ka]
+            else:
+                fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
+                fz_top = -smag._fluxtop(name, ctx)
+                corr = ((rhoh[ka + 1] * fz_top - rhoh[ka] * fz_bot)
+                        / rho[ka] * dzi[ka])
+            old_vert = ((rhoh[ka + 1] * st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
+                         - rhoh[ka] * sb * (a[ka] - a[ka - 1]) * dzhi[ka])
+                        / rho[ka] * dzi[ka])
+            da.append((ka, corr - old_vert))
+        out[name] = da
+    return out
+
+
+def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
+                                carry=True):
+    """Generic (any-thermo / any-scalar) tendency kernels with the
+    low-storage RK update folded in: returns (s_star, t_carry) where
+    s* = s + cB*dt*t_total and t_carry = cA_next*t_total.  All upstream
+    tendency producers (thermo buoyancy, microphysics, radiation, buffer,
+    decay, source, force) must have written into t BEFORE this call —
+    they are additive, so running them before advec+diff is equivalent to
+    the reference order as long as none of them READS t (model.py gates
+    the uflux pressure forcing out for that reason).  Wall rows get the
+    surface-model flux replacement applied to both outputs."""
+    u, v, w = s["u"], s["v"], s["w"]
+    evisc = aux["evisc"]
+    ks, ke = ctx.ks, ctx.ke
+    smag = fused.smag
+
+    outs_uv = fused.tend_uv_rk(u, v, w, evisc, t["u"], t["v"], cbdt, can,
+                               carry=carry)
+    outs_w = fused.tend_w_rk(u, v, w, evisc, t["w"], cbdt, can, carry=carry)
+    s_star = {"u": outs_uv[0], "v": outs_uv[1], "w": outs_w[0]}
+    t_c = {}
+    if carry:
+        t_c = {"u": outs_uv[2], "v": outs_uv[3], "w": outs_w[1]}
+    for name in ctx.scalar_names:
+        outs = fused.tend_scalar_rk(s[name], u, v, w, evisc,
+                                    smag.viscs.get(name, smag.visc),
+                                    t[name], cbdt, can, carry=carry)
+        s_star[name] = outs[0]
+        if carry:
+            t_c[name] = outs[1]
+
+    # w* top wall: the kernel grid never writes plane ke
+    s_star["w"] = s_star["w"].at[ke].set(0.)
+
+    if smag.surface:
+        cb = ctx.dtype(cbdt)
+        cv = ctx.dtype(can)
+        for name, rows in _generic_wall_deltas(fused, ctx, s, aux, sfc).items():
+            for ka, delta in rows:
+                s_star[name] = s_star[name].at[ka].add(cb * delta)
+                if carry:
+                    t_c[name] = t_c[name].at[ka].add(cv * delta)
+    if not carry:
+        t_c = {n: jnp.zeros_like(v_) for n, v_ in s_star.items()}
+    return s_star, t_c
+
+
 def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
     """advec_2 + diff_smag2 tendencies for u, v, w and EVERY scalar via the
     per-field kernels, with the surface-model wall rows patched in XLA
@@ -2490,64 +2719,15 @@ def fused_generic_tendencies(fused, ctx, s, t, aux, sfc):
                     for name in ctx.scalar_names}
 
     if smag.surface:
-        from .stencil import im, jm
-        e = evisc
-        rho = ctx.rhoref
-        rhoh = ctx.rhorefh
-        dzi = ctx.dzi
-        dzhi = ctx.dzhi
-
-        # ---- u / v wall rows (vertical flux replacement) ----
-        for row, ka in (("bot", ks), ("top", ke - 1)):
-            ev_t = 0.25 * (im(e)[ka] + e[ka] + im(e)[ka + 1] + e[ka + 1]) + visc
-            ev_b = 0.25 * (im(e)[ka - 1] + e[ka - 1] + im(e)[ka] + e[ka]) + visc
-            if row == "bot":
-                fz_top = ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
-                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["u_fluxbot"]) / rho[ka] * dzi[ka]
-            else:
-                fz_bot = ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi)
-                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
-            old_vert = ((rhoh[ka + 1] * ev_t * ((u[ka + 1] - u[ka]) * dzhi[ka + 1] + (w[ka + 1] - im(w[ka + 1])) * dxi)
-                         - rhoh[ka] * ev_b * ((u[ka] - u[ka - 1]) * dzhi[ka] + (w[ka] - im(w[ka])) * dxi))
-                        / rho[ka] * dzi[ka])
-            ut = ut.at[ka].add(corr - old_vert)
-
-        for row, ka in (("bot", ks), ("top", ke - 1)):
-            ev_t = 0.25 * (jm(e)[ka] + e[ka] + jm(e)[ka + 1] + e[ka + 1]) + visc
-            ev_b = 0.25 * (jm(e)[ka - 1] + e[ka - 1] + jm(e)[ka] + e[ka]) + visc
-            if row == "bot":
-                fz_top = ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
-                corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc["v_fluxbot"]) / rho[ka] * dzi[ka]
-            else:
-                fz_bot = ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi)
-                corr = (-rhoh[ka] * fz_bot) / rho[ka] * dzi[ka]
-            old_vert = ((rhoh[ka + 1] * ev_t * ((v[ka + 1] - v[ka]) * dzhi[ka + 1] + (w[ka + 1] - jm(w[ka + 1])) * dyi)
-                         - rhoh[ka] * ev_b * ((v[ka] - v[ka - 1]) * dzhi[ka] + (w[ka] - jm(w[ka])) * dyi))
-                        / rho[ka] * dzi[ka])
-            vt = vt.at[ka].add(corr - old_vert)
-
-        # ---- every scalar's wall rows ----
+        deltas = _generic_wall_deltas(fused, ctx, s, aux, sfc)
+        for ka, d in deltas["u"]:
+            ut = ut.at[ka].add(d)
+        for ka, d in deltas["v"]:
+            vt = vt.at[ka].add(d)
         for name in ctx.scalar_names:
-            a = s[name]
             at = scalar_t[name]
-            svisc = smag.viscs.get(name, visc)
-            for row, ka in (("bot", ks), ("top", ke - 1)):
-                st_ = 0.5 * (e[ka] + e[ka + 1]) / smag.tPr + svisc
-                sb = 0.5 * (e[ka - 1] + e[ka]) / smag.tPr + svisc
-                if row == "bot":
-                    fz_top = st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
-                    corr = (rhoh[ka + 1] * fz_top + rhoh[ka] * sfc[name + "_fluxbot"]) / rho[ka] * dzi[ka]
-                else:
-                    # top flux = -fluxtop (flux BC value; 0 otherwise),
-                    # matching DiffSmag2.exec's flux_z[ke] override
-                    fz_bot = sb * (a[ka] - a[ka - 1]) * dzhi[ka]
-                    fz_top = -smag._fluxtop(name, ctx)
-                    corr = ((rhoh[ka + 1] * fz_top - rhoh[ka] * fz_bot)
-                            / rho[ka] * dzi[ka])
-                old_vert = ((rhoh[ka + 1] * st_ * (a[ka + 1] - a[ka]) * dzhi[ka + 1]
-                             - rhoh[ka] * sb * (a[ka] - a[ka - 1]) * dzhi[ka])
-                            / rho[ka] * dzi[ka])
-                at = at.at[ka].add(corr - old_vert)
+            for ka, d in deltas[name]:
+                at = at.at[ka].add(d)
             scalar_t[name] = at
 
     t["u"], t["v"], t["w"] = ut, vt, wt
