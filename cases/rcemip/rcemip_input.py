@@ -111,8 +111,9 @@ def main():
     # (the reference's rte-rrtmgp data files are absent from its checkout).
     import os
     import sys
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
+    import microhh_tpu
+    repo = os.path.dirname(os.path.dirname(
+        os.path.abspath(microhh_tpu.__file__)))
     sys.path.insert(0, os.path.join(repo, "python"))
     import make_rrtmgp_coefficients
     make_rrtmgp_coefficients.main(".")

@@ -53,14 +53,11 @@ def run(cmd, cwd, env):
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True,
                        timeout=1200)
     out = r.stdout + r.stderr
-    rc = r.returncode
-    # config-lifecycle parity: the reference consumes every option at
-    # component construction in every sim mode, so an "unused ini options"
-    # warning is a parity bug — treat it as a failure
-    if rc == 0 and "WARNING unused ini options" in out:
-        rc = 98
-        out += "\n(unused-ini-options warning treated as failure)"
-    return rc, out.strip().splitlines()[-3:]
+    unused = ""
+    for line in out.splitlines():
+        if "WARNING unused ini options" in line:
+            unused = line.split("unused ini options:", 1)[1].strip()
+    return r.returncode, out.strip().splitlines()[-3:], unused
 
 
 def main():
@@ -97,21 +94,37 @@ def main():
             # as long as ktot_smoke <= ktot_case)
             gen = os.path.join(cdir, "%s_input.py" % casename)
             if os.path.exists(gen):
-                rc, tail = run([sys.executable, gen], wd, env)
+                rc, tail, _ = run([sys.executable, gen], wd, env)
                 if rc != 0:
                     failed.append((case, "input", tail))
                     print("%-16s INPUT FAIL" % case)
                     continue
+            unused = {}
             for mode in ("init", "run"):
-                rc, tail = run([sys.executable, "-m", "microhh_tpu", mode,
-                                casename], wd, env)
+                rc, tail, unused[mode] = run(
+                    [sys.executable, "-m", "microhh_tpu", mode, casename],
+                    wd, env)
                 if rc != 0:
                     failed.append((case, mode, tail))
                     print("%-16s %s FAIL: %s" % (case, mode.upper(),
                                                  tail[-1] if tail else "?"))
                     break
             else:
-                print("%-16s OK" % case)
+                # config-lifecycle parity: options are consumed at
+                # component construction (reference ctor order), so the
+                # unused set must be MODE-INDEPENDENT.  (A nonempty but
+                # identical set mirrors the reference: e.g. crosslist
+                # under swcross=0 is unread upstream too.)
+                if unused["init"] != unused["run"]:
+                    failed.append((case, "unused-options",
+                                   ["init: %s" % unused["init"],
+                                    "run:  %s" % unused["run"]]))
+                    print("%-16s UNUSED-OPTIONS MISMATCH (init vs run)"
+                          % case)
+                else:
+                    extra = (" (unused: %s)" % unused["init"]
+                             if unused["init"] else "")
+                    print("%-16s OK%s" % (case, extra))
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 

@@ -171,10 +171,45 @@ def validate_gabls1(args):
         check("LLJ height [m]", zjet, 60., 250.)
 
 
+def validate_rcemip(args):
+    """RCEMIP protocol column through the FULL RRTMGP spectral path: the
+    in-repo reduced k-distribution files (written by rcemip_input.py)
+    must drive the per-g-point gas+cloud optics end to end with sane
+    radiative fluxes (round-4 item 6)."""
+    itot = 8
+    ktot = 48 if args.quick else 144
+    endtime = 600.                  # iotimeprec=2: multiples of 100 s
+    f = run_case("rcemip",
+                 {"itot": itot, "jtot": itot, "ktot": ktot,
+                  "endtime": "%g" % endtime, "savetime": "%g" % endtime,
+                  "sampletime": "300."},
+                 args.workdir, args.precision)
+    # the spectral path must actually be active (coefficient files landed)
+    wd = os.path.join(args.workdir, "rcemip")
+    for name in ("coefficients_lw.nc", "coefficients_sw.nc",
+                 "cloud_coefficients_lw.nc", "cloud_coefficients_sw.nc"):
+        assert os.path.exists(os.path.join(wd, name)), name
+    rad = f.groups["radiation"]
+    lw_up = _prof(rad, "lw_flux_up")
+    lw_dn = _prof(rad, "lw_flux_dn")
+    sw_dn = _prof(rad, "sw_flux_dn")
+    f.close()
+    olr = float(lw_up[-1])
+    print("rcemip(spectral): OLR=%.0f W/m2, LW_dn(sfc)=%.0f, SW_dn(sfc)=%.0f"
+          % (olr, lw_dn[0], sw_dn[0]))
+    mu0 = np.cos(0.7339109504636155)
+    check("OLR [W m-2]", olr, 120., 360.)
+    check("surface LW down [W m-2]", float(lw_dn[0]), 200., 480.)
+    check("surface SW down [W m-2]", float(sw_dn[0]),
+          0.25 * 1361 * mu0, 1361 * mu0)
+    check("LW up decreases with height (cooling to space)",
+          float(lw_up[0] - olr), -40., 400.)
+
+
 # ---------------------------------------------------------------------------
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cases", default="drycblles,bomex,gabls1")
+    ap.add_argument("--cases", default="drycblles,bomex,gabls1,rcemip")
     ap.add_argument("--quick", action="store_true",
                     help="smoke scale: small grids, short horizons")
     ap.add_argument("--workdir", default="/tmp/mh_validation")
@@ -184,7 +219,8 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     fns = {"drycblles": validate_drycblles,
            "bomex": validate_bomex,
-           "gabls1": validate_gabls1}
+           "gabls1": validate_gabls1,
+           "rcemip": validate_rcemip}
     for case in args.cases.split(","):
         print("\n=== %s ===" % case, flush=True)
         fns[case](args)

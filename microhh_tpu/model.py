@@ -79,6 +79,12 @@ class Model:
             from .utils import nc
             self.input_nc = nc.Dataset(nc_path, "r")
 
+        # [master] npx/npy: the reference Master reads the process-grid
+        # decomposition in every mode (master_serial.cxx:61); here the
+        # device mesh plays that role, so the values are consumed and kept
+        # as the REQUESTED decomposition for set_mesh callers.
+        self.npx_req = ini.get_int("master", "npx", default=1)
+        self.npy_req = ini.get_int("master", "npy", default=1)
         self.grid = Grid(ini)
         if self.input_nc is not None and "z" in self.input_nc.variables:
             self.grid.set_z(np.asarray(self.input_nc.variables["z"][:self.grid.ktot]))

@@ -1,32 +1,38 @@
 """Measured per-kernel roofline of the drycblles step on the real chip.
 
-Runs BENCH_SIZE^3 (default 512^3) steps under the jax profiler, aggregates
-device op time per kernel family, attaches an analytic bytes-moved model
-for the named hot kernels, and prints a markdown table with achieved GB/s
-and % of the chip's HBM bandwidth — the quantified version of
+Times each hot component of the production rkfold step IN ISOLATION
+(jitted, donated, block_until_ready) at the bench size, attaches the
+analytic bytes-moved model of each kernel, and prints a markdown table
+with achieved GB/s and % of HBM peak — the quantified version of
 ARCHITECTURE.md's "VPU-limited / near the read+write floor" claims
-(round-4 item 5).
+(round-4 item 5).  A whole-step wall-clock (no profiler) anchors the sum.
 
-Usage (on the TPU):
-    python python/roofline.py [size] [nsteps]
+Usage (on the TPU):  python python/roofline.py [size] [nsteps]
 """
 
-import collections
-import glob
-import gzip
-import json
 import os
-import re
 import sys
-import tempfile
 import time
 
 import numpy as np
 
-HBM_GBS = float(os.environ.get("ROOFLINE_HBM_GBS", "819"))  # v5e HBM BW
+HBM_GBS = float(os.environ.get("ROOFLINE_HBM_GBS", "819"))  # v5e
 
 
-def run_profiled(size, nsteps):
+def _timeit(fn, *args, n=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / n * 1e3   # ms
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
     import jax
@@ -38,7 +44,12 @@ def run_profiled(size, nsteps):
     dt = jnp.asarray(2.0, dtype=model.dtype)
     time0 = jnp.asarray(0.0, dtype=model.dtype)
     pp = model.pres_params
+    fused = model._fused
+    ctx = model.ctx
+    pts = size ** 3
+    B = 4 * pts / 1e9   # GB per full-field pass (f32)
 
+    # ---- whole step (scan of nsteps, no profiler) ----
     def chunk(s, sfc, pp):
         def body(carry, _):
             s, sfc = carry
@@ -47,109 +58,91 @@ def run_profiled(size, nsteps):
         (s, sfc), _ = jax.lax.scan(body, (s, sfc), None, length=nsteps)
         return s, sfc
 
-    cj = jax.jit(chunk, donate_argnums=(0, 1))
+    cj = jax.jit(chunk)
     s1, sfc1 = cj(s, sfc, pp)
     jax.block_until_ready(s1["u"])
-
-    prof_dir = tempfile.mkdtemp(prefix="roofline_")
     t0 = time.perf_counter()
-    with jax.profiler.trace(prof_dir):
-        s2, sfc2 = cj(s1, sfc1, pp)
-        jax.block_until_ready(s2["u"])
-    wall = time.perf_counter() - t0
-    return prof_dir, wall, model
+    s2, _ = cj(s1, sfc1, pp)
+    jax.block_until_ready(s2["u"])
+    step_ms = (time.perf_counter() - t0) / nsteps * 1e3
+    del s2
 
+    rows = []
 
-def aggregate(prof_dir):
-    traces = sorted(glob.glob(os.path.join(prof_dir, "**", "*.trace.json.gz"),
-                              recursive=True), key=os.path.getmtime)
-    if not traces:
-        sys.exit("no trace under %s" % prof_dir)
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    pid_names, tid_names = {}, {}
-    for e in events:
-        if e.get("ph") == "M":
-            if e.get("name") == "process_name":
-                pid_names[e["pid"]] = e["args"].get("name", "")
-            elif e.get("name") == "thread_name":
-                tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "device" in n.lower()}
-    tot = collections.Counter()
-    cnt = collections.Counter()
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        tname = tid_names.get((e["pid"], e.get("tid")), "")
-        if "step" in tname.lower():
-            continue
-        tot[e.get("name", "?")] += e.get("dur", 0) / 1e3
-        cnt[e.get("name", "?")] += 1
-    return tot, cnt
+    # ---- rkfold tendency sweep (one substep) ----
+    if fused is not None and model._use_rkfold:
+        from microhh_tpu.ops.pallas_fused import (_surface_evisc_row,
+                                                  fused_tendencies_rk)
+        aux = {}
+        if getattr(fused, "fold_evisc", False) and fused.smag.surface:
+            aux["se_row"] = _surface_evisc_row(fused.smag, ctx, s1, sfc1,
+                                               fused.has_thermo)
 
+        def sweep(sd, auxd):
+            return fused_tendencies_rk(fused, ctx, sd, t, auxd, sfc1,
+                                       0.3 * 2.0, 0.5, first=True,
+                                       rhs_dti=1. / 0.6)
 
-# kernel families: regex -> (label, planes_per_point_model)
-# bytes = planes * itot*jtot*ktot * 4 per STEP (f32); None = unmodeled
-FAMILIES = [
-    # rkfold tendency sweep: reads u,v,w,th + 4 carried t + evisc-ring
-    # inputs (u,v,w,th again via ring) ~ in-kernel; writes s*4 + t4 + rhs
-    # + evisc: ~8 reads + 10 writes per substep
-    (r"tendencies|fused.*rk|rkfold", "fused tendency sweep (x3 substeps)", 18 * 3),
-    (r"dft2_fwd|plxf", "radix-4 Pallas DFT fwd (x3)", 2 * 3),
-    (r"dft2_inv|plxi", "radix-4 Pallas DFT inv (x3)", 2 * 3),
-    (r"tdma", "Pallas Thomas solve (x3)", 2 * 3),
-    (r"pres_glue|rhs|divergence", "projection glue (x3)", 6 * 3),
-    (r"evisc|viscosity", "evisc kernel", 6 * 3),
-    (r"fusion", "XLA fusions (wall patches, BCs, CFL)", None),
-    (r"all-to-all|collective|permute", "collectives", None),
-    (r"copy|bitcast|transpose", "layout copies", None),
-]
+        ms = _timeit(jax.jit(sweep), s1, aux)
+        # reads u,v,w,th (ring: 1 pass each) + writes s*4 + t4 + rhs + evisc
+        nbytes = (4 + 4 + 4 + 1 + 1) * B
+        rows.append(("rkfold tendency sweep (per substep)", ms, nbytes))
 
+    # ---- Poisson: rhs glue + spectral solve + gradient apply ----
+    from microhh_tpu.ops.pallas_fused import PresGlue
+    glue = PresGlue(fused.ctx, fused.interpret) if fused is not None else None
+    rhs = None
+    if glue is not None:
+        g_rhs = jax.jit(lambda sd: glue.rhs(sd["u"], sd["v"], sd["w"], 1.))
+        ms = _timeit(g_rhs, s1)
+        rows.append(("pres glue: divergence rhs", ms, 4 * B))
+        rhs = g_rhs(s1)
+    if rhs is None:
+        rhs = jnp.zeros((ctx.ktot, ctx.jtot, ctx.itot), model.dtype)
 
-def main():
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    prof_dir, wall, model = run_profiled(size, nsteps)
-    tot, cnt = aggregate(prof_dir)
+    solve = jax.jit(lambda r, p: model.pres.solve(ctx, r, p))
+    ms_solve = _timeit(solve, rhs, pp)
+    # fwd DFT reads rhs writes 2 spectra; TDMA r/w 2; inv reads 2 writes 1
+    rows.append(("spectral solve (DFT+Thomas+iDFT)", ms_solve, 10 * B))
+    p_int = solve(rhs, pp)
 
-    pts = size ** 3
-    fam_ms = collections.OrderedDict((lbl, 0.) for _, lbl, _ in FAMILIES)
-    fam_planes = {lbl: pl for _, lbl, pl in FAMILIES}
-    other = 0.
-    for name, ms in tot.items():
-        for pat, lbl, _pl in FAMILIES:
-            if re.search(pat, name, re.I):
-                fam_ms[lbl] += ms
-                break
-        else:
-            other += ms
+    if glue is not None:
+        t_s = {n: jnp.zeros_like(s1[n]) for n in ("u", "v", "w")}
+        g_app = jax.jit(lambda p, sd: glue.apply(
+            p, {n: sd[n] for n in ("u", "v", "w")}, t_s, 0.6, 0.5, True))
+        ms = _timeit(g_app, p_int, s1)
+        rows.append(("pres glue: gradient apply", ms, (1 + 6 + 6) * B))
 
-    per_step = {k: v / nsteps for k, v in fam_ms.items()}
-    print("\n## Measured roofline — drycblles %d^3, %d steps, wall %.1f ms/step"
-          % (size, nsteps, 1e3 * wall / nsteps))
+    # ---- MOST surface + ghost fill (XLA) ----
+    gh = jax.jit(lambda sd: model.boundary.set_ghost_cells(ctx, sd, sfc1))
+    rows.append(("ghost fill (XLA, when not folded)", _timeit(gh, s1), None))
+    bexec = jax.jit(lambda sd: model.boundary.exec(ctx, sd, sfc1, {}))
+    rows.append(("MOST surface layer (2-D)", _timeit(bexec, s1), None))
+
+    # ---- CFL/dn limits ----
+    ms = _timeit(jax.jit(model._limits_fn), s1, sfc1)
+    rows.append(("limits (CFL + dnmul, per STEP)", ms, None))
+
+    print("\n## Measured roofline — drycblles %d^3 (1 chip, f32)" % size)
+    print("\nwhole step (RK3, %d-step scan): **%.1f ms/step**"
+          % (nsteps, step_ms))
     print()
-    print("| kernel | ms/step | bytes/step (model) | GB/s | % HBM peak |")
+    print("| component | ms/call | bytes (model) | GB/s | %% of %d GB/s |"
+          % HBM_GBS)
     print("|---|---|---|---|---|")
-    total_ms = 0.
-    for lbl, ms in per_step.items():
-        total_ms += ms
-        pl = fam_planes[lbl]
-        if pl is not None and ms > 0.01:
-            nbytes = pl * pts * 4
-            gbs = nbytes / (ms / 1e3) / 1e9
+    acc = 0.
+    for name, ms, nbytes in rows:
+        if nbytes is not None:
+            gbs = nbytes / (ms / 1e3)
             print("| %s | %.2f | %.1f GB | %.0f | %.0f%% |"
-                  % (lbl, ms, nbytes / 1e9, gbs, 100. * gbs / HBM_GBS))
-        elif ms > 0.01:
-            print("| %s | %.2f | - | - | - |" % (lbl, ms))
-    print("| other device ops | %.2f | - | - | - |" % (other / nsteps))
-    print("| **total device** | **%.2f** | | | |"
-          % (total_ms + other / nsteps))
-    print("\ntrace: %s" % prof_dir)
-    print("\nTop raw ops:")
-    for name, ms in tot.most_common(15):
-        print("  %8.2f ms/step  %s" % (ms / nsteps, name[:90]))
+                  % (name, ms, nbytes, gbs, 100. * gbs / HBM_GBS))
+        else:
+            print("| %s | %.2f | - | - | - |" % (name, ms))
+    sub3 = sum(ms for name, ms, _ in rows
+               if "substep" in name or "glue" in name or "solve" in name) * 3
+    print("\n3 substeps of (sweep + rhs + solve + apply) = %.1f ms; "
+          "measured step = %.1f ms (rest: wall patches, MOST, limits, "
+          "host gaps)." % (sub3, step_ms))
 
 
 if __name__ == "__main__":
