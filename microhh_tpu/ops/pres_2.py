@@ -498,7 +498,7 @@ class Pres2:
         shard_map; in the mode-slab stage every device holds full-kmax
         columns for jtot/n rows of modes, so the Pallas Thomas pivot sweep
         is shard-local with its pivot table sliced over j."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         mesh, axes = plan.mesh, plan.axes

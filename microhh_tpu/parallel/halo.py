@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 # Halo width: the deepest stencil chain in the fused math is 2.  The evisc
 # consumed by the tendency kernels passes through a GLOBAL array between

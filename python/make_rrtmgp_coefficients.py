@@ -145,7 +145,7 @@ def make_lw():
     keys = [("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2")]
     # band 2 is CO2-dominated: swap strong/weak onto the B side
     v = _common_vars(keys, _kmajor(bands))
-    T = TOTPLNK = 160. + np.arange(N_PLANCK_T)
+    T = 160. + np.arange(N_PLANCK_T)
     totplnk = np.zeros((N_PLANCK_T, len(bands)))
     for b, (n1, n2) in enumerate(wavenum):
         for i, t in enumerate(T):

@@ -10,6 +10,7 @@ ARCHITECTURE.md's "VPU-limited / near the read+write floor" claims
 Usage (on the TPU):  python python/roofline.py [size] [nsteps]
 """
 
+import gc
 import os
 import sys
 import time
@@ -20,14 +21,39 @@ HBM_GBS = float(os.environ.get("ROOFLINE_HBM_GBS", "819"))  # v5e
 
 
 def _timeit(fn, *args, n=10):
+    """One dispatch of a lax.scan over n dependent iterations: the remote
+    dispatch/fetch latency (tens of ms through the tunnel) amortizes away,
+    so the result is DEVICE kernel time per call.  ``fn(*args)`` must
+    return a pytree whose first leaf has the shape of args[0]'s first
+    leaf, which is threaded back as the next iteration's input (a real
+    data dependence, so XLA cannot CSE the repeats)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    import jax.numpy as jnp
+
+    lead = jax.tree_util.tree_leaves(args[0])[0]
+
+    def scan_fn(x0, rest):
+        def body(x, _):
+            a0 = jax.tree_util.tree_map(lambda _l: x, args[0]) \
+                if not isinstance(args[0], dict) else dict(args[0], **{
+                    next(iter(args[0])): x})
+            out = fn(a0, *rest)
+            y = jax.tree_util.tree_leaves(out)[0]
+            return y.astype(x.dtype).reshape(x.shape) \
+                if y.shape == x.shape else x + 1e-30 * jnp.sum(y), 0
+        x, _ = jax.lax.scan(body, x0, None, length=n)
+        return x
+
+    sj = jax.jit(scan_fn)
+    out = sj(lead, args[1:])
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / n * 1e3   # ms
+    out = sj(lead, args[1:])
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    del out
+    gc.collect()
+    return ms
 
 
 def main():
@@ -58,14 +84,15 @@ def main():
         (s, sfc), _ = jax.lax.scan(body, (s, sfc), None, length=nsteps)
         return s, sfc
 
-    cj = jax.jit(chunk)
+    cj = jax.jit(chunk, donate_argnums=(0, 1))
     s1, sfc1 = cj(s, sfc, pp)
     jax.block_until_ready(s1["u"])
     t0 = time.perf_counter()
-    s2, _ = cj(s1, sfc1, pp)
-    jax.block_until_ready(s2["u"])
+    s1, sfc1 = cj(s1, sfc1, pp)
+    jax.block_until_ready(s1["u"])
     step_ms = (time.perf_counter() - t0) / nsteps * 1e3
-    del s2
+    del s, t, sfc
+    gc.collect()
 
     rows = []
 
@@ -79,7 +106,7 @@ def main():
                                                fused.has_thermo)
 
         def sweep(sd, auxd):
-            return fused_tendencies_rk(fused, ctx, sd, t, auxd, sfc1,
+            return fused_tendencies_rk(fused, ctx, sd, {}, auxd, sfc1,
                                        0.3 * 2.0, 0.5, first=True,
                                        rhs_dti=1. / 0.6)
 

@@ -128,7 +128,6 @@ def test_2mom_warm_matches_reference():
     dr = (mr / ref.PIRHOW) ** (1. / 3.)
     assert ((ql > ref.QL_MIN) & (qr_i > ref.QR_MIN)).any()
     assert (dr[qr_i > ref.QR_MIN] > 0.35e-3).any()      # breakup active
-    assert (dr[qr_i > ref.QR_MIN] > ref.MR_MAX ** 0.).any() or True
 
 
 def test_2mom_warm_oracle_detects_perturbation():
@@ -154,7 +153,6 @@ def test_2mom_warm_multicell_sedimentation():
     mine, rr_bot = _run_mine(ctx, s, ql, p, exn, dt, 70e6)
 
     dzi = 1. / dz
-    cfl_max = 0.
     for j in range(JTOT):
         for i in range(ITOT):
             qrt, nrt, rr = ref.sedimentation_column(
@@ -171,7 +169,6 @@ def test_2mom_warm_multicell_sedimentation():
             assert np.abs(mine["qr"][:, j, i] - want_qr).max() / scale < 1e-12
             scale = max(np.abs(want_nr).max(), 1e-30)
             assert np.abs(mine["nr"][:, j, i] - want_nr).max() / scale < 1e-12
-            cfl_max = max(cfl_max, rr * 0.)   # placeholder; checked below
     # confirm the test actually exercised multi-cell crossings
     from microhh_tpu.ops.microphys import calc_rain_props
     qr_i = jnp.asarray(s["qr"][KS:KE])
