@@ -785,9 +785,12 @@ class Model:
             ctx_k.jtot = ctx.jtot // npy + 2 * HALO
             ctx_k.itot = ctx.itot // npx + 2 * HALO
             mesh = self.mesh
+        # largest generic (rk) kernel holds ~17 plane blocks double-
+        # buffered; the raised 100 MB scoped-vmem cap (_pallas_call)
+        # admits full 512^2 planes like the specialized path
         plane = ctx_k.jtot * ctx_k.itot * np.dtype(self.dtype).itemsize
-        if plane * 26 > 14 * 1024 * 1024:
-            return None  # largest generic kernel holds 13 blocks x2
+        if plane * 40 > 90 * 1024 * 1024:
+            return None
         self._skip_buffer = False
         self._skip_force = fold_force is not None
         fused = FusedLES2(ctx_k, self.diff, self.thermo, False,
