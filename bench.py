@@ -79,6 +79,11 @@ def _run_moist_size(size, ktot, nsteps):
         ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=%d" % (key, val), ini_txt)
     for key in ("swstats", "swcross", "swdump", "swcolumn", "swbudget"):
         ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=0" % key, ini_txt)
+    # the metric targets the bomex/rico op SET (thermo_moist + 2mom_warm +
+    # limiter + geo/ls/subsidence) on the production fast path: advec 2
+    # engages the generic fused + rkfold kernels (rico's 2i5 would fall to
+    # the XLA op pipeline, benchmarking a different code path)
+    ini_txt = re.sub(r"(?m)^swadvec=.*$", "swadvec=2", ini_txt)
     open(os.path.join(wd, "rico.ini"), "w").write(ini_txt)
     shutil.copy(os.path.join(repo, "cases/rico/rico_input.py"), wd)
     env = dict(os.environ)

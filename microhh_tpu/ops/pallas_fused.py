@@ -2665,8 +2665,10 @@ def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
     s_star["w"] = s_star["w"].at[ke].set(0.)
 
     if smag.surface:
-        cb = ctx.dtype(cbdt)
-        cv = ctx.dtype(can)
+        # cbdt is usually a traced scalar (dt is a jit argument) — keep it
+        # symbolic; jnp broadcasting handles the scale-in.
+        cb = jnp.asarray(cbdt, dtype=u.dtype)
+        cv = jnp.asarray(can, dtype=u.dtype)
         for name, rows in _generic_wall_deltas(fused, ctx, s, aux, sfc).items():
             for ka, delta in rows:
                 s_star[name] = s_star[name].at[ka].add(cb * delta)

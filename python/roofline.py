@@ -20,6 +20,11 @@ import numpy as np
 HBM_GBS = float(os.environ.get("ROOFLINE_HBM_GBS", "819"))  # v5e
 
 
+def _p(msg):
+    """Progress line, unbuffered — partial results survive a timeout."""
+    print("[roofline] " + msg, file=sys.stderr, flush=True)
+
+
 def _timeit(fn, *args, n=10):
     """One dispatch of a lax.scan over n dependent iterations: the remote
     dispatch/fetch latency (tens of ms through the tunnel) amortizes away,
@@ -64,6 +69,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _p("building model %d^3" % size)
     model = ge._build_model(size, size, size)
     model.build_step()
     s, t, sfc = ge._initial_state(model)
@@ -84,6 +90,7 @@ def main():
         (s, sfc), _ = jax.lax.scan(body, (s, sfc), None, length=nsteps)
         return s, sfc
 
+    _p("compiling whole step (scan of %d)" % nsteps)
     cj = jax.jit(chunk, donate_argnums=(0, 1))
     s1, sfc1 = cj(s, sfc, pp)
     jax.block_until_ready(s1["u"])
@@ -91,10 +98,15 @@ def main():
     s1, sfc1 = cj(s1, sfc1, pp)
     jax.block_until_ready(s1["u"])
     step_ms = (time.perf_counter() - t0) / nsteps * 1e3
+    _p("whole step: %.1f ms" % step_ms)
     del s, t, sfc
     gc.collect()
 
     rows = []
+
+    def add(name, ms, nbytes):
+        rows.append((name, ms, nbytes))
+        _p("%-42s %7.2f ms" % (name, ms))
 
     # ---- rkfold tendency sweep (one substep) ----
     if fused is not None and model._use_rkfold:
@@ -113,7 +125,7 @@ def main():
         ms = _timeit(jax.jit(sweep), s1, aux)
         # reads u,v,w,th (ring: 1 pass each) + writes s*4 + t4 + rhs + evisc
         nbytes = (4 + 4 + 4 + 1 + 1) * B
-        rows.append(("rkfold tendency sweep (per substep)", ms, nbytes))
+        add("rkfold tendency sweep (per substep)", ms, nbytes)
 
     # ---- Poisson: rhs glue + spectral solve + gradient apply ----
     from microhh_tpu.ops.pallas_fused import PresGlue
@@ -122,7 +134,7 @@ def main():
     if glue is not None:
         g_rhs = jax.jit(lambda sd: glue.rhs(sd["u"], sd["v"], sd["w"], 1.))
         ms = _timeit(g_rhs, s1)
-        rows.append(("pres glue: divergence rhs", ms, 4 * B))
+        add("pres glue: divergence rhs", ms, 4 * B)
         rhs = g_rhs(s1)
     if rhs is None:
         rhs = jnp.zeros((ctx.ktot, ctx.jtot, ctx.itot), model.dtype)
@@ -130,7 +142,7 @@ def main():
     solve = jax.jit(lambda r, p: model.pres.solve(ctx, r, p))
     ms_solve = _timeit(solve, rhs, pp)
     # fwd DFT reads rhs writes 2 spectra; TDMA r/w 2; inv reads 2 writes 1
-    rows.append(("spectral solve (DFT+Thomas+iDFT)", ms_solve, 10 * B))
+    add("spectral solve (DFT+Thomas+iDFT)", ms_solve, 10 * B)
     p_int = solve(rhs, pp)
 
     if glue is not None:
@@ -138,17 +150,17 @@ def main():
         g_app = jax.jit(lambda p, sd: glue.apply(
             p, {n: sd[n] for n in ("u", "v", "w")}, t_s, 0.6, 0.5, True))
         ms = _timeit(g_app, p_int, s1)
-        rows.append(("pres glue: gradient apply", ms, (1 + 6 + 6) * B))
+        add("pres glue: gradient apply", ms, (1 + 6 + 6) * B)
 
     # ---- MOST surface + ghost fill (XLA) ----
     gh = jax.jit(lambda sd: model.boundary.set_ghost_cells(ctx, sd, sfc1))
-    rows.append(("ghost fill (XLA, when not folded)", _timeit(gh, s1), None))
+    add("ghost fill (XLA, when not folded)", _timeit(gh, s1), None)
     bexec = jax.jit(lambda sd: model.boundary.exec(ctx, sd, sfc1, {}))
-    rows.append(("MOST surface layer (2-D)", _timeit(bexec, s1), None))
+    add("MOST surface layer (2-D)", _timeit(bexec, s1), None)
 
     # ---- CFL/dn limits ----
     ms = _timeit(jax.jit(model._limits_fn), s1, sfc1)
-    rows.append(("limits (CFL + dnmul, per STEP)", ms, None))
+    add("limits (CFL + dnmul, per STEP)", ms, None)
 
     print("\n## Measured roofline — drycblles %d^3 (1 chip, f32)" % size)
     print("\nwhole step (RK3, %d-step scan): **%.1f ms/step**"

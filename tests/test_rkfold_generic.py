@@ -7,6 +7,7 @@ reordered additive forcings."""
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -133,8 +134,10 @@ def _one_step(wd, rkfold, seed=5):
         st["qt"][g.kstart:g.kend] += 1e-3 * rng.randn(g.ktot, g.jtot, g.itot)
         s, t, sfc = m.as_device_state(st)
         dt = jnp.asarray(2.0, dtype=m.dtype)
-        out = m._step_raw(s, sfc, m.pres_params, dt,
-                          jnp.asarray(0.0, dtype=m.dtype))
+        # jit so dt is TRACED, as in production (model jits step with dt as
+        # an argument) — catches concrete-cast bugs eager calls would hide
+        out = jax.jit(m._step_raw)(s, sfc, m.pres_params, dt,
+                                   jnp.asarray(0.0, dtype=m.dtype))
         ks, ke = g.kstart, g.kend
         return m, {n: np.asarray(out[0][n])[ks:ke] for n in out[0]}
     finally:
