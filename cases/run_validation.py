@@ -193,15 +193,22 @@ def validate_rcemip(args):
     lw_up = _prof(rad, "lw_flux_up")
     lw_dn = _prof(rad, "lw_flux_dn")
     sw_dn = _prof(rad, "sw_flux_dn")
+    toa = float(np.asarray(rad.variables["sw_flux_dn_toa"][:])[-1])
     f.close()
     olr = float(lw_up[-1])
-    print("rcemip(spectral): OLR=%.0f W/m2, LW_dn(sfc)=%.0f, SW_dn(sfc)=%.0f"
-          % (olr, lw_dn[0], sw_dn[0]))
+    print("rcemip(spectral): OLR=%.0f W/m2, LW_dn(sfc)=%.0f, SW_dn(sfc)=%.0f,"
+          " TOA SW=%.0f" % (olr, lw_dn[0], sw_dn[0], toa))
+    # The RCEMIP protocol (Wing et al. 2018) fixes the insolation at
+    # S0=551.58 W/m2, sza=42.05 deg -> 409.6 W/m2 (the case ini carries
+    # tsi_scaling=0.40532, identical to the reference's rcemip.ini), so
+    # the surface envelope is relative to the RECORDED TOA flux, not TSI.
     mu0 = np.cos(0.7339109504636155)
     check("OLR [W m-2]", olr, 120., 360.)
     check("surface LW down [W m-2]", float(lw_dn[0]), 200., 480.)
-    check("surface SW down [W m-2]", float(sw_dn[0]),
-          0.25 * 1361 * mu0, 1361 * mu0)
+    check("TOA insolation matches protocol [W m-2]", toa,
+          0.4053176301654965 * 1361 * mu0 * 0.98,
+          0.4053176301654965 * 1368 * mu0 * 1.02)
+    check("surface SW down [W m-2]", float(sw_dn[0]), 0.25 * toa, toa)
     check("LW up decreases with height (cooling to space)",
           float(lw_up[0] - olr), -40., 400.)
 

@@ -91,6 +91,7 @@ class RadiationRrtmgp:
         self.dt_rad = ini.get_float("radiation", "dt_rad", default=0.)
         self.t_sfc = ini.get_float("radiation", "t_sfc", default=-1.)
         self.bg = None       # background column (p, T, qv) above domain top
+        self.o3_prof = None  # in-domain o3 vmr profile (from the init group)
         self._sfc = None
         self.kdist_lw = None
         self.kdist_sw = None
@@ -136,10 +137,23 @@ class RadiationRrtmgp:
                 "T": np.asarray(rad.variables["t_lay"][:], dtype=np.float64),
                 "qv": np.asarray(rad.variables["h2o"][:], dtype=np.float64),
             }
+            if "o3" in rad.variables:
+                self.bg["o3"] = np.asarray(rad.variables["o3"][:],
+                                           dtype=np.float64)
             # h2o is a volume mixing ratio in the reference input; convert
             # to specific humidity q = ep*x/(1+ep*x).
             x = self.bg["qv"]
             self.bg["qv"] = cst.ep * x / (1. + cst.ep * x)
+            # The reference solves the FULL background column and then takes
+            # the flux interpolated AT the domain-top pressure as the
+            # incident boundary condition (radiation_rrtmgp.cxx:823-838,
+            # 913-928) — layers at or below the domain top must not
+            # attenuate the incident beam.  Equivalent here: keep only the
+            # background layers strictly above the domain top.
+            ks, ke = self.grid.kstart, self.grid.kend
+            p_top = float(thermo.prefh[ke])
+            keep = self.bg["p"] < p_top
+            self.bg = {k: v[keep] for k, v in self.bg.items()}
         else:
             ks, ke = self.grid.kstart, self.grid.kend
             p_top = float(thermo.prefh[ke])
@@ -148,6 +162,18 @@ class RadiationRrtmgp:
             p = np.geomspace(p_top * 0.95, 100., 12)
             self.bg = {"p": p, "T": np.full(12, T_top),
                        "qv": np.full(12, 3.e-6)}
+        # In-domain o3 volume-mixing-ratio profile: the reference loads gas
+        # profiles from the `init` group into Gas_concs (radiation_rrtmgp
+        # create path); a constant [radiation] o3= still wins if set.
+        if (self.gas_vmr.get("o3", 0.) == 0. and input_nc is not None
+                and "init" in getattr(input_nc, "groups", {})
+                and "o3" in input_nc.groups["init"].variables):
+            z_in = np.asarray(input_nc.variables["z"][:], dtype=np.float64)
+            o3_in = np.asarray(input_nc.groups["init"].variables["o3"][:],
+                               dtype=np.float64)
+            ks, ke = self.grid.kstart, self.grid.kend
+            zc = np.asarray(self.grid.z[ks:ke], dtype=np.float64)
+            self.o3_prof = np.interp(zc, z_in, o3_in)
 
     # -- gas + cloud optics ----------------------------------------------------
     def _domain_paths(self, ctx, s, thermo):
@@ -252,7 +278,11 @@ class RadiationRrtmgp:
         exn = jnp.asarray(thermo.exnref, dtype=ctx.dtype)[ks:ke][:, None, None]
         ql, qi, _, _ = sat_adjust(s["thl"][ks:ke], s["qt"][ks:ke], p_, exn)
         qv = s["qt"][ks:ke] - ql - qi
-        col_dry, cols = col_amounts(play, plev, qv, self.gas_vmr)
+        extra = dict(self.gas_vmr)
+        if self.o3_prof is not None:
+            extra["o3"] = jnp.asarray(self.o3_prof,
+                                      dtype=ctx.dtype)[:, None, None]
+        col_dry, cols = col_amounts(play, plev, qv, extra)
         return play, T, col_dry, cols
 
     def _bg_inputs(self, dtype):
@@ -262,7 +292,10 @@ class RadiationRrtmgp:
         qv = jnp.asarray(self.bg["qv"], dtype=dtype)
         pl = jnp.concatenate([p[:1] * 1.02, 0.5 * (p[:-1] + p[1:]),
                               p[-1:] * 0.5])
-        col_dry, cols = col_amounts(p, pl, qv, self.gas_vmr)
+        extra = dict(self.gas_vmr)
+        if "o3" in self.bg:
+            extra["o3"] = jnp.asarray(self.bg["o3"], dtype=dtype)
+        col_dry, cols = col_amounts(p, pl, qv, extra)
         return p, T, col_dry, cols
 
     def _lw_table_flux(self, ctx, T, lwp, t_sfc, thermo, s):

@@ -35,25 +35,26 @@ def _timeit(fn, *args, n=10):
     import jax
     import jax.numpy as jnp
 
-    lead = jax.tree_util.tree_leaves(args[0])[0]
+    def scan_fn(a0, rest):
+        # a0 is a traced ARGUMENT pytree: never close over it, or its
+        # non-threaded leaves become multi-GB executable constants (the
+        # compile then grinds for tens of minutes through the tunnel).
+        leaves, treedef = jax.tree_util.tree_flatten(a0)
 
-    def scan_fn(x0, rest):
         def body(x, _):
-            a0 = jax.tree_util.tree_map(lambda _l: x, args[0]) \
-                if not isinstance(args[0], dict) else dict(args[0], **{
-                    next(iter(args[0])): x})
-            out = fn(a0, *rest)
+            cur = jax.tree_util.tree_unflatten(treedef, [x] + leaves[1:])
+            out = fn(cur, *rest)
             y = jax.tree_util.tree_leaves(out)[0]
-            return y.astype(x.dtype).reshape(x.shape) \
-                if y.shape == x.shape else x + 1e-30 * jnp.sum(y), 0
-        x, _ = jax.lax.scan(body, x0, None, length=n)
+            return (y.astype(x.dtype).reshape(x.shape)
+                    if y.shape == x.shape else x + 1e-30 * jnp.sum(y)), 0
+        x, _ = jax.lax.scan(body, leaves[0], None, length=n)
         return x
 
     sj = jax.jit(scan_fn)
-    out = sj(lead, args[1:])
+    out = sj(args[0], args[1:])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = sj(lead, args[1:])
+    out = sj(args[0], args[1:])
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / n * 1e3
     del out
