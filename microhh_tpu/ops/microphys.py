@@ -100,15 +100,17 @@ def ss08_flux_tendency(ctx, a, c, rho, dt, dzi_at_out=False, nsed=NSED):
 
     mass = rho_b * dz_b * a
 
-    def body(flux_above, xs):
-        fr, ms = xs
-        ft = jnp.minimum(fr, ms - flux_above * dt)
-        flux = -ft / dt
-        return flux, flux
-
-    _, flux_rev = jax.lax.scan(body, jnp.zeros_like(a[0]),
-                               (ftot[::-1], mass[::-1]))
-    flux = flux_rev[::-1]
+    # Downward positivity limiter.  The reference couples levels
+    # sequentially: ft_k = min(fr_k, ms_k + ft_above) marching down from
+    # the top (ft_above = 0 there).  Unrolling the recurrence gives the
+    # exact closed form ft = S + min(0, cummin(fr - S)) with S the
+    # running (top-down) cumsum of ms — log-depth prefix ops instead of a
+    # ktot-iteration lax.scan of per-plane kernels (which dominated the
+    # moist step cost on TPU).
+    fr = ftot[::-1]
+    S = jnp.cumsum(mass[::-1], axis=0)
+    ft = S + jnp.minimum(0., jax.lax.cummin(fr - S, axis=0))
+    flux = (-ft / dt)[::-1]
     flux_top = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], axis=0)
     tend = -(flux_top - flux) / rho_b * dzi
     return tend, -flux[0]
