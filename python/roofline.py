@@ -44,9 +44,17 @@ def _timeit(fn, *args, n=10):
         def body(x, _):
             cur = jax.tree_util.tree_unflatten(treedef, [x] + leaves[1:])
             out = fn(cur, *rest)
-            y = jax.tree_util.tree_leaves(out)[0]
-            return (y.astype(x.dtype).reshape(x.shape)
-                    if y.shape == x.shape else x + 1e-30 * jnp.sum(y)), 0
+            outs = jax.tree_util.tree_leaves(out)
+            y = outs[0]
+            nxt = (y.astype(x.dtype).reshape(x.shape)
+                   if y.shape == x.shape else x + 1e-30 * jnp.sum(y))
+            # couple EVERY output leaf into the carry: a probe that only
+            # threads its first output lets XLA dead-code-eliminate the
+            # work feeding the others (separable multi-output fns would
+            # time as a fraction of themselves)
+            for l in outs[1:]:
+                nxt = nxt + 1e-30 * jnp.sum(l).astype(x.dtype)
+            return nxt, 0
         x, _ = jax.lax.scan(body, leaves[0], None, length=n)
         return x
 
