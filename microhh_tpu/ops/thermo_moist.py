@@ -115,17 +115,22 @@ def buoyancy_flux_no_ql(thl, thlflux, qt, qtflux, thvref):
 def sat_adjust(thl, qt, p, exn, niter=NITER_SAT_ADJUST):
     """Vectorized saturation adjustment; returns (ql, qi, T, qs).
 
-    Fixed-iteration Newton with the unified alpha-weighted formulation; the
-    unsaturated mask short-circuits to (0, 0, tl, qsat_liq(tl)) exactly like
-    the early return in the reference.
+    Newton with the unified alpha-weighted formulation and the reference's
+    stopping rule (|dT|/T <= 1e-5, at most ``niter`` rounds,
+    thermo_moist_functions.h:191-220) applied as a masked MAX over the
+    saturated points — a cloud-free field costs zero Newton rounds, a
+    typical cloudy LES field 3-5 instead of the fixed ``niter`` (measured
+    ~45 ms per call at 384^3 f32 under the fixed count; the transcendental
+    chain per round is the whole cost).  The unsaturated mask
+    short-circuits to (0, 0, tl, qsat_liq(tl)) exactly like the early
+    return in the reference.
     """
     m = _np_mod(thl)
     tl = thl * exn
     qs0 = qsat_liq(p, tl)
     unsat = (qt - qs0) <= 0.
 
-    t = tl
-    for _ in range(niter):
+    def newton_step(t):
         a_w = water_fraction(t)
         a_i = 1. - a_w
         dalphadT = m.where((a_w > 0.) & (a_w < 1.), 0.025, 0.)
@@ -138,7 +143,29 @@ def sat_adjust(thl, qt, p, exn, niter=NITER_SAT_ADJUST):
               - dalphadT * cst.Lv / cst.cp * qt + dalphadT * cst.Ls / cst.cp * qt
               + dalphadT * cst.Lv / cst.cp * qs_t - dalphadT * cst.Ls / cst.cp * qs_t
               + a_w * cst.Lv / cst.cp * dqw + a_i * cst.Ls / cst.cp * dqi)
-        t = t - f / fp
+        return t - f / fp
+
+    if m is np:
+        t, t_old, it = tl, None, 0
+        while it < niter and (t_old is None or float(
+                np.max(np.where(unsat, 0., np.abs(t - t_old)
+                                / np.maximum(np.abs(t_old), 1e-30)))) > 1e-5):
+            t_old, t, it = t, newton_step(t), it + 1
+    else:
+        import jax
+
+        def cond(carry):
+            t, t_old, it = carry
+            res = m.where(unsat, 0., m.abs(t - t_old)
+                          / m.maximum(m.abs(t_old), 1e-30))
+            return (m.max(res) > 1e-5) & (it < niter)
+
+        def body(carry):
+            t, _, it = carry
+            return newton_step(t), t, it + 1
+
+        t, _, _ = jax.lax.while_loop(
+            cond, body, (tl, m.full_like(tl, 1e9), 0))
 
     a_w = water_fraction(t)
     qs_t = qsat(p, t)
