@@ -540,8 +540,41 @@ class Model:
                 s, t, sfc, aux = substep(s, t, sfc, aux, pp, dt, time_s, sub)
             return s, sfc, aux
 
+        # Slim adaptive-dt limits: ONE fused read of (u,v,w,th) emits the
+        # per-k plane maxima of the CFL rate and evisc; the per-k dt
+        # factors and the MOST surface row are applied outside (max
+        # commutes with positive per-plane scalings, so the dt limits
+        # match the cfl_max + evisc-kernel + get_dn path this replaces to
+        # fma-contraction ulps — that path re-read the velocities and
+        # materialized a full evisc field each step).
+        use_slim_limits = (fused is not None and not fused.generic
+                           and fused.sharded_mesh is None
+                           and os.environ.get("MICROHH_SLIM_LIMITS",
+                                              "1") == "1")
+
         def limits(s, sfc):
             out = {}
+            if use_slim_limits:
+                from .ops.pallas_fused import _surface_evisc_row
+                s_in = s if fold_ghosts else \
+                    self.boundary.set_ghost_cells(ctx, s, sfc)
+                cflk, evk = fused.limits_pass(
+                    s_in["u"], s_in["v"], s_in["w"], s_in.get("th"))
+                out["cfl_rate"] = jnp.max(cflk)
+                if fused.smag.surface:
+                    row = _surface_evisc_row(fused.smag, ctx, s_in, sfc,
+                                             fused.has_thermo)
+                    evk = evk.at[0].set(jnp.max(row))
+                tprfac_i = 1. / min(1., self.diff.tPr)
+                dxidxi = ctx.dxi ** 2
+                dyidyi = ctx.dyi ** 2
+                dzi2 = ctx.dzi[ctx.ks:ctx.ke] ** 2
+                out["dn_rate"] = jnp.max(jnp.abs(
+                    evk * tprfac_i * (dxidxi + dyidyi + dzi2)))
+                mrate = self.micro.get_time_limit_rate(ctx, s)
+                if mrate is not None:
+                    out["micro_rate"] = mrate
+                return out
             cfl = self.advec.cfl_max(ctx, s)
             if cfl is not None:
                 out["cfl_rate"] = cfl

@@ -338,6 +338,30 @@ def _evisc_n2_body(tPr, dxi, dyi, cc_ref,
                              wc[0], wp[0], uc[0], uc[0], n2=n2c[0])
 
 
+def _limits_body(tPr, dxi, dyi, has_thermo, cc_ref,
+                 um, uc, up, vm, vc, vp, wc, wp, thm, thp,
+                 cfl_ref, ev_ref):
+    """Per-plane maxima of the CFL rate (advec_2.cxx:50-78 pointwise
+    expression) and the Smagorinsky eddy viscosity (diff_smag2.cxx
+    calc_dnmul input) in ONE read of (u, v, w, th) — the adaptive-dt
+    limits without materializing evisc or re-reading the velocities.
+    Exactness: the pointwise expressions are the same ops as the XLA
+    cfl_max / evisc pipeline and max is reassociation-safe, so the
+    step's dt limits match to fma-contraction ulps."""
+    ev = _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
+                     um[0], uc[0], up[0], vm[0], vc[0], vp[0],
+                     wc[0], wp[0], thm[0], thp[0])
+    dzi = _cc(cc_ref, C_DZI)
+    cfl = (jnp.abs(_i2(uc[0], _ip(uc[0]))) * dxi
+           + jnp.abs(_i2(vc[0], _jp(vc[0]))) * dyi
+           + jnp.abs(_i2(wc[0], wp[0])) * dzi)
+    # whole-(1, kt) SMEM blocks with a constant index map: the TPU grid
+    # runs sequentially, so each plane writes its own slot
+    k = pl.program_id(0)
+    cfl_ref[0, k] = jnp.max(cfl)
+    ev_ref[0, k] = jnp.max(ev)
+
+
 def _w_body(dxi, dyi, visc, cc_ref, tw,
             um, uc, vm, vc, wm, wc, wp, em, ec, wt_ref):
     wt = _w_math(dxi, dyi, visc, cc_ref,
@@ -1392,6 +1416,35 @@ class FusedLES2:
             out_specs=self._out_spec_full(), out_shape=shape,
             interpret=self.interpret,
         )(cc, u, u, u, v, v, v, w, w, n2_int)
+
+    def limits_pass(self, u, v, w, th):
+        """Per-k plane maxima of (cfl rate, evisc) for the adaptive-dt
+        limits: one HBM read of the four fields, no field-sized writes
+        (see _limits_body).  The caller applies the per-k positive
+        scalings (dt limits' dzi factors) and the surface-row override
+        outside — max commutes with both."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        cc = jnp.asarray(self.cc_evisc, dtype=u.dtype)
+        th_in = th if th is not None else u
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        body = functools.partial(_limits_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 self.has_thermo)
+        in_specs = ([cc_spec]
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((-1, 0, 1), ks, ke, "c")
+                    + self._field_specs((0, 1), ks, ke, "w")
+                    + self._field_specs((-1, 1), ks, ke, "c"))
+        out_spec = pl.BlockSpec((1, kt), lambda k: (0, 0),
+                                memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((1, kt), u.dtype)
+        cflk, evk = _pallas_call(
+            body, grid=(kt,), in_specs=in_specs,
+            out_specs=[out_spec, out_spec], out_shape=[shape, shape],
+            interpret=self.interpret,
+        )(cc, u, u, u, v, v, v, w, w, th_in, th_in)
+        return cflk[0], evk[0]
 
     def _t_spec_shape(self, dtype):
         ctx = self.ctx
