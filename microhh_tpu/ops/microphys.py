@@ -243,8 +243,16 @@ class Microphys2momWarm:
         rho_n = jnp.sqrt(1.2 / rho)
         has_qr = qr > QR_MIN
 
-        w_qr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 4.)), 0.1, w_max), 0.)
-        w_nr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * (1. + c_R / lamr) ** (-(mur + 1.)), 0.1, w_max), 0.)
+        # The two fall speeds share the pow base (1 + c_R/lamr); their
+        # exponents differ by exactly 3, so one log + one exp + an integer
+        # cube replaces two full variable-exponent pows (the pow pair was
+        # the largest single item in the measured 2mom transcendental
+        # budget, ARCHITECTURE.md moist table).
+        b = 1. + c_R / lamr
+        p4 = jnp.exp(-(mur + 4.) * jnp.log(b))
+        p1 = p4 * (b * b * b)
+        w_qr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * p4, 0.1, w_max), 0.)
+        w_nr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * p1, 0.1, w_max), 0.)
 
         c_qr = ss08_cfl(ctx, w_qr, dt)
         c_nr = ss08_cfl(ctx, w_nr, dt)
