@@ -71,7 +71,19 @@ def run_case(case, overrides, workdir, precision):
         cmd = [sys.executable, "-m", "microhh_tpu", mode, case,
                "--precision", precision]
         print("+ %s  (in %s)" % (" ".join(cmd), wd), flush=True)
-        subprocess.check_call(cmd, cwd=wd, env=env)
+        proc = subprocess.run(cmd, cwd=wd, env=env, text=True,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
+        if proc.returncode != 0:
+            raise subprocess.CalledProcessError(proc.returncode, cmd)
+        # parity with the reference's clean startup: every option the case
+        # ini carries must be consumed (model.cxx:218 report stays empty)
+        for line in proc.stdout.splitlines():
+            if "unused ini options" in line:
+                FAILURES.append("%s/%s: %s" % (case, mode, line.strip()))
+                print("  FAIL (unused ini options): %s" % line.strip())
     from microhh_tpu.utils import nc
     return nc.Dataset(os.path.join(wd, "%s.default.0000000.nc" % case), "r")
 

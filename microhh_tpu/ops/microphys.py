@@ -34,6 +34,21 @@ K_T = 2.5e-2      # thermal conductivity of air  (constants.h K_t)
 
 NSED = 4          # unrolled sedimentation sweep depth (cflmax<=2 -> 3 safe)
 
+# SS08 rain fall-speed constants (microphys_2mom_warm.cxx:441-447)
+W_MAX, A_R, C_R = 9.65, 9.65, 600.
+B_R = A_R * np.exp(C_R * 25.0e-6)
+
+
+def _sedi_pow_pair(mur, lamr):
+    """The qr/nr fall speeds share the pow base (1 + c_R/lamr); their
+    exponents differ by exactly 3, so one log + one exp + an integer cube
+    replaces two full variable-exponent pows (the pow pair was the largest
+    single item in the measured 2mom transcendental budget,
+    ARCHITECTURE.md moist table)."""
+    b = 1. + C_R / lamr
+    p4 = jnp.exp(-(mur + 4.) * jnp.log(b))
+    return p4, p4 * (b * b * b)
+
 
 # ==========================================================================
 #  Stevens & Seifert (2008) slope-limited sedimentation, shared by the
@@ -238,21 +253,11 @@ class Microphys2momWarm:
     def _sedimentation(self, ctx, qr, nr, mur, lamr, rho, dt):
         ks, ke = ctx.ks, ctx.ke
         kt = ke - ks
-        w_max, a_R, c_R = 9.65, 9.65, 600.
-        b_R = a_R * np.exp(c_R * 25.0e-6)
         rho_n = jnp.sqrt(1.2 / rho)
         has_qr = qr > QR_MIN
-
-        # The two fall speeds share the pow base (1 + c_R/lamr); their
-        # exponents differ by exactly 3, so one log + one exp + an integer
-        # cube replaces two full variable-exponent pows (the pow pair was
-        # the largest single item in the measured 2mom transcendental
-        # budget, ARCHITECTURE.md moist table).
-        b = 1. + c_R / lamr
-        p4 = jnp.exp(-(mur + 4.) * jnp.log(b))
-        p1 = p4 * (b * b * b)
-        w_qr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * p4, 0.1, w_max), 0.)
-        w_nr = jnp.where(has_qr, jnp.clip(rho_n * a_R - b_R * p1, 0.1, w_max), 0.)
+        p4, p1 = _sedi_pow_pair(mur, lamr)
+        w_qr = jnp.where(has_qr, jnp.clip(rho_n * A_R - B_R * p4, 0.1, W_MAX), 0.)
+        w_nr = jnp.where(has_qr, jnp.clip(rho_n * A_R - B_R * p1, 0.1, W_MAX), 0.)
 
         c_qr = ss08_cfl(ctx, w_qr, dt)
         c_nr = ss08_cfl(ctx, w_nr, dt)
@@ -274,10 +279,9 @@ class Microphys2momWarm:
         nr = s["nr"][ks:ke]
         rho = ctx.rhoref[ks:ke][:, None, None]
         mr, dr, mur, lamr = calc_rain_props(qr, nr, rho)
-        w_max, a_R, c_R = 9.65, 9.65, 600.
-        b_R = a_R * np.exp(c_R * 25.0e-6)
+        p4, _ = _sedi_pow_pair(mur, lamr)
         w_qr = jnp.where(qr > QR_MIN,
-                         jnp.clip(a_R - b_R * (1. + c_R / lamr) ** (-(mur + 4.)), 0.1, w_max), 0.)
+                         jnp.clip(A_R - B_R * p4, 0.1, W_MAX), 0.)
         rate = jnp.max(w_qr * ctx.dzi[ks:ke][:, None, None])
         return jnp.maximum(rate, 1e-5)
 

@@ -204,8 +204,13 @@ class ThermoMoist:
         self.swtimedep_pbot = ini.get_bool("thermo", "swtimedep_pbot",
                                            default=False)
         self.tdep_pbot = None
+        # thvref0 is consumed only under boussinesq (thermo_moist.cxx:1232),
+        # but the shipped anelastic cases (bomex/rcemip) carry it in the ini;
+        # accept-and-ignore keeps the unused-option report clean.
         if sw == "boussinesq":
             self.thvref0 = ini.get_float("thermo", "thvref0")
+        else:
+            ini.get_float("thermo", "thvref0", default=0.)
         if grid.spatial_order == 4 and sw == "anelastic":
             raise ValueError("Anelastic mode is not supported for swspatialorder=4")
 
