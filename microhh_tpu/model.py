@@ -321,6 +321,26 @@ class Model:
                 and not self.ib.active and not self.outflow.active)
         self._use_rkfold_generic = use_rkfold_generic
 
+        # Column fold (generic path): buffer/decay/force collapse into
+        # per-level tables applied in-kernel (pallas_fused
+        # generic_col_tables), killing their separate whole-field passes.
+        col_fold = False
+        if use_rkfold_generic and os.environ.get("MICROHH_COLFOLD",
+                                                 "1") == "1":
+            from .ops.force import Force
+            f = self.force
+            scalars = set(ctx.scalar_names)
+            force_ok = type(f).__name__ == "_NoForce" or (
+                type(f) is Force
+                and f.swlspres in ("0", "geo", "dpdx")
+                and set(getattr(f, "lslist", ())) <= scalars | {"u", "v"}
+                and set(getattr(f, "nudgelist", ())) <= scalars | {"u", "v"})
+            col_fold = force_ok
+            if col_fold and type(f) is Force and f.swlspres == "geo":
+                fused.fold_coriolis = True
+                fused.fc = float(f.fc)
+        self._col_fold = col_fold
+
         pres_active_rk = ((use_rkfold or use_rkfold_generic)
                           and hasattr(self.pres, "exec_star"))
         # Single-pass Pallas kernels for the projection glue (divergence
@@ -391,16 +411,25 @@ class Model:
                 aux = dict(aux)
                 aux["subdt"] = subdt
                 # additive tendency producers move BEFORE the kernels
-                if not getattr(self, "_skip_buffer", False):
-                    t = self.buffer(ctx, s, t, aux)
-                t = self.decay(ctx, s, t, aux)
-                t = self.source(ctx, s, t, aux, sfc)
-                if not getattr(self, "_skip_force", False):
-                    t = self.force(ctx, s, t, aux, sfc)
+                cols = None
+                if col_fold:
+                    from .ops.pallas_fused import generic_col_tables
+                    cols = generic_col_tables(fused, ctx, s, sfc, aux,
+                                              self.force, self.buffer,
+                                              self.decay)
+                    t = self.source(ctx, s, t, aux, sfc)
+                else:
+                    if not getattr(self, "_skip_buffer", False):
+                        t = self.buffer(ctx, s, t, aux)
+                    t = self.decay(ctx, s, t, aux)
+                    t = self.source(ctx, s, t, aux, sfc)
+                    if not getattr(self, "_skip_force", False):
+                        t = self.force(ctx, s, t, aux, sfc)
                 can = cA[(sub + 1) % nsub]
                 carry = can != 0.
                 s_star, t_s = fused_generic_tendencies_rk(
-                    fused, ctx, s, t, aux, sfc, subdt, can, carry=carry)
+                    fused, ctx, s, t, aux, sfc, subdt, can, carry=carry,
+                    cols=cols)
                 if pres_glue is not None:
                     s_new, t_new, aux = fused_pressure_rk(
                         pres_glue, ctx, self.pres, s_star, t_s, aux,

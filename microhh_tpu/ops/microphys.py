@@ -162,8 +162,36 @@ class Microphys2momWarm:
         fields.sp["qr"].visc = ini.get_float("fields", "svisc", subitem="qr")
         fields.sp["nr"].visc = ini.get_float("fields", "svisc", subitem="nr")
         self.thermo = None  # wired by Model
+        self._fused = None
+        self.force_fused = None  # tests: True forces the Pallas kernel
+
+    def _maybe_fused(self, ctx):
+        """Fused Pallas kernel (one HBM pass for the whole scheme) on TPU
+        f32; the jnp pipeline stays for CPU/f64 and oversized planes."""
+        import os
+        if os.environ.get("MICROHH_MICRO_FUSED", "1") != "1":
+            return None
+        if self.force_fused is False:
+            return None
+        if self._fused is not None:
+            return self._fused
+        import jax as _jax
+        interpret = _jax.default_backend() != "tpu"
+        if interpret and not self.force_fused:
+            return None
+        if np.dtype(ctx.dtype) == np.float64 and not interpret:
+            return None  # Mosaic f64 (see model._maybe_build_fused)
+        from .microphys_pallas import Micro2Fused
+        fused = Micro2Fused(self, ctx, interpret=interpret)
+        if not fused.vmem_ok():
+            return None
+        self._fused = fused
+        return fused
 
     def exec(self, ctx, s, t, aux, dt):
+        fused = self._maybe_fused(ctx)
+        if fused is not None:
+            return fused.exec(ctx, s, t, aux, dt)
         ks, ke = ctx.ks, ctx.ke
         thermo = self.thermo
         ql = thermo.get_ql(ctx, s, aux)                # (ktot,...)

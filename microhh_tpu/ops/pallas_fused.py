@@ -49,7 +49,8 @@ from .. import constants as cst
 # on the last row) for the ghost-free clamped-index kernel variant.
 (C_DZI, C_DZHI, C_DZHI1, C_RHO, C_RHOH, C_RHOH1, C_MLEN2, C_Z,
  C_THREFH, C_DZI_M1, C_FACZ, C_FACZH, C_UREF, C_VREF, C_SREF,
- C_UG, C_VG, C_TOPS, N_CONST) = range(19)
+ C_UG, C_VG, C_TOPS, C_ADDU, C_ADDV, C_ADDS, C_WLSDN, C_WLSUP,
+ N_CONST) = range(24)
 
 # The deepest j-shift chain in the stencil math is 2 rows, but Mosaic
 # requires HBM slices to be 8-aligned along the sublane dim, so halos are
@@ -371,12 +372,22 @@ def _w_body(dxi, dyi, visc, cc_ref, tw,
     wt_ref[0] = tw[0] + wt
 
 
-def _scalar_body(tPr, dxi, dyi, svisc, cc_ref, ta,
+def _scalar_cols(cc_ref, am, ac, ap):
+    """Generic column fold for one scalar (see _extra_uv fold_add)."""
+    return (_cc(cc_ref, C_ADDS) - _cc(cc_ref, C_FACZ) * ac
+            + _cc(cc_ref, C_WLSDN) * (ac - am)
+            + _cc(cc_ref, C_WLSUP) * (ap - ac))
+
+
+def _scalar_body(tPr, dxi, dyi, svisc, fold_add, cc_ref, ta,
                  uc, vc, wc, wp, am, ac, ap, em, ec, ep, at_ref):
-    at_ref[0] = ta[0] + _scalar_math(
+    tt = ta[0] + _scalar_math(
         tPr, dxi, dyi, svisc, cc_ref,
         uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
         em[0], ec[0], ep[0])
+    if fold_add:
+        tt = tt + _scalar_cols(cc_ref, am[0], ac[0], ap[0])
+    at_ref[0] = tt
 
 
 def _w_rk_body(dxi, dyi, visc, carry, cc_ref, rk_ref, tw,
@@ -395,26 +406,45 @@ def _w_rk_body(dxi, dyi, visc, carry, cc_ref, rk_ref, tw,
         outs[1][0] = rk_ref[1] * tt
 
 
-def _scalar_rk_body(tPr, dxi, dyi, svisc, carry, cc_ref, rk_ref, ta,
-                    uc, vc, wc, wp, am, ac, ap, em, ec, ep, *outs):
+def _scalar_rk_body(tPr, dxi, dyi, svisc, carry, fold_add, cc_ref, rk_ref,
+                    ta, uc, vc, wc, wp, am, ac, ap, em, ec, ep, *outs):
     """Generic-path scalar pass with the RK update folded in."""
     tt = ta[0] + _scalar_math(
         tPr, dxi, dyi, svisc, cc_ref,
         uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
         em[0], ec[0], ep[0])
+    if fold_add:
+        tt = tt + _scalar_cols(cc_ref, am[0], ac[0], ap[0])
     outs[0][0] = ac[0] + rk_ref[0] * tt
     if carry:
         outs[1][0] = rk_ref[1] * tt
 
 
 def _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans, cc_ref,
-              u, v, ut, vt):
+              u, v, ut, vt, fold_add=False, u_dn=None, u_up=None,
+              v_dn=None, v_up=None):
     """Folded buffer u/v-relaxation + geostrophic Coriolis (force.cxx
-    coriolis_2nd) — extra FMAs on planes the uv pass already holds."""
+    coriolis_2nd) — extra FMAs on planes the uv pass already holds.
+
+    ``fold_add`` is the GENERIC column fold (traced per-substep tables,
+    see generic_col_tables): an additive per-level constant C_ADDU/C_ADDV
+    (large-scale sources, dpdx, buffer reference pull, mean subsidence,
+    nudging), a relaxation rate C_FACZ (buffer + decay), and the local-
+    subsidence vertical stencil C_WLSDN/C_WLSUP on the neighbor planes
+    the pass already reads."""
     if fold_buffer:
         facz = _cc(cc_ref, C_FACZ)
         ut = ut - facz * (u - _cc(cc_ref, C_UREF))
         vt = vt - facz * (v - _cc(cc_ref, C_VREF))
+    if fold_add:
+        facz = _cc(cc_ref, C_FACZ)
+        ut = ut + _cc(cc_ref, C_ADDU) - facz * u
+        vt = vt + _cc(cc_ref, C_ADDV) - facz * v
+        if u_dn is not None:
+            wdn = _cc(cc_ref, C_WLSDN)
+            wup = _cc(cc_ref, C_WLSUP)
+            ut = ut + wdn * (u - u_dn) + wup * (u_up - u)
+            vt = vt + wdn * (v - v_dn) + wup * (v_up - v)
     if fold_coriolis:
         v_at_u = 0.25 * (v + _ip(v) + _jm(v) + _jm(_ip(v)))
         u_at_v = 0.25 * (u + _im(u) + _jp(u) + _im(_jp(u)))
@@ -434,7 +464,7 @@ def _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo):
 
 def _tend_uv_body(tPr, dxi, dyi, visc, extras, cc_ref,
                   tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
-                  ut_ref, vt_ref):
+                  ut_ref, vt_ref, fold_add=False):
     """uv tendencies ACCUMULATED onto the aliased carried-tendency blocks
     (tu/tv alias ut_ref/vt_ref, so the XLA-side pad+add pass disappears)."""
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
@@ -442,7 +472,8 @@ def _tend_uv_body(tPr, dxi, dyi, visc, extras, cc_ref,
                       wc[0], wp[0], em[0], ec[0], ep[0])
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
-                       cc_ref, uc[0], vc[0], ut, vt)
+                       cc_ref, uc[0], vc[0], ut, vt, fold_add=fold_add,
+                       u_dn=um[0], u_up=up[0], v_dn=vm[0], v_up=vp[0])
     ut_ref[0] = tu[0] + ut
     vt_ref[0] = tv[0] + vt
 
@@ -463,7 +494,7 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
 
 
 def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, first, cc_ref,
-                     rk_ref, *args):
+                     rk_ref, *args, fold_add=False):
     """uv tendencies with the low-storage RK update FOLDED IN: besides the
     scaled carried tendency (cA_next * t_total, aliased on tu/tv) the
     kernel writes the pre-projection state s* = s + cB*dt*t_total — the
@@ -484,7 +515,8 @@ def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, first, cc_ref,
                       wc[0], wp[0], em[0], ec[0], ep[0])
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
-                       cc_ref, uc[0], vc[0], ut, vt)
+                       cc_ref, uc[0], vc[0], ut, vt, fold_add=fold_add,
+                       u_dn=um[0], u_up=up[0], v_dn=vm[0], v_up=vp[0])
     cbdt, can = rk_ref[0], rk_ref[1]
     ttu = ut if first else tu[0] + ut
     ttv = vt if first else tv[0] + vt
@@ -1455,17 +1487,20 @@ class FusedLES2:
         shape = jax.ShapeDtypeStruct((ctx.kcells, ctx.jtot, ctx.itot), dtype)
         return spec, shape
 
-    def tend_uv(self, u, v, w, evisc_full, tu, tv):
+    def tend_uv(self, u, v, w, evisc_full, tu, tv, cc_in=None,
+                fold_add=False):
         """uv pass alone (generic mode), accumulated onto the aliased
         carried tendencies; returns FULL (kcells) arrays."""
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                     float(ctx.dxi), float(ctx.dyi),
-                                    self.smag.visc, self._extras())
+                                    self.smag.visc, self._extras(),
+                                    fold_add=fold_add)
         specs_uv = ([cc_spec] + [t_spec] * 2
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
@@ -1479,10 +1514,11 @@ class FusedLES2:
         )(cc, tu, tv, u, u, u, v, v, v, w, w,
           evisc_full, evisc_full, evisc_full)
 
-    def tend_w(self, u, v, w, evisc_full, tw):
+    def tend_w(self, u, v, w, evisc_full, tw, cc_in=None):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_w_body, float(ctx.dxi), float(ctx.dyi),
@@ -1499,15 +1535,17 @@ class FusedLES2:
             interpret=self.interpret,
         )(cc, tw, u, u, v, v, w, w, w, evisc_full, evisc_full)
 
-    def tend_scalar(self, a, u, v, w, evisc_full, svisc, ta):
+    def tend_scalar(self, a, u, v, w, evisc_full, svisc, ta, cc_in=None,
+                    fold_add=False):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_scalar_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
-                                 float(svisc))
+                                 float(svisc), fold_add)
         specs = ([cc_spec] + [t_spec]
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0,), ks, ke, "c")
@@ -1524,14 +1562,16 @@ class FusedLES2:
     def _rk_smem(self, cbdt, can, dtype):
         return jnp.stack([jnp.asarray(cbdt, dtype), jnp.asarray(can, dtype)])
 
-    def tend_uv_rk(self, u, v, w, evisc_full, tu, tv, cbdt, can, carry=True):
+    def tend_uv_rk(self, u, v, w, evisc_full, tu, tv, cbdt, can, carry=True,
+                   cc_in=None, fold_add=False):
         """Generic-path uv pass with the RK update folded in: returns
         (us, vs[, ut, vt]).  The carried t always enters (upstream ops —
         thermo, microphysics, force — have already written into it), so
         there is no 'first' variant on the generic path."""
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         rk = self._rk_smem(cbdt, can, u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
@@ -1539,7 +1579,7 @@ class FusedLES2:
         body = functools.partial(_tend_uv_rk_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, self._extras(),
-                                 carry, False)
+                                 carry, False, fold_add=fold_add)
         specs = ([cc_spec, cc_spec] + [t_spec] * 2
                  + self._field_specs((-1, 0, 1), ks, ke, "c")
                  + self._field_specs((-1, 0, 1), ks, ke, "c")
@@ -1553,10 +1593,12 @@ class FusedLES2:
         )(cc, rk, tu, tv, u, u, u, v, v, v, w, w,
           evisc_full, evisc_full, evisc_full)
 
-    def tend_w_rk(self, u, v, w, evisc_full, tw, cbdt, can, carry=True):
+    def tend_w_rk(self, u, v, w, evisc_full, tw, cbdt, can, carry=True,
+                  cc_in=None):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         rk = self._rk_smem(cbdt, can, u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
@@ -1576,17 +1618,18 @@ class FusedLES2:
         )(cc, rk, tw, u, u, v, v, w, w, w, evisc_full, evisc_full)
 
     def tend_scalar_rk(self, a, u, v, w, evisc_full, svisc, ta, cbdt, can,
-                       carry=True):
+                       carry=True, cc_in=None, fold_add=False):
         ctx = self.ctx
         ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
-        cc = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        cc = cc_in if cc_in is not None else jnp.asarray(
+            self.cc_tend, dtype=u.dtype)
         rk = self._rk_smem(cbdt, can, u.dtype)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         nout = 2 if carry else 1
         body = functools.partial(_scalar_rk_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
-                                 float(svisc), carry)
+                                 float(svisc), carry, fold_add)
         specs = ([cc_spec, cc_spec] + [t_spec]
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0,), ks, ke, "c")
@@ -2683,8 +2726,146 @@ def _generic_wall_deltas(fused, ctx, s, aux, sfc):
     return out
 
 
+def generic_col_tables(fused, ctx, s, sfc, aux, force, buffer, decay):
+    """Per-substep column tables for the GENERIC fold: every per-level
+    tendency producer — Rayleigh buffer (buffer.cxx), exponential decay
+    (decay.cxx), dpdx/geostrophic pressure forcing, large-scale sources,
+    mean/local subsidence and nudging (force.cxx) — collapses to
+    per-level coefficients the tendency kernels apply as extra FMAs on
+    planes they already hold:
+
+        t_a += C_ADDS - C_FACZ * a + C_WLSDN * (a - a_dn) + C_WLSUP * (a_up - a)
+
+    (C_ADDS absorbs ls profiles, facz*ref pulls, mean-subsidence and
+    nudge terms; C_FACZ absorbs buffer facz + decay rates; the WLS pair
+    is the local-subsidence upwind stencil.)  Geostrophic Coriolis keeps
+    its plane math (fold_coriolis) with ug/vg riding the traced table, so
+    time-dependent profiles need no recompiles.  Returns
+    (cc_uvw, {scalar: cc_s}) — (ktot, N_CONST) arrays based on the static
+    table.  Caller gates on force/buffer/decay being representable
+    (model._col_fold)."""
+    ks, ke = ctx.ks, ctx.ke
+    dty = ctx.dtype
+    base = jnp.asarray(fused.cc_tend, dtype=dty)
+    names = list(ctx.scalar_names)
+    kt = ke - ks
+    z = jnp.zeros((kt,), dty)
+    facz, faczh, add_u, add_v = z, z, z, z
+    faczs = {n: z for n in names}
+    adds = {n: z for n in names}
+    wls_dn = wls_up = None
+    wls_mom = False
+    ug = vg = None
+
+    means = {}
+
+    def mean_prof(n):
+        # full-kcells plane means (the jnp force/buffer paths read the
+        # ghost rows of the mean, which are filled at this point)
+        if n not in means:
+            means[n] = jnp.mean(s[n], axis=(1, 2))
+        return means[n]
+
+    from .buffer import Buffer
+    if isinstance(buffer, Buffer):
+        fz = jnp.asarray(buffer.fac_z[:, 0, 0], dty)
+        facz = facz + fz
+        faczh = faczh + jnp.asarray(buffer.fac_zh[:, 0, 0], dty)
+
+        def bref(n):
+            if buffer.swupdate:
+                return mean_prof(n)[ks:ke].astype(dty)
+            return jnp.asarray(buffer.profs[n][:, 0, 0], dty)
+
+        add_u = add_u + fz * bref("u")
+        add_v = add_v + fz * bref("v")
+        for n in names:
+            faczs[n] = faczs[n] + fz
+            adds[n] = adds[n] + fz * bref(n)
+
+    if getattr(decay, "dmap", None):
+        for n, tau in decay.dmap.items():
+            faczs[n] = faczs[n] + dty(1. / tau)
+
+    from .force import Force
+    if isinstance(force, Force):
+        if force.swlspres == "geo":
+            if sfc is not None and "__geo_u" in sfc:
+                ug = sfc["__geo_u"].astype(dty)
+                vg = sfc["__geo_v"].astype(dty)
+            else:
+                ug = jnp.asarray(force.ug, dty).reshape(-1)[:kt]
+                vg = jnp.asarray(force.vg, dty).reshape(-1)[:kt]
+        elif force.swlspres == "dpdx":
+            add_u = add_u - dty(force.dpdx)
+        if force.swls == "1":
+            for n in force.lslist:
+                if sfc is not None and ("__ls_" + n) in sfc:
+                    prof = sfc["__ls_" + n].astype(dty)
+                else:
+                    prof = jnp.asarray(force.ls_profs[n], dty).reshape(-1)[:kt]
+                if n == "u":
+                    add_u = add_u + prof
+                elif n == "v":
+                    add_v = add_v + prof
+                else:
+                    adds[n] = adds[n] + prof
+        if force.swwls in ("mean", "local"):
+            if sfc is not None and "__wls" in sfc:
+                wls = sfc["__wls"].astype(dty)
+            else:
+                wls = jnp.asarray(force.wls, dty).reshape(-1)[:kt]
+            wls_mom = bool(getattr(force, "swwls_mom", False))
+            sub_names = names + (["u", "v"] if wls_mom else [])
+            dzhi = ctx.dzhi
+            if force.swwls == "mean":
+                for n in sub_names:
+                    am = mean_prof(n)
+                    ddn = (am[ks:ke] - am[ks - 1:ke - 1]) * dzhi[ks:ke]
+                    dup = (am[ks + 1:ke + 1] - am[ks:ke]) * dzhi[ks + 1:ke + 1]
+                    tp = jnp.where(wls > 0., -wls * ddn, -wls * dup).astype(dty)
+                    if n == "u":
+                        add_u = add_u + tp
+                    elif n == "v":
+                        add_v = add_v + tp
+                    else:
+                        adds[n] = adds[n] + tp
+            else:
+                wls_dn = jnp.where(wls > 0., -wls * dzhi[ks:ke], 0.).astype(dty)
+                wls_up = jnp.where(wls > 0., 0.,
+                                   -wls * dzhi[ks + 1:ke + 1]).astype(dty)
+        if force.swnudge == "1":
+            fac = jnp.asarray(force.nudge_fac, dty).reshape(-1)[:kt]
+            for n in force.nudgelist:
+                if sfc is not None and ("__nudge_" + n) in sfc:
+                    prof = sfc["__nudge_" + n].astype(dty)
+                else:
+                    prof = jnp.asarray(force.nudge_profs[n], dty).reshape(-1)[:kt]
+                tp = -fac * (mean_prof(n)[ks:ke].astype(dty) - prof)
+                if n == "u":
+                    add_u = add_u + tp
+                elif n == "v":
+                    add_v = add_v + tp
+                elif n in adds:
+                    adds[n] = adds[n] + tp
+
+    cc_uvw = (base.at[:, C_FACZ].set(facz).at[:, C_FACZH].set(faczh)
+              .at[:, C_ADDU].set(add_u).at[:, C_ADDV].set(add_v))
+    if ug is not None:
+        cc_uvw = cc_uvw.at[:, C_UG].set(ug).at[:, C_VG].set(vg)
+    if wls_dn is not None and wls_mom:
+        cc_uvw = cc_uvw.at[:, C_WLSDN].set(wls_dn).at[:, C_WLSUP].set(wls_up)
+    cc_s = {}
+    for n in names:
+        tab = base.at[:, C_FACZ].set(faczs[n]).at[:, C_ADDS].set(adds[n])
+        if wls_dn is not None:
+            tab = tab.at[:, C_WLSDN].set(wls_dn).at[:, C_WLSUP].set(wls_up)
+        cc_s[n] = tab
+    return cc_uvw, cc_s
+
+
 def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
-                                carry=True):
+                                carry=True, cols=None):
     """Generic (any-thermo / any-scalar) tendency kernels with the
     low-storage RK update folded in: returns (s_star, t_carry) where
     s* = s + cB*dt*t_total and t_carry = cA_next*t_total.  All upstream
@@ -2699,9 +2880,12 @@ def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
     ks, ke = ctx.ks, ctx.ke
     smag = fused.smag
 
+    cc_uvw, cc_s = cols if cols is not None else (None, {})
+    fold_add = cols is not None
     outs_uv = fused.tend_uv_rk(u, v, w, evisc, t["u"], t["v"], cbdt, can,
-                               carry=carry)
-    outs_w = fused.tend_w_rk(u, v, w, evisc, t["w"], cbdt, can, carry=carry)
+                               carry=carry, cc_in=cc_uvw, fold_add=fold_add)
+    outs_w = fused.tend_w_rk(u, v, w, evisc, t["w"], cbdt, can, carry=carry,
+                             cc_in=cc_uvw)
     s_star = {"u": outs_uv[0], "v": outs_uv[1], "w": outs_w[0]}
     t_c = {}
     if carry:
@@ -2709,7 +2893,8 @@ def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
     for name in ctx.scalar_names:
         outs = fused.tend_scalar_rk(s[name], u, v, w, evisc,
                                     smag.viscs.get(name, smag.visc),
-                                    t[name], cbdt, can, carry=carry)
+                                    t[name], cbdt, can, carry=carry,
+                                    cc_in=cc_s.get(name), fold_add=fold_add)
         s_star[name] = outs[0]
         if carry:
             t_c[name] = outs[1]
