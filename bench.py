@@ -60,10 +60,10 @@ def _run_size(ge, size, ktot, nsteps):
     return (t1 - t0) / nsteps
 
 
-def _run_moist_size(size, ktot, nsteps):
-    """Bomex/rico-class moist step: thermo_moist + 2mom_warm + limiter +
-    geo/ls/subsidence forcing — the generic fused path the headline dry
-    metric never touches (round-4 item 4)."""
+def _time_case(casename, src_rel, overrides, zero_outputs, nsteps,
+               dt_val=1.0):
+    """Build a case dir from the repo case, run its input generator, and
+    time nsteps of the production step as ONE scanned device dispatch."""
     import re
     import shutil
     import subprocess
@@ -73,33 +73,30 @@ def _run_moist_size(size, ktot, nsteps):
     import jax.numpy as jnp
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    wd = tempfile.mkdtemp(prefix="bench_rico_")
-    ini_txt = open(os.path.join(repo, "cases/rico/rico.ini")).read()
-    for key, val in (("itot", size), ("jtot", size), ("ktot", ktot)):
-        ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=%d" % (key, val), ini_txt)
-    for key in ("swstats", "swcross", "swdump", "swcolumn", "swbudget"):
+    wd = tempfile.mkdtemp(prefix="bench_%s_" % casename)
+    ini_txt = open(os.path.join(repo, src_rel, "%s.ini" % casename)).read()
+    for key, val in overrides:
+        ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=%s" % (key, val), ini_txt)
+    for key in zero_outputs:
         ini_txt = re.sub(r"(?m)^%s=.*$" % key, "%s=0" % key, ini_txt)
-    # the metric targets the bomex/rico op SET (thermo_moist + 2mom_warm +
-    # limiter + geo/ls/subsidence) on the production fast path: advec 2
-    # engages the generic fused + rkfold kernels (rico's 2i5 would fall to
-    # the XLA op pipeline, benchmarking a different code path)
-    ini_txt = re.sub(r"(?m)^swadvec=.*$", "swadvec=2", ini_txt)
-    open(os.path.join(wd, "rico.ini"), "w").write(ini_txt)
-    shutil.copy(os.path.join(repo, "cases/rico/rico_input.py"), wd)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    subprocess.run([sys.executable, "rico_input.py"], cwd=wd, env=env,
-                   check=True, capture_output=True)
+    open(os.path.join(wd, "%s.ini" % casename), "w").write(ini_txt)
+    gen = os.path.join(repo, src_rel, "%s_input.py" % casename)
+    if os.path.exists(gen):
+        shutil.copy(gen, wd)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run([sys.executable, "%s_input.py" % casename], cwd=wd,
+                       env=env, check=True, capture_output=True)
 
     from microhh_tpu.config import Ini
     from microhh_tpu.model import Model
-    model = Model(Ini(os.path.join(wd, "rico.ini")), "run", "rico",
-                  workdir=wd, dtype=np.float32)
+    model = Model(Ini(os.path.join(wd, "%s.ini" % casename)), "run",
+                  casename, workdir=wd, dtype=np.float32)
     model.finish_setup()
     model.build_step()
     st = model.fields.create(model.input_nc, dtype=model.dtype)
     s, t, sfc = model.as_device_state(st)
-    dt = jnp.asarray(1.0, dtype=model.dtype)
+    dt = jnp.asarray(dt_val, dtype=model.dtype)
     time0 = jnp.asarray(0.0, dtype=model.dtype)
     pp = model.pres_params
 
@@ -122,6 +119,31 @@ def _run_moist_size(size, ktot, nsteps):
     gc.collect()
     shutil.rmtree(wd, ignore_errors=True)
     return (t1 - t0) / nsteps
+
+
+def _run_moist_size(size, ktot, nsteps, true_config=False):
+    """Bomex/rico-class moist step: thermo_moist + 2mom_warm + limiter +
+    geo/ls/subsidence forcing.  ``true_config=False`` rewrites rico's
+    swadvec 2i5 -> 2 so the production generic-fused + rkfold kernels
+    engage (the op-set metric); ``true_config=True`` keeps the ini
+    verbatim (2i5 upwind advection on the XLA op pipeline) — the
+    unmodified-case metric (round-5 item 2)."""
+    overrides = [("itot", size), ("jtot", size), ("ktot", ktot)]
+    if not true_config:
+        overrides.append(("swadvec", "2"))
+    return _time_case(
+        "rico", "cases/rico", overrides,
+        ("swstats", "swcross", "swdump", "swcolumn", "swbudget"),
+        nsteps, dt_val=1.0)
+
+
+def _run_weakscaling(nsteps):
+    """The reference's own canonical benchmark unit (4th order +
+    thermo_buoy + pres_4, cases/weakscaling/weakscaling.ini: the
+    64x32x1024 per-process load of its published weak-scaling tables,
+    BASELINE.md) — measures the unfused 4th-order stack (round-5 item 3)."""
+    return _time_case("weakscaling", "cases/weakscaling", [],
+                      ("swstats", "swcross"), nsteps, dt_val=0.001)
 
 
 T_START = time.perf_counter()
@@ -214,6 +236,9 @@ def main():
                     "value": sec, "unit": "s/step",
                     "updates_per_s": pts / sec,
                     "vs_baseline": pts / sec / baseline_agg,
+                    "advec_rewritten": "2i5->2 (production fused path; "
+                                       "see moist_true_config for the "
+                                       "verbatim ini)",
                     "sizes_attempted": m_attempted,
                 }
                 break
@@ -224,6 +249,60 @@ def main():
         if "moist" not in out:
             out["moist"] = {"error": m_failed,
                             "sizes_attempted": m_attempted}
+
+    # TRUE rico config (swadvec=2i5 verbatim, XLA op pipeline) — no ini
+    # rewriting (round-5 item 2)
+    elapsed = time.perf_counter() - T_START
+    if (os.environ.get("BENCH_MOIST_TRUE", "1") == "1"
+            and elapsed < budget):
+        mt_failed = {}
+        for msize in ([int(os.environ["BENCH_MOIST_SIZE"])]
+                      if "BENCH_MOIST_SIZE" in os.environ else [384, 256]):
+            mktot = int(os.environ.get("BENCH_MOIST_KTOT", str(msize)))
+            try:
+                sec = _run_moist_size(msize, mktot, nsteps,
+                                      true_config=True)
+                pts = msize * msize * mktot
+                out["moist_true_config"] = {
+                    "metric": "rico %dx%dx%d VERBATIM ini (swadvec=2i5) "
+                              "per RK3 step (1 chip)"
+                              % (msize, msize, mktot),
+                    "value": sec, "unit": "s/step",
+                    "updates_per_s": pts / sec,
+                    "vs_baseline": pts / sec / baseline_agg,
+                    "sizes_failed": mt_failed,
+                }
+                break
+            except Exception as e:
+                mt_failed["%d" % msize] = "%s: %s" % (type(e).__name__,
+                                                      str(e)[:200])
+                gc.collect()
+        if "moist_true_config" not in out:
+            out["moist_true_config"] = {"error": mt_failed}
+
+    # 4th-order weak-scaling unit — the reference's own benchmark case
+    # (64x32x1024 per-proc load, thermo_buoy; BASELINE.md weak-scaling
+    # tables: 14.16 s/iter/512-proc on JUQUEEN, 5.08 s on SuperMUC)
+    # (round-5 item 3)
+    elapsed = time.perf_counter() - T_START
+    if (os.environ.get("BENCH_O4", "1") == "1" and elapsed < budget):
+        try:
+            sec = _run_weakscaling(nsteps)
+            pts = 64 * 32 * 1024
+            # per-unit baseline: SuperMUC weak scaling ran this exact
+            # per-process load at 5.08 s/iter (512p leg)
+            out["o4_weakscaling"] = {
+                "metric": "weakscaling 64x32x1024 4th-order thermo_buoy "
+                          "per RK3 step (1 chip, reference per-proc unit)",
+                "value": sec, "unit": "s/step",
+                "updates_per_s": pts / sec,
+                "vs_ref_core": 5.08 / sec,
+                "vs_baseline": pts / sec / baseline_agg,
+            }
+        except Exception as e:
+            out["o4_weakscaling"] = {"error": "%s: %s" % (
+                type(e).__name__, str(e)[:200])}
+            gc.collect()
     print(json.dumps(out))
 
 

@@ -224,11 +224,144 @@ def validate_rcemip(args):
     check("LW up decreases with height (cooling to space)",
           float(lw_up[0] - olr), -40., 400.)
 
+    # ---- cloudy spectral column (round-5 item 7): seed a saturated layer
+    # so the LUT cloud optics fire, and assert the cloud radiative effect
+    # signs/magnitudes (cloudy vs clear=True fluxes; reference analog:
+    # radiation_rrtmgp.cxx cloud optics in exec_longwave/shortwave +
+    # swclearskystats).
+    import numpy as np
+    import jax.numpy as jnp
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    m = Model(Ini(os.path.join(wd, "rcemip.ini")), "run", "rcemip",
+              workdir=wd, dtype=(np.float64 if args.precision == "double"
+                                 else np.float32))
+    m.finish_setup()
+    st = m.fields.create(m.input_nc, dtype=m.dtype)
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    zc = np.asarray(g.z)
+    cloud_lay = (zc > 1000.) & (zc < 2500.)
+    # push qt well past saturation in the layer -> ql > 0 through
+    # sat_adjust; the LUT path sees a real liquid water path
+    st["qt"][cloud_lay] += 0.004
+    s, _t, _sfc = m.as_device_state(st)
+    ql = np.asarray(m.thermo.get_ql(m.ctx, s))
+    assert ql.max() > 1e-5, "seeded layer failed to condense"
+    rad = m.radiation
+    rad._latlon = (rad.lat, rad.lon)
+    cloudy = {k: np.asarray(v) for k, v in rad.flux_profiles(
+        m.ctx, s, 0., m.thermo).items()}
+    clearf = {k.replace("_clear", ""): np.asarray(v)
+              for k, v in rad.flux_profiles(
+                  m.ctx, s, 0., m.thermo, clear=True).items()}
+    sw_cre_sfc = float(clearf["sw_flux_dn"][0] - cloudy["sw_flux_dn"][0])
+    lw_cre_toa = float(clearf["lw_flux_up"][-1] - cloudy["lw_flux_up"][-1])
+    lw_cre_sfc = float(cloudy["lw_flux_dn"][0] - clearf["lw_flux_dn"][0])
+    print("rcemip cloudy column: SW CRE(sfc)=%.0f W/m2, LW CRE(TOA)=%.0f,"
+          " LW CRE(sfc)=%.0f" % (sw_cre_sfc, lw_cre_toa, lw_cre_sfc))
+    check("SW cloud shading at surface [W m-2]", sw_cre_sfc, 3., 450.)
+    check("LW OLR reduction by cloud [W m-2]", lw_cre_toa, 1., 200.)
+    check("LW surface warming by cloud [W m-2]", lw_cre_sfc, 1., 250.)
+
+
+def validate_sbl_dnn(args):
+    """Stably-stratified Ekman layer with the DNN SGS closure end to end
+    (round-5 item 8): TorchScript weights go through the full
+    export -> from_torchscript round trip, then drive the complete
+    destagger/filter/normalize/infer/divergence pipeline
+    (ops/diff_dnn.py) inside a real case run.  Weights are seeded-random
+    at the reference's scale (no trained nets ship — the reference's
+    inis point at absent .pt files too, SBL_DNNlocalScales/SBL1800.ini);
+    the envelopes assert SBL physics the resolved dynamics must keep:
+    stability, Ekman turning, bounded closure tendencies."""
+    import numpy as np
+    import torch
+
+    from microhh_tpu.models import dnn as dnn_mod
+
+    # --- export a CNDNN-style TorchScript module (e2cnn 'filter' buffer
+    # layout, like the reference's analysis/util.py exports)
+    rng = np.random.RandomState(7)
+    dims = [108, 64, 64, 64, 64, 6]
+    filts = []
+    for i in range(len(dims) - 1):
+        scale = np.sqrt(2. / dims[i]) * 0.1
+        kh = 3 if i == 0 else 1
+        cin = 12 if i == 0 else dims[i]
+        filts.append((rng.randn(dims[i + 1], cin, kh, kh)
+                      * scale).astype(np.float32))
+    cb = np.asarray(dnn_mod.PINV, dtype=np.float32)
+
+    class CNDNNExport(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i, f in enumerate(filts):
+                self.register_buffer("c%d_filter" % i, torch.from_numpy(f))
+            self.register_buffer("change_basis", torch.from_numpy(cb))
+
+        def forward(self, x):
+            # unrolled (TorchScript cannot close over the filts list)
+            h = torch.relu(torch.nn.functional.conv2d(x, self.c0_filter))
+            h = torch.relu(torch.nn.functional.conv2d(h, self.c1_filter))
+            h = torch.relu(torch.nn.functional.conv2d(h, self.c2_filter))
+            h = torch.relu(torch.nn.functional.conv2d(h, self.c3_filter))
+            h = torch.nn.functional.conv2d(h, self.c4_filter)
+            h = h.squeeze(-1).squeeze(-1)
+            return h @ self.change_basis.t()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    pt_path = os.path.join(args.workdir, "sbl_dnn_weights.pt")
+    torch.jit.script(CNDNNExport().eval()).save(pt_path)
+
+    itot = 16 if args.quick else 32
+    ktot = 32 if args.quick else 64
+    endtime = 100. if args.quick else 400.
+    run_case("SBL_DNN",
+             {"itot": itot, "jtot": itot, "ktot": ktot,
+              "endtime": "%g" % endtime, "savetime": "%g" % endtime,
+              "sampletime": "%g" % (endtime / 2),
+              "dnnpath": pt_path, "swdnnrandom": "0"},
+             args.workdir, args.precision)
+
+    # final state from the restart files (robust to stats whitelists)
+    from microhh_tpu.config import Ini
+    from microhh_tpu.model import Model
+    wd = os.path.join(args.workdir, "SBL_DNN")
+    ini = Ini(os.path.join(wd, "SBL.ini"))
+    m = Model(ini, "run", "SBL", workdir=wd)
+    m.finish_setup()
+    m.timeloop.istarttime = int(endtime * 1e9)
+    m.timeloop.itime = m.timeloop.istarttime
+    st = m.fields.load(int(endtime * 10), wd, dtype=m.dtype)  # iotimeprec=-1
+    g = m.grid
+    ks, ke = g.kstart, g.kend
+    u = np.asarray(st["u"])[ks:ke].mean(axis=(1, 2))
+    v = np.asarray(st["v"])[ks:ke].mean(axis=(1, 2))
+    b = np.asarray(st["b"])[ks:ke].mean(axis=(1, 2))
+    for n in ("u", "v", "w", "b"):
+        assert np.isfinite(np.asarray(st[n])).all(), n
+    ug = 0.05
+    print("SBL_DNN: u(sfc)=%.4f v(sfc)=%.5f ug=%.2f" % (u[0], v[0], ug))
+    # stable stratification holds through the run (db/dz > 0 everywhere
+    # up to sampling noise; the initial profile is linearly stable)
+    check("stable stratification fraction",
+          float(np.mean(np.diff(b) > -1e-9)), 0.9, 1.)
+    # Ekman turning: surface friction drives cross-isobar flow to the
+    # LEFT of the geostrophic wind (v > 0 for ug > 0, fc > 0) and an
+    # ageostrophic deficit near the wall
+    check("Ekman cross-isobar v (near sfc) [m/s]",
+          float(v[:ktot // 8].mean()), 1e-6, 0.05)
+    check("near-wall u deficit [m/s]", float(ug - u[0]), 1e-5, 0.05)
+    # the DNN closure's tendencies stayed bounded: winds within physical
+    # range of the geostrophic forcing
+    check("max |u|/ug", float(np.abs(u).max() / ug), 0.2, 2.0)
+
 
 # ---------------------------------------------------------------------------
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cases", default="drycblles,bomex,gabls1,rcemip")
+    ap.add_argument("--cases", default="drycblles,bomex,gabls1,rcemip,sbl_dnn")
     ap.add_argument("--quick", action="store_true",
                     help="smoke scale: small grids, short horizons")
     ap.add_argument("--workdir", default="/tmp/mh_validation")
@@ -239,7 +372,8 @@ def main():
     fns = {"drycblles": validate_drycblles,
            "bomex": validate_bomex,
            "gabls1": validate_gabls1,
-           "rcemip": validate_rcemip}
+           "rcemip": validate_rcemip,
+           "sbl_dnn": validate_sbl_dnn}
     for case in args.cases.split(","):
         print("\n=== %s ===" % case, flush=True)
         fns[case](args)

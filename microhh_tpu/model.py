@@ -230,6 +230,7 @@ class Model:
         collective-permutes)."""
         self.mesh = mesh
         self.pres.mesh = mesh
+        self.micro.mesh = mesh  # column-local kernels run per shard
 
     mesh = None
 
@@ -301,12 +302,12 @@ class Model:
         # s*-clamp form) moves BEFORE the tendency kernels so the fold
         # sees the total; excluded: uflux forcing (reads t), IB/outflow
         # (modify s/t non-additively), LSM (soil/wl prognostics live
-        # outside the kernel set), sharded meshes (per-shard rk variants
-        # not built).
+        # outside the kernel set).  Sharded meshes run the per-shard rk
+        # kernels inside one shard_map region (pallas_fused
+        # fused_generic_tendencies_rk sharded branch).
         use_rkfold_generic = False
         if (fused is not None and fused.generic
-                and os.environ.get("MICROHH_RKFOLD", "1") == "1"
-                and fused.sharded_mesh is None):
+                and os.environ.get("MICROHH_RKFOLD", "1") == "1"):
             from .ops.pres_2 import Pres2
             from .ops.force import Force
             from .ops import DisabledOp
@@ -411,6 +412,10 @@ class Model:
                 aux = dict(aux)
                 aux["subdt"] = subdt
                 # additive tendency producers move BEFORE the kernels
+                if fused.no_advec:
+                    # 2i* advection is an XLA op; it is additive and does
+                    # not read t, so running it here keeps the fold exact
+                    t = self.advec.exec(ctx, s, t, aux)
                 cols = None
                 if col_fold:
                     from .ops.pallas_fused import generic_col_tables
@@ -523,6 +528,8 @@ class Model:
                 s_cons = s
             if fused is not None and fused.generic:
                 from .ops.pallas_fused import fused_generic_tendencies
+                if fused.no_advec:
+                    t = self.advec.exec(ctx, s_cons, t, aux)
                 t = fused_generic_tendencies(fused, ctx, s, t, aux, sfc)
             elif fused is not None:
                 t = fused_tendencies(fused, ctx, s, t, aux, sfc)
@@ -677,13 +684,23 @@ class Model:
             return None
         ctx = self.ctx
         from .ops.advec_2 import Advec2
+        from .ops.advec_interp import AdvecInterp
         from .ops.diff_smag2 import DiffSmag2
         from .ops.thermo import ThermoDisabled
         from .ops.thermo_dry import ThermoDry
         has_thermo = isinstance(self.thermo, ThermoDry)
         if not (ctx.spatial_order == 2
-                and type(self.advec) is Advec2
                 and type(self.diff) is DiffSmag2):
+            return None
+        if isinstance(self.advec, AdvecInterp):
+            # 2i* interpolated schemes: advection stays an XLA op (an
+            # additive tendency producer before the kernels); diffusion,
+            # the folds and the RK update run on the generic fused path.
+            fused = self._maybe_build_fused_generic(ctx)
+            if fused is not None:
+                fused.no_advec = True
+            return fused
+        if type(self.advec) is not Advec2:
             return None
         # Mosaic cannot lower f64 kernels (its convert_element_type
         # lowering recurses forever, jax 0.8); double precision on a real

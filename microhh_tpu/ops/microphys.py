@@ -164,6 +164,7 @@ class Microphys2momWarm:
         self.thermo = None  # wired by Model
         self._fused = None
         self.force_fused = None  # tests: True forces the Pallas kernel
+        self.mesh = None    # set by Model.set_mesh (shard_map wrap)
 
     def _maybe_fused(self, ctx):
         """Fused Pallas kernel (one HBM pass for the whole scheme) on TPU
@@ -171,13 +172,15 @@ class Microphys2momWarm:
         import os
         if os.environ.get("MICROHH_MICRO_FUSED", "1") != "1":
             return None
-        if self.force_fused is False:
+        # getattr: oracle tests build bare instances via __new__
+        force = getattr(self, "force_fused", None)
+        if force is False:
             return None
-        if self._fused is not None:
+        if getattr(self, "_fused", None) is not None:
             return self._fused
         import jax as _jax
         interpret = _jax.default_backend() != "tpu"
-        if interpret and not self.force_fused:
+        if interpret and not force:
             return None
         if np.dtype(ctx.dtype) == np.float64 and not interpret:
             return None  # Mosaic f64 (see model._maybe_build_fused)

@@ -332,8 +332,48 @@ class Micro2Fused:
         cc = self._cc_table(pref_a, exnref_a, dtype)
         dt_op = jnp.asarray(dt, dtype).reshape((1,))
 
-        jt, it = ctx.jtot, ctx.itot
-        kc = ctx.kcells
+        arrays = (s["qr"], s["nr"], s["qt"], s["thl"], ql,
+                  t["qr"], t["nr"], t["qt"], t["thl"])
+        mesh = getattr(micro, "mesh", None)
+        if mesh is not None:
+            # The scheme is column-local (no horizontal stencil), so the
+            # sharded form is a plain shard_map with no halo exchange.
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            sp = P(None, "y", "x")
+
+            def local(qr, nr, qt, thl, ql_l, tqr, tnr, tqt, tthl,
+                      cc_l, dt_l):
+                return self._call(ctx, kt,
+                                  (qr, nr, qt, thl, ql_l,
+                                   tqr, tnr, tqt, tthl), cc_l, dt_l)
+
+            try:
+                outs = shard_map(local, mesh=mesh,
+                                 in_specs=(sp,) * 9 + (P(), P()),
+                                 out_specs=(sp,) * 5, check_vma=False)(
+                    *arrays, cc, dt_op)
+            except TypeError:  # older jax spells it check_rep
+                outs = shard_map(local, mesh=mesh,
+                                 in_specs=(sp,) * 9 + (P(), P()),
+                                 out_specs=(sp,) * 5, check_rep=False)(
+                    *arrays, cc, dt_op)
+        else:
+            outs = self._call(ctx, kt, arrays, cc, dt_op)
+        oqr, onr, oqt, othl, orr = outs
+
+        t = dict(t)
+        t["qr"], t["nr"], t["qt"], t["thl"] = oqr, onr, oqt, othl
+        aux = dict(aux)
+        aux["rr_bot"] = orr[0]
+        return t, aux
+
+    def _call(self, ctx, kt, arrays, cc, dt_op):
+        micro = self.micro
+        ks = ctx.ks
+        dtype = arrays[0].dtype
+        # local (possibly per-shard) horizontal extents from the operands
+        kc, jt, it = arrays[0].shape
 
         def rev(off, lo, hi):
             # interior row k = kt-1-g at offset off, clamped like the
@@ -368,7 +408,8 @@ class Micro2Fused:
             pltpu.VMEM((2, self.nsed, jt, it), dtype),   # cfl rings
             pltpu.VMEM((2, 3, jt, it), dtype),           # S, M, flux_above
         ]
-        oqr, onr, oqt, othl, orr = _pallas_call(
+        qr_a, nr_a, qt_a, thl_a, ql_a, tqr, tnr, tqt, tthl = arrays
+        return _pallas_call(
             body, grid=(kt,),
             in_specs=in_specs,
             out_specs=[t_spec] * 4 + [rr_spec],
@@ -377,12 +418,6 @@ class Micro2Fused:
             input_output_aliases={11: 0, 12: 1, 13: 2, 14: 3},
             interpret=self.interpret,
         )(cc, dt_op,
-          s["qr"], s["qr"], s["qr"], s["nr"], s["nr"], s["nr"],
-          s["qt"], s["thl"], ql,
-          t["qr"], t["nr"], t["qt"], t["thl"])
-
-        t = dict(t)
-        t["qr"], t["nr"], t["qt"], t["thl"] = oqr, onr, oqt, othl
-        aux = dict(aux)
-        aux["rr_bot"] = orr[0]
-        return t, aux
+          qr_a, qr_a, qr_a, nr_a, nr_a, nr_a,
+          qt_a, thl_a, ql_a,
+          tqr, tnr, tqt, tthl)

@@ -153,7 +153,8 @@ def _evisc_math(tPr, dxi, dyi, has_thermo, cc_ref,
 
 
 def _uv_math(tPr, dxi, dyi, visc, cc_ref,
-             u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up):
+             u_dn, u, u_up, v_dn, v, v_up, w, w_up, e_dn, e, e_up,
+             advec=True):
     dzi = _cc(cc_ref, C_DZI)
     dzhi = _cc(cc_ref, C_DZHI)
     dzhi1 = _cc(cc_ref, C_DZHI1)
@@ -165,7 +166,11 @@ def _uv_math(tPr, dxi, dyi, visc, cc_ref,
     rdzi = dzi / rho
 
     # ---- u (advec_2.cxx:80-109 + diff_smag2.cxx diff_u) ----
-    adv_u = -((_i2(u, _ip(u)) ** 2 - _i2(_im(u), u) ** 2) * dxi
+    # advec=False: the scheme is a 2i* interpolated stencil computed by
+    # the XLA op BEFORE the kernels (an additive tendency producer); the
+    # kernels carry diffusion + folds only.
+    zero = u * 0.
+    adv_u = zero if not advec else -((_i2(u, _ip(u)) ** 2 - _i2(_im(u), u) ** 2) * dxi
               + (_i2(_im(_jp(v)), _jp(v)) * _i2(u, _jp(u))
                  - _i2(_im(v), v) * _i2(_jm(u), u)) * dyi
               + (rhoh1 * _i2(_im(w_up), w_up) * _i2(u, u_up)
@@ -184,7 +189,7 @@ def _uv_math(tPr, dxi, dyi, visc, cc_ref,
                 - rhoh * ev_b * ((u - u_dn) * dzhi + (w - _im(w)) * dxi)) * rdzi)
 
     # ---- v ----
-    adv_v = -((_i2(_jm(_ip(u)), _ip(u)) * _i2(v, _ip(v))
+    adv_v = zero if not advec else -((_i2(_jm(_ip(u)), _ip(u)) * _i2(v, _ip(v))
                - _i2(_jm(u), u) * _i2(_im(v), v)) * dxi
               + (_i2(v, _jp(v)) ** 2 - _i2(_jm(v), v) ** 2) * dyi
               + (rhoh1 * _i2(_jm(w_up), w_up) * _i2(v, v_up)
@@ -262,7 +267,7 @@ def _wth_math(tPr, dxi, dyi, visc, svisc, has_thermo, cc_ref,
 
 
 def _w_math(dxi, dyi, visc, cc_ref,
-            u_dn, u, v_dn, v, w_dn, w, w_up, e_dn, e):
+            u_dn, u, v_dn, v, w_dn, w, w_up, e_dn, e, advec=True):
     """advec_2 + diff_smag2 for w alone (the generic fused mode's w pass;
     buoyancy stays in the thermo op)."""
     dzi = _cc(cc_ref, C_DZI)
@@ -273,12 +278,13 @@ def _w_math(dxi, dyi, visc, cc_ref,
     rho_m1 = _cc(cc_ref, C_Z)  # slot reused for rho[k-1]
     rdzhi = dzhi / rhoh  # scalar divide per row (VPU-bound kernel)
 
-    adv_w = -((_i2(_ip(u_dn), _ip(u)) * _i2(w, _ip(w))
-               - _i2(u_dn, u) * _i2(_im(w), w)) * dxi
-              + (_i2(_jp(v_dn), _jp(v)) * _i2(w, _jp(w))
-                 - _i2(v_dn, v) * _i2(_jm(w), w)) * dyi
-              + (rho * _i2(w, w_up) ** 2 - rho_m1 * _i2(w_dn, w) ** 2)
-              * rdzhi)
+    adv_w = (w * 0.) if not advec else \
+        -((_i2(_ip(u_dn), _ip(u)) * _i2(w, _ip(w))
+           - _i2(u_dn, u) * _i2(_im(w), w)) * dxi
+          + (_i2(_jp(v_dn), _jp(v)) * _i2(w, _jp(w))
+             - _i2(v_dn, v) * _i2(_jm(w), w)) * dyi
+          + (rho * _i2(w, w_up) ** 2 - rho_m1 * _i2(w_dn, w) ** 2)
+          * rdzhi)
     ev_xw = 0.25 * (_im(e_dn) + _im(e) + e_dn + e) + visc
     ev_yw = 0.25 * (_jm(e_dn) + _jm(e) + e_dn + e) + visc
     dif_w = ((_ip(ev_xw) * ((_ip(w) - w) * dxi + (_ip(u) - _ip(u_dn)) * dzhi)
@@ -293,7 +299,7 @@ def _w_math(dxi, dyi, visc, cc_ref,
 
 
 def _scalar_math(tPr, dxi, dyi, svisc, cc_ref,
-                 u, v, w, w_up, a_dn, a, a_up, e_dn, e, e_up):
+                 u, v, w, w_up, a_dn, a, a_up, e_dn, e, e_up, advec=True):
     """advec_2 + diff_smag2 (diff_c) for one generic scalar."""
     dzi = _cc(cc_ref, C_DZI)
     dzhi = _cc(cc_ref, C_DZHI)
@@ -303,9 +309,10 @@ def _scalar_math(tPr, dxi, dyi, svisc, cc_ref,
     rhoh1 = _cc(cc_ref, C_RHOH1)
     rdzi = dzi / rho     # scalar divides per row (VPU-bound kernel)
     tPri = 1. / tPr
-    adv_s = -((_ip(u) * _i2(a, _ip(a)) - u * _i2(_im(a), a)) * dxi
-              + (_jp(v) * _i2(a, _jp(a)) - v * _i2(_jm(a), a)) * dyi
-              + (rhoh1 * w_up * _i2(a, a_up) - rhoh * w * _i2(a_dn, a)) * rdzi)
+    adv_s = (a * 0.) if not advec else \
+        -((_ip(u) * _i2(a, _ip(a)) - u * _i2(_im(a), a)) * dxi
+          + (_jp(v) * _i2(a, _jp(a)) - v * _i2(_jm(a), a)) * dyi
+          + (rhoh1 * w_up * _i2(a, a_up) - rhoh * w * _i2(a_dn, a)) * rdzi)
     se = 0.5 * (e + _ip(e)) * tPri + svisc
     sw_ = 0.5 * (_im(e) + e) * tPri + svisc
     sn = 0.5 * (e + _jp(e)) * tPri + svisc
@@ -364,10 +371,10 @@ def _limits_body(tPr, dxi, dyi, has_thermo, cc_ref,
 
 
 def _w_body(dxi, dyi, visc, cc_ref, tw,
-            um, uc, vm, vc, wm, wc, wp, em, ec, wt_ref):
+            um, uc, vm, vc, wm, wc, wp, em, ec, wt_ref, advec=True):
     wt = _w_math(dxi, dyi, visc, cc_ref,
                  um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
-                 em[0], ec[0])
+                 em[0], ec[0], advec=advec)
     wt = jnp.where(pl.program_id(0) == 0, 0., wt)  # wall half level
     wt_ref[0] = tw[0] + wt
 
@@ -380,25 +387,26 @@ def _scalar_cols(cc_ref, am, ac, ap):
 
 
 def _scalar_body(tPr, dxi, dyi, svisc, fold_add, cc_ref, ta,
-                 uc, vc, wc, wp, am, ac, ap, em, ec, ep, at_ref):
+                 uc, vc, wc, wp, am, ac, ap, em, ec, ep, at_ref,
+                 advec=True):
     tt = ta[0] + _scalar_math(
         tPr, dxi, dyi, svisc, cc_ref,
         uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
-        em[0], ec[0], ep[0])
+        em[0], ec[0], ep[0], advec=advec)
     if fold_add:
         tt = tt + _scalar_cols(cc_ref, am[0], ac[0], ap[0])
     at_ref[0] = tt
 
 
 def _w_rk_body(dxi, dyi, visc, carry, cc_ref, rk_ref, tw,
-               um, uc, vm, vc, wm, wc, wp, em, ec, *outs):
+               um, uc, vm, vc, wm, wc, wp, em, ec, *outs, advec=True):
     """Generic-path w pass with the low-storage RK update folded in: the
     carried t (which already holds thermo/micro/force contributions)
     enters as input; the kernel writes w* = w + cB*dt*t_total and the
     scaled carry cA_next*t_total (see _tend_uv_rk_body)."""
     wt = _w_math(dxi, dyi, visc, cc_ref,
                  um[0], uc[0], vm[0], vc[0], wm[0], wc[0], wp[0],
-                 em[0], ec[0])
+                 em[0], ec[0], advec=advec)
     wt = jnp.where(pl.program_id(0) == 0, 0., wt)  # wall half level
     tt = tw[0] + wt
     outs[0][0] = wc[0] + rk_ref[0] * tt
@@ -407,12 +415,13 @@ def _w_rk_body(dxi, dyi, visc, carry, cc_ref, rk_ref, tw,
 
 
 def _scalar_rk_body(tPr, dxi, dyi, svisc, carry, fold_add, cc_ref, rk_ref,
-                    ta, uc, vc, wc, wp, am, ac, ap, em, ec, ep, *outs):
+                    ta, uc, vc, wc, wp, am, ac, ap, em, ec, ep, *outs,
+                    advec=True):
     """Generic-path scalar pass with the RK update folded in."""
     tt = ta[0] + _scalar_math(
         tPr, dxi, dyi, svisc, cc_ref,
         uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
-        em[0], ec[0], ep[0])
+        em[0], ec[0], ep[0], advec=advec)
     if fold_add:
         tt = tt + _scalar_cols(cc_ref, am[0], ac[0], ap[0])
     outs[0][0] = ac[0] + rk_ref[0] * tt
@@ -462,14 +471,45 @@ def _extra_wth(fold_buffer, cc_ref, w, th, wt, tht, has_thermo):
     return wt, tht
 
 
+def _scalars_rk_body(tPr, dxi, dyi, sviscs, carry, fold_add, advec,
+                     *args):
+    """ALL scalars' advec+diff+RK fold in one pass: the (u, v, w, evisc)
+    planes are read once instead of once per scalar (4 scalars share
+    ~7 operand planes, so the merged pass saves ~40% of the scalar-kernel
+    HBM traffic).  args = [cc_0..cc_{S-1}, rk, ta_0..ta_{S-1}, uc, vc,
+    wc, wp, (am, ac, ap) x S, em, ec, ep, outs...]; per-scalar column
+    tables ride in the cc SMEM refs."""
+    S = len(sviscs)
+    cc_refs = args[:S]
+    rk_ref = args[S]
+    args = args[S + 1:]
+    tas = args[:S]
+    uc, vc, wc, wp = args[S:S + 4]
+    ablks = args[S + 4:S + 4 + 3 * S]
+    em, ec, ep = args[S + 4 + 3 * S:S + 7 + 3 * S]
+    outs = args[S + 7 + 3 * S:]
+    for si in range(S):
+        am, ac, ap = ablks[3 * si:3 * si + 3]
+        cc_ref = cc_refs[si]
+        tt = tas[si][0] + _scalar_math(
+            tPr, dxi, dyi, sviscs[si], cc_ref,
+            uc[0], vc[0], wc[0], wp[0], am[0], ac[0], ap[0],
+            em[0], ec[0], ep[0], advec=advec)
+        if fold_add:
+            tt = tt + _scalar_cols(cc_ref, am[0], ac[0], ap[0])
+        outs[si][0] = ac[0] + rk_ref[0] * tt
+        if carry:
+            outs[S + si][0] = rk_ref[1] * tt
+
+
 def _tend_uv_body(tPr, dxi, dyi, visc, extras, cc_ref,
                   tu, tv, um, uc, up, vm, vc, vp, wc, wp, em, ec, ep,
-                  ut_ref, vt_ref, fold_add=False):
+                  ut_ref, vt_ref, fold_add=False, advec=True):
     """uv tendencies ACCUMULATED onto the aliased carried-tendency blocks
     (tu/tv alias ut_ref/vt_ref, so the XLA-side pad+add pass disappears)."""
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       um[0], uc[0], up[0], vm[0], vc[0], vp[0],
-                      wc[0], wp[0], em[0], ec[0], ep[0])
+                      wc[0], wp[0], em[0], ec[0], ep[0], advec=advec)
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
                        cc_ref, uc[0], vc[0], ut, vt, fold_add=fold_add,
@@ -494,7 +534,7 @@ def _tend_wth_body(tPr, dxi, dyi, visc, svisc, has_thermo, extras, cc_ref,
 
 
 def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, first, cc_ref,
-                     rk_ref, *args, fold_add=False):
+                     rk_ref, *args, fold_add=False, advec=True):
     """uv tendencies with the low-storage RK update FOLDED IN: besides the
     scaled carried tendency (cA_next * t_total, aliased on tu/tv) the
     kernel writes the pre-projection state s* = s + cB*dt*t_total — the
@@ -512,7 +552,7 @@ def _tend_uv_rk_body(tPr, dxi, dyi, visc, extras, carry, first, cc_ref,
         outs = args[13:]
     ut, vt = _uv_math(tPr, dxi, dyi, visc, cc_ref,
                       um[0], uc[0], up[0], vm[0], vc[0], vp[0],
-                      wc[0], wp[0], em[0], ec[0], ep[0])
+                      wc[0], wp[0], em[0], ec[0], ep[0], advec=advec)
     fold_buffer, fold_coriolis, fc, utrans, vtrans = extras
     ut, vt = _extra_uv(fold_buffer, fold_coriolis, fc, utrans, vtrans,
                        cc_ref, uc[0], vc[0], ut, vt, fold_add=fold_add,
@@ -1208,6 +1248,8 @@ class FusedLES2:
 
     sharded_mesh = None  # set by Model for the shard_map-wrapped variant
     generic = False      # per-field kernels + XLA thermo (any scalar list)
+    no_advec = False     # 2i*-scheme mode: advection is an upstream XLA
+                         # op; the kernels carry diffusion + folds only
 
     def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
                  tiled=False, tj=64, buffer=None, force=None,
@@ -1500,7 +1542,8 @@ class FusedLES2:
         body_uv = functools.partial(_tend_uv_body, self.smag.tPr,
                                     float(ctx.dxi), float(ctx.dyi),
                                     self.smag.visc, self._extras(),
-                                    fold_add=fold_add)
+                                    fold_add=fold_add,
+                                    advec=not self.no_advec)
         specs_uv = ([cc_spec] + [t_spec] * 2
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
                     + self._field_specs((-1, 0, 1), ks, ke, "c")
@@ -1522,7 +1565,7 @@ class FusedLES2:
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_w_body, float(ctx.dxi), float(ctx.dyi),
-                                 self.smag.visc)
+                                 self.smag.visc, advec=not self.no_advec)
         specs = ([cc_spec] + [t_spec]
                  + self._field_specs((-1, 0), ks, ke, "c")
                  + self._field_specs((-1, 0), ks, ke, "c")
@@ -1545,7 +1588,8 @@ class FusedLES2:
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         body = functools.partial(_scalar_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
-                                 float(svisc), fold_add)
+                                 float(svisc), fold_add,
+                                 advec=not self.no_advec)
         specs = ([cc_spec] + [t_spec]
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0,), ks, ke, "c")
@@ -1579,7 +1623,8 @@ class FusedLES2:
         body = functools.partial(_tend_uv_rk_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
                                  self.smag.visc, self._extras(),
-                                 carry, False, fold_add=fold_add)
+                                 carry, False, fold_add=fold_add,
+                                 advec=not self.no_advec)
         specs = ([cc_spec, cc_spec] + [t_spec] * 2
                  + self._field_specs((-1, 0, 1), ks, ke, "c")
                  + self._field_specs((-1, 0, 1), ks, ke, "c")
@@ -1604,7 +1649,8 @@ class FusedLES2:
         t_spec, t_shape = self._t_spec_shape(u.dtype)
         nout = 2 if carry else 1
         body = functools.partial(_w_rk_body, float(ctx.dxi), float(ctx.dyi),
-                                 self.smag.visc, carry)
+                                 self.smag.visc, carry,
+                                 advec=not self.no_advec)
         specs = ([cc_spec, cc_spec] + [t_spec]
                  + self._field_specs((-1, 0), ks, ke, "c")
                  + self._field_specs((-1, 0), ks, ke, "c")
@@ -1629,7 +1675,8 @@ class FusedLES2:
         nout = 2 if carry else 1
         body = functools.partial(_scalar_rk_body, self.smag.tPr,
                                  float(ctx.dxi), float(ctx.dyi),
-                                 float(svisc), carry, fold_add)
+                                 float(svisc), carry, fold_add,
+                                 advec=not self.no_advec)
         specs = ([cc_spec, cc_spec] + [t_spec]
                  + self._field_specs((0,), ks, ke, "c")
                  + self._field_specs((0,), ks, ke, "c")
@@ -1643,6 +1690,47 @@ class FusedLES2:
             interpret=self.interpret,
         )(cc, rk, ta, u, v, w, w, a, a, a,
           evisc_full, evisc_full, evisc_full)
+
+    def tend_scalars_rk(self, names, s, u, v, w, evisc_full, sviscs, t,
+                        cbdt, can, carry=True, cc_in=None, fold_add=False):
+        """Merged multi-scalar RK pass (see _scalars_rk_body): returns
+        ({name: a*}, {name: carry}).  cc_in: {name: (kt, N_CONST) table}
+        when the column fold is on."""
+        ctx = self.ctx
+        ks, ke, kt = ctx.ks, ctx.ke, ctx.ktot
+        S = len(names)
+        base = jnp.asarray(self.cc_tend, dtype=u.dtype)
+        ccs = [cc_in[n] if cc_in is not None else base for n in names]
+        rk = self._rk_smem(cbdt, can, u.dtype)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        t_spec, t_shape = self._t_spec_shape(u.dtype)
+        nout = 2 * S if carry else S
+        body = functools.partial(_scalars_rk_body, self.smag.tPr,
+                                 float(ctx.dxi), float(ctx.dyi),
+                                 tuple(float(v_) for v_ in sviscs),
+                                 carry, fold_add, not self.no_advec)
+        specs = ([cc_spec] * S + [cc_spec] + [t_spec] * S
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0,), ks, ke, "c")
+                 + self._field_specs((0, 1), ks, ke, "w"))
+        for _ in range(S):
+            specs += self._field_specs((-1, 0, 1), ks, ke, "c")
+        specs += self._field_specs((-1, 0, 1), ks, ke, "e")
+        # aliases: ta_i (operand S+1+i) -> carry output S+i
+        aliases = ({S + 1 + i: S + i for i in range(S)} if carry else {})
+        ops_ = (ccs + [rk] + [t[n] for n in names] + [u, v, w, w])
+        for n in names:
+            ops_ += [s[n], s[n], s[n]]
+        ops_ += [evisc_full, evisc_full, evisc_full]
+        outs = _pallas_call(
+            body, grid=(kt,), in_specs=specs,
+            out_specs=[t_spec] * nout, out_shape=[t_shape] * nout,
+            input_output_aliases=aliases,
+            interpret=self.interpret,
+        )(*ops_)
+        s_star = {n: outs[i] for i, n in enumerate(names)}
+        t_c = {n: outs[S + i] for i, n in enumerate(names)} if carry else {}
+        return s_star, t_c
 
     def tendencies(self, u, v, w, th, evisc_full, t_in=None):
         """Tendencies.  t_in: carried-tendency dict for the aliased
@@ -2882,6 +2970,80 @@ def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
 
     cc_uvw, cc_s = cols if cols is not None else (None, {})
     fold_add = cols is not None
+    if fused.sharded_mesh is not None:
+        # Per-shard RK-folded kernels on halo-padded planes (the round-4
+        # mesh gate at model.py use_rkfold_generic is gone): ONE shard_map
+        # region runs uv + w + the merged scalar pass, so the shared
+        # (u, v, w, evisc) shards are halo-exchanged once.  The traced
+        # column tables ride through as replicated scalars.
+        from ..parallel.halo import sharded_planes_call
+        names = list(ctx.scalar_names)
+        S = len(names)
+        sviscs = [smag.viscs.get(n, smag.visc) for n in names]
+        arrays = [u, v, w, evisc, t["u"], t["v"], t["w"]]
+        for n in names:
+            arrays += [s[n], t[n]]
+        scal = [jnp.asarray(cbdt, u.dtype)]
+        if fold_add:
+            scal += [cc_uvw] + [cc_s[n] for n in names]
+        n_out = (6 + 2 * S) if carry else (3 + S)
+
+        def call(uu, vv, ww, ee, tu, tv, tw, *rest):
+            sa = {n: rest[2 * i] for i, n in enumerate(names)}
+            ta = {n: rest[2 * i + 1] for i, n in enumerate(names)}
+            rest = rest[2 * S:]
+            cbdt_l = rest[0]
+            cuv = rest[1] if fold_add else None
+            csl = ({n: rest[2 + i] for i, n in enumerate(names)}
+                   if fold_add else None)
+            o_uv = fused.tend_uv_rk(uu, vv, ww, ee, tu, tv, cbdt_l, can,
+                                    carry=carry, cc_in=cuv,
+                                    fold_add=fold_add)
+            o_w = fused.tend_w_rk(uu, vv, ww, ee, tw, cbdt_l, can,
+                                  carry=carry, cc_in=cuv)
+            if S > 1:
+                ss_l, tc_l = fused.tend_scalars_rk(
+                    names, sa, uu, vv, ww, ee, sviscs, ta, cbdt_l, can,
+                    carry=carry, cc_in=csl, fold_add=fold_add)
+            else:
+                ss_l, tc_l = {}, {}
+                for i, n in enumerate(names):
+                    o = fused.tend_scalar_rk(
+                        sa[n], uu, vv, ww, ee, sviscs[i], ta[n], cbdt_l,
+                        can, carry=carry,
+                        cc_in=(csl[n] if fold_add else None),
+                        fold_add=fold_add)
+                    ss_l[n] = o[0]
+                    if carry:
+                        tc_l[n] = o[1]
+            outs = [o_uv[0], o_uv[1], o_w[0]] + [ss_l[n] for n in names]
+            if carry:
+                outs += [o_uv[2], o_uv[3], o_w[1]] + [tc_l[n] for n in names]
+            return tuple(outs)
+
+        outs = sharded_planes_call(fused.sharded_mesh, call, n_out,
+                                   *arrays, scalars=tuple(scal))
+        s_star = {"u": outs[0], "v": outs[1], "w": outs[2]}
+        s_star.update({n: outs[3 + i] for i, n in enumerate(names)})
+        t_c = {}
+        if carry:
+            off = 3 + S
+            t_c = {"u": outs[off], "v": outs[off + 1], "w": outs[off + 2]}
+            t_c.update({n: outs[off + 3 + i] for i, n in enumerate(names)})
+        s_star["w"] = s_star["w"].at[ke].set(0.)
+        if smag.surface:
+            cb = jnp.asarray(cbdt, dtype=u.dtype)
+            cv = jnp.asarray(can, dtype=u.dtype)
+            for name, rows in _generic_wall_deltas(fused, ctx, s, aux,
+                                                   sfc).items():
+                for ka, delta in rows:
+                    s_star[name] = s_star[name].at[ka].add(cb * delta)
+                    if carry:
+                        t_c[name] = t_c[name].at[ka].add(cv * delta)
+        if not carry:
+            t_c = {n: jnp.zeros_like(v_) for n, v_ in s_star.items()}
+        return s_star, t_c
+
     outs_uv = fused.tend_uv_rk(u, v, w, evisc, t["u"], t["v"], cbdt, can,
                                carry=carry, cc_in=cc_uvw, fold_add=fold_add)
     outs_w = fused.tend_w_rk(u, v, w, evisc, t["w"], cbdt, can, carry=carry,
@@ -2890,14 +3052,25 @@ def fused_generic_tendencies_rk(fused, ctx, s, t, aux, sfc, cbdt, can,
     t_c = {}
     if carry:
         t_c = {"u": outs_uv[2], "v": outs_uv[3], "w": outs_w[1]}
-    for name in ctx.scalar_names:
-        outs = fused.tend_scalar_rk(s[name], u, v, w, evisc,
-                                    smag.viscs.get(name, smag.visc),
-                                    t[name], cbdt, can, carry=carry,
-                                    cc_in=cc_s.get(name), fold_add=fold_add)
-        s_star[name] = outs[0]
-        if carry:
-            t_c[name] = outs[1]
+    names = list(ctx.scalar_names)
+    if len(names) > 1 and os.environ.get("MICROHH_SCMERGE", "1") == "1":
+        # merged multi-scalar pass: u/v/w/evisc read once for all scalars
+        sviscs = [smag.viscs.get(n, smag.visc) for n in names]
+        ss, tc = fused.tend_scalars_rk(
+            names, s, u, v, w, evisc, sviscs, t, cbdt, can, carry=carry,
+            cc_in=(cc_s if fold_add else None), fold_add=fold_add)
+        s_star.update(ss)
+        t_c.update(tc)
+    else:
+        for name in names:
+            outs = fused.tend_scalar_rk(s[name], u, v, w, evisc,
+                                        smag.viscs.get(name, smag.visc),
+                                        t[name], cbdt, can, carry=carry,
+                                        cc_in=cc_s.get(name),
+                                        fold_add=fold_add)
+            s_star[name] = outs[0]
+            if carry:
+                t_c[name] = outs[1]
 
     # w* top wall: the kernel grid never writes plane ke
     s_star["w"] = s_star["w"].at[ke].set(0.)

@@ -298,7 +298,7 @@ class RadiationRrtmgp:
         col_dry, cols = col_amounts(p, pl, qv, extra)
         return p, T, col_dry, cols
 
-    def _lw_table_flux(self, ctx, T, lwp, t_sfc, thermo, s):
+    def _lw_table_flux(self, ctx, T, lwp, t_sfc, thermo, s, clear=False):
         """LW fluxes with RRTMGP gas optics: lax.scan over g-points, each
         with interpolated tau + Planck sources; gray cloud optical depth
         rides on every g-point.  Reference: radiation_rrtmgp.cxx
@@ -316,8 +316,10 @@ class RadiationRrtmgp:
         idxb = kd.interp_indices(pb, Tb)
         order = jnp.argsort(pb)   # low p (space) first
 
-        # cloud optics: banded LUT when tables are present, gray fallback
-        if self.cloud_lw is not None:
+        # cloud optics: banded LUT when tables are present, gray fallback.
+        # ``clear`` zeroes the condensate paths on BOTH branches
+        # (swclearskystats; the gray branch gets it via the zeroed lwp).
+        if self.cloud_lw is not None and not clear:
             clwp_g, ciwp_g, rel, rei = self._cloud_fields(ctx, s, thermo)
             tau_c, taussa_c, _ = self.cloud_lw.cloud_optics(
                 clwp_g, ciwp_g, rel, rei, dtype=tlay.dtype)
@@ -358,7 +360,7 @@ class RadiationRrtmgp:
                                    jnp.arange(kd.n_gpt))
         return up, dn
 
-    def _sw_table_flux(self, ctx, T, lwp, mu0, thermo, s):
+    def _sw_table_flux(self, ctx, T, lwp, mu0, thermo, s, clear=False):
         """SW fluxes with RRTMGP gas optics + per-g-point solar source."""
         kd = self.kdist_sw
         play, tlay, col_dry, cols = self._column_inputs(ctx, T, s, thermo)
@@ -369,7 +371,7 @@ class RadiationRrtmgp:
         pb, Tb, cdb, colsb = self._bg_inputs(tlay.dtype)
         idxb = kd.interp_indices(pb, Tb)
 
-        if self.cloud_sw is not None:
+        if self.cloud_sw is not None and not clear:
             clwp_g, ciwp_g, rel, rei = self._cloud_fields(ctx, s, thermo)
             tau_c_b, taussa_c_b, taussag_c_b = self.cloud_sw.cloud_optics(
                 clwp_g, ciwp_g, rel, rei, dtype=tlay.dtype)
@@ -708,7 +710,7 @@ class RadiationRrtmgp:
         if self.sw_longwave:
             if self.kdist_lw is not None:
                 lw_up, lw_dn = self._lw_table_flux(ctx, T, lwp, t_sfc,
-                                                   thermo, s)
+                                                   thermo, s, clear=clear)
             else:
                 lw_up, lw_dn = self._longwave(ctx, T, wv_path, dry_path,
                                               lwp, t_sfc, self._bg_lw())
@@ -719,7 +721,8 @@ class RadiationRrtmgp:
             day = mu0 > 0.
             if self.kdist_sw is not None:
                 sw_up, sw_dn, sw_dir = self._sw_table_flux(
-                    ctx, T, lwp, jnp.asarray(mu0, ctx.dtype), thermo, s)
+                    ctx, T, lwp, jnp.asarray(mu0, ctx.dtype), thermo, s,
+                    clear=clear)
             else:
                 toa = (1365.0 * self.tsi_scaling * jnp.maximum(mu0, 0.)
                        * self._bg_sw_trans())

@@ -41,10 +41,49 @@ KB = 1.380649e-23
 
 GASES = ["h2o", "co2", "o3"]
 N_TEMP, N_PRESS, N_ETA = 6, 12, 3
+N_GPT_BAND = 2                           # g-points per band
+N_SUB = 1                                # band-splitting factor (--full)
 TEMP_REF = np.linspace(160., 340., N_TEMP)
 PRESS_REF = np.geomspace(1.09e5, 1., N_PRESS)
 PRESS_TROP = 9948.5                      # the rte-rrtmgp value [Pa]
 N_PLANCK_T = 196                         # 160..355 K, 1 K steps
+
+
+def configure(full=False):
+    """--full: realistic rte-rrtmgp SIZES — 16 LW bands x 16 g-points =
+    256 LW gpt / 14 SW bands x 16 = 224 SW gpt on the real (ntemp=14,
+    npress=59, neta=9) interpolation grid.  The k values stay synthetic-
+    physical (per band a geometric k ladder between the strong and weak
+    cross sections — the k-distribution idea); the point of the full set
+    is measuring the production radiation COST at the true spectral
+    width (round-5 item 6)."""
+    global N_TEMP, N_PRESS, N_ETA, N_GPT_BAND, N_SUB, TEMP_REF, PRESS_REF
+    if full:
+        N_TEMP, N_PRESS, N_ETA = 14, 59, 9
+        N_GPT_BAND = 16
+        N_SUB = 4                        # 4 LW band groups x 4 = 16 bands
+    else:
+        N_TEMP, N_PRESS, N_ETA = 6, 12, 3
+        N_GPT_BAND = 2
+        N_SUB = 1
+    TEMP_REF = np.linspace(160., 340., N_TEMP)
+    PRESS_REF = np.geomspace(1.09e5, 1., N_PRESS)
+
+
+def _split_bands(bands, wavenum, keys, nsub):
+    """Subdivide each physical band into ``nsub`` sub-bands (wavenumber
+    split; k jittered by a smooth factor so sub-bands differ)."""
+    if nsub == 1:
+        return bands, wavenum, keys
+    out_b, out_w, out_k = [], [], []
+    for (kA_s, kA_w, kB), (n1, n2), key in zip(bands, wavenum, keys):
+        edges = np.linspace(n1, n2, nsub + 1)
+        for si in range(nsub):
+            f = 10. ** (0.4 * np.cos(2.1 * si + 0.7))   # deterministic jitter
+            out_b.append((kA_s * f, kA_w * f, kB * f))
+            out_w.append((edges[si], edges[si + 1]))
+            out_k.append(key)
+    return out_b, out_w, out_k
 
 
 def planck_band_integral(nu1, nu2, T):
@@ -65,12 +104,23 @@ def _char_array(names, maxlen=32):
     return out
 
 
+def _band_ks(kA_s, kA_w):
+    """Per-band g-point cross sections: a geometric ladder from strong to
+    weak (the k-distribution sorting) — reduces to (strong, weak) at
+    N_GPT_BAND = 2."""
+    n = N_GPT_BAND
+    if n == 1:
+        return np.array([kA_s])
+    r = (kA_w / kA_s) ** (1. / (n - 1))
+    return kA_s * r ** np.arange(n)
+
+
 def _kmajor(bands, pressure_exp=0.8):
-    """kmajor[t, p+1, eta, g]: per band a (key-A, key-B) cross-section
-    pair, linear in eta (so tau ~= kA*colA + kB*colB), with a
+    """kmajor[t, p+1, eta, g]: per band an N_GPT_BAND cross-section
+    ladder, linear in eta (so tau ~= kA*colA + kB*colB), with a
     pressure-broadening profile and a mild temperature dependence.
     ``bands``: list of (kA_strong, kA_weak, kB) in cm2/molec."""
-    n_gpt = 2 * len(bands)
+    n_gpt = N_GPT_BAND * len(bands)
     km = np.zeros((N_TEMP, N_PRESS + 1, N_ETA, n_gpt))
     # pressure grid of the table: N_PRESS+1 entries (lower then upper)
     p_tab = np.concatenate([PRESS_REF, [PRESS_REF[-1] * 0.5]])
@@ -78,8 +128,8 @@ def _kmajor(bands, pressure_exp=0.8):
     tfac = (TEMP_REF / 250.) ** -0.5
     eta = np.linspace(0., 1., N_ETA)
     for b, (kA_s, kA_w, kB) in enumerate(bands):
-        for gi, kA in enumerate((kA_s, kA_w)):
-            g = 2 * b + gi
+        for gi, kA in enumerate(_band_ks(kA_s, kA_w)):
+            g = N_GPT_BAND * b + gi
             k_eta = kA * eta + kB * (1. - eta)          # (N_ETA,)
             km[:, :, :, g] = (tfac[:, None, None] * pfac[None, :, None]
                               * k_eta[None, None, :])
@@ -88,15 +138,16 @@ def _kmajor(bands, pressure_exp=0.8):
 
 def _common_vars(bands_key, kmaj):
     n_bnd = len(bands_key)
-    n_gpt = 2 * n_bnd
+    ng = N_GPT_BAND
     gidx = {g: i + 1 for i, g in enumerate(GASES)}      # 1-based
     key_species = np.zeros((n_bnd, 2, 2), dtype=np.int32)
     for b, (gA, gB) in enumerate(bands_key):
         pair = (gidx[gA], gidx[gB] if gB else 0)
         key_species[b, 0] = pair
         key_species[b, 1] = pair
-    bnd_limits = np.stack([np.arange(n_bnd) * 2 + 1,
-                           np.arange(n_bnd) * 2 + 2], axis=1).astype(np.int32)
+    bnd_limits = np.stack([np.arange(n_bnd) * ng + 1,
+                           np.arange(n_bnd) * ng + ng],
+                          axis=1).astype(np.int32)
     # vmr_ref all ones -> eta is the raw column fraction of key gas A
     vmr_ref = np.ones((N_TEMP, len(GASES) + 1, 2))
     return {
@@ -143,6 +194,7 @@ def make_lw():
     ]
     wavenum = [(10., 500.), (500., 800.), (800., 1200.), (1200., 2600.)]
     keys = [("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2"), ("h2o", "co2")]
+    bands, wavenum, keys = _split_bands(bands, wavenum, keys, N_SUB)
     # band 2 is CO2-dominated: swap strong/weak onto the B side
     v = _common_vars(keys, _kmajor(bands))
     T = 160. + np.arange(N_PLANCK_T)
@@ -151,10 +203,14 @@ def make_lw():
         for i, t in enumerate(T):
             totplnk[i, b] = planck_band_integral(n1, n2, t)
     v["totplnk"] = totplnk.T                            # file: (bnd, nT)
-    # strong/weak pair shares the band Planck energy equally
+    # the band g-points share the band Planck energy equally
     v["plank_fraction"] = np.full((N_TEMP, N_PRESS + 1, N_ETA,
-                                   2 * len(bands)), 0.5)
-    v.update(_minor_o3_window(5, 6))                    # window band g-points
+                                   N_GPT_BAND * len(bands)),
+                                  1. / N_GPT_BAND)
+    # O3 minor gas over the window band's g-points (band group 3)
+    wb = 2 * N_SUB                                      # first window band
+    v.update(_minor_o3_window(wb * N_GPT_BAND + 1,
+                              (wb + N_SUB) * N_GPT_BAND))
     return v
 
 
@@ -164,19 +220,39 @@ def make_sw():
         (6.0e-24, 4.0e-25, 1.0e-27),    # 8000-14500: H2O weak near-IR
         (2.0e-22, 6.0e-24, 1.0e-27),    # 2600-8000: H2O strong near-IR
     ]
+    wavenum = [(14500., 50000.), (8000., 14500.), (2600., 8000.)]
     keys = [("h2o", "o3"), ("h2o", "co2"), ("h2o", "co2")]
+    fracs = [0.53, 0.31, 0.16]
+    if N_SUB > 1:
+        # 14 SW bands: UV/vis split 6-ways, the two near-IR bands 4-ways
+        b2, w2, k2, f2 = [], [], [], []
+        for (bnd, wv, key, fr, ns) in zip(bands, wavenum, keys, fracs,
+                                          (6, 4, 4)):
+            bb, ww, kk = _split_bands([bnd], [wv], [key], ns)
+            b2 += bb
+            w2 += ww
+            k2 += kk
+            f2 += [fr / ns] * ns
+        bands, wavenum, keys, fracs = b2, w2, k2, f2
     v = _common_vars(keys, _kmajor(bands, pressure_exp=0.3))
-    # solar constant split: vis 53%, 8000-14500 31%, 2600-8000 16%
-    frac = np.array([0.53, 0.31, 0.16])
-    src = np.zeros(6)
-    for b in range(3):
-        src[2 * b] = 0.6 * 1361. * frac[b]
-        src[2 * b + 1] = 0.4 * 1361. * frac[b]
+    # solar constant split across bands; within a band a strong->weak
+    # ladder of per-g-point weights
+    ng = N_GPT_BAND
+    wts = np.linspace(1.5, 0.5, ng)
+    wts /= wts.sum()
+    src = np.zeros(ng * len(bands))
+    for b, fr in enumerate(fracs):
+        src[ng * b:ng * (b + 1)] = 1361. * fr * wts
     v["solar_source"] = src
     # Rayleigh cross sections (cm2/molec): nu^4 scaling across the bands
-    rayl = np.zeros((N_TEMP, N_ETA, 6))
-    for b, k_r in enumerate((2.4e-26, 6.0e-28, 3.0e-29)):
-        rayl[:, :, 2 * b:2 * b + 2] = k_r
+    rayl = np.zeros((N_TEMP, N_ETA, ng * len(bands)))
+    if N_SUB == 1:
+        for b, k_r in enumerate((2.4e-26, 6.0e-28, 3.0e-29)):
+            rayl[:, :, ng * b:ng * (b + 1)] = k_r
+    else:
+        for b, (n1, n2) in enumerate(wavenum):
+            rayl[:, :, ng * b:ng * (b + 1)] = \
+                2.4e-26 * ((0.5 * (n1 + n2)) / 32000.) ** 4
     v["rayl_lower"] = rayl
     v["rayl_upper"] = rayl
     return v

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/moser180_val")
     ap.add_argument("--rtol", type=float, default=0.5,
                     help="relative tolerance on peak magnitudes")
+    ap.add_argument("--retau-tol", type=float, default=0.10,
+                    help="relative tolerance on Re_tau (armed with the "
+                         "envelope checks, endtime >= 3600)")
     ap.add_argument("--precision", default="double")
     ap.add_argument("--analyze-only", action="store_true",
                     help="skip the simulation; analyze an existing "
@@ -158,6 +161,10 @@ def main():
     # the flow is still transitional (Re_tau ~ 235, peak at y+ ~ 465).
     rt = args.rtol
     if args.endtime >= 3600.:
+        # developed-flow friction Reynolds number (Moser et al: 178.12;
+        # the case drives Re_tau = 180 through its fixed uflux)
+        check("Re_tau", utau * 1.0 / visc,
+              180. * (1. - args.retau_tol), 180. * (1. + args.retau_tol))
         shear_f = fold(tke_shear)
         diss_f = fold(tke_diss)
         shear_peak = shear_f.max() / norm

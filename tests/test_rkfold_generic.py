@@ -111,10 +111,10 @@ def _make_input(wd, ktot=24, zsize=2400.):
     f.close()
 
 
-def _one_step(wd, rkfold, seed=5):
+def _one_step(wd, rkfold, seed=5, ini=None):
     os.environ["MICROHH_RKFOLD"] = rkfold
     try:
-        m = Model(Ini(INI), "run", "rkg", workdir=wd)
+        m = Model(Ini(ini or INI), "run", "rkg", workdir=wd)
         m.force_fused = True
         m.finish_setup()
         m.build_step()
@@ -153,6 +153,22 @@ def test_generic_rkfold_matches_pipeline(tmp_path):
         scale = max(np.abs(ref[name]).max(), 1e-30)
         err = np.abs(got[name] - ref[name]).max() / scale
         # additive-op reordering reassociates f64 sums -> roundoff-level
+        assert err < 1e-11, (name, err)
+
+
+def test_generic_rkfold_2i5_advec(tmp_path):
+    """2i* schemes ride the fold too: advection runs as an upstream XLA
+    op while the kernels carry diffusion + the column folds + the RK
+    update (fused.no_advec) — must match the separate-op pipeline."""
+    wd = str(tmp_path)
+    _make_input(wd)
+    ini = INI.replace("swadvec=2\n", "swadvec=2i5\n")
+    m1, ref = _one_step(wd, "0", ini=ini)
+    m2, got = _one_step(wd, "1", ini=ini)
+    assert m2._fused is not None and m2._fused.no_advec
+    for name in ref:
+        scale = max(np.abs(ref[name]).max(), 1e-30)
+        err = np.abs(got[name] - ref[name]).max() / scale
         assert err < 1e-11, (name, err)
 
 

@@ -21,6 +21,52 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "python"))
 
 
+def build_case_model(itot=None, ktot=24, coeff_dir=None, wd=None):
+    """Case model on the spectral path; ``coeff_dir``: an existing
+    directory holding the four coefficient NetCDFs (e.g. the full-width
+    set) to use instead of generating the reduced defaults."""
+    import shutil
+    import tempfile
+    from microhh_tpu.utils import nc
+    wd = wd or tempfile.mkdtemp(prefix="rrtmgp_case_")
+    if coeff_dir is None:
+        import make_rrtmgp_coefficients
+        make_rrtmgp_coefficients.main(wd)
+    else:
+        for name in ("coefficients_lw.nc", "coefficients_sw.nc",
+                     "cloud_coefficients_lw.nc", "cloud_coefficients_sw.nc"):
+            shutil.copy(os.path.join(coeff_dir, name), wd)
+    _write_input(wd, ktot)
+    import re
+    ini = re.sub(r"(?m)^ktot=.*$", "ktot=%d" % ktot, INI)
+    if itot is not None:
+        ini = re.sub(r"(?m)^itot=.*$", "itot=%d" % itot, ini)
+        ini = re.sub(r"(?m)^jtot=.*$", "jtot=%d" % itot, ini)
+    m = Model(Ini(ini), "run", "rad", workdir=wd)
+    m.finish_setup()
+    return m
+
+
+def _write_input(wd, ktot):
+    from microhh_tpu.utils import nc
+    z = np.linspace(50., 2350., ktot)
+    f = nc.Dataset(os.path.join(wd, "rad_input.nc"), "w")
+    f.createDimension("z", ktot)
+    f.createVariable("z", "f8", ("z",))[:] = z
+    g = f.createGroup("init")
+    g.createVariable("thl", "f8", ("z",))[:] = 290. + 0.004 * z
+    g.createVariable("qt", "f8", ("z",))[:] = 0.009 - 3e-6 * z
+    g.createVariable("u", "f8", ("z",))[:] = np.full(ktot, 3.)
+    g.createVariable("v", "f8", ("z",))[:] = np.zeros(ktot)
+    r = f.createGroup("radiation")
+    nbg = 10
+    r.createDimension("lay", nbg)
+    r.createVariable("p_lay", "f8", ("lay",))[:] = np.geomspace(7.0e4, 1.0e3, nbg)
+    r.createVariable("t_lay", "f8", ("lay",))[:] = np.linspace(265., 220., nbg)
+    r.createVariable("h2o", "f8", ("lay",))[:] = np.geomspace(3e-3, 3e-6, nbg)
+    f.close()
+
+
 @pytest.fixture(scope="module")
 def model(tmp_path_factory):
     import make_rrtmgp_coefficients
