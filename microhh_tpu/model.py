@@ -876,6 +876,17 @@ class Model:
                           interpret=interpret, force=fold_force)
         fused.generic = True
         fused.sharded_mesh = mesh
+        # moist/vapor N2 is a pure thl vertical gradient against thvref
+        # (thermo_moist.get_n2): fold it INTO the evisc kernel, killing
+        # the XLA get_n2 pass and its HBM intermediate.  Buoy's +n2
+        # background offset keeps the evisc_n2 path.
+        from .ops.pallas_fused import C_THREFH
+        from .ops.thermo_moist import ThermoMoist
+        if isinstance(self.thermo, ThermoMoist):
+            ks, ke = ctx.ks, ctx.ke
+            fused.cc_evisc[:, C_THREFH] = np.asarray(
+                self.thermo.thvref)[ks:ke]
+            fused.n2_scalar = "thl"
         return fused
 
     # ------------------------------------------------------------------

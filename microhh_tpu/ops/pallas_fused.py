@@ -1250,6 +1250,10 @@ class FusedLES2:
     generic = False      # per-field kernels + XLA thermo (any scalar list)
     no_advec = False     # 2i*-scheme mode: advection is an upstream XLA
                          # op; the kernels carry diffusion + folds only
+    n2_scalar = None     # generic-mode in-kernel N2: the scalar whose
+                         # vertical gradient gives N2 with C_THREFH as
+                         # the reference profile (moist/vapor thl; saves
+                         # the XLA get_n2 pass + its HBM intermediate)
 
     def __init__(self, ctx, smag, thermo, has_thermo, interpret=False,
                  tiled=False, tj=64, buffer=None, force=None,
@@ -1408,9 +1412,11 @@ class FusedLES2:
         return os.environ.get("MICROHH_STREAM", "0") == "1"
 
     # -- public entry points ------------------------------------------------
-    def evisc(self, u, v, w, th):
+    def evisc(self, u, v, w, th, stratified=None):
         ctx = self.ctx
         ks, kt = ctx.ks, ctx.ktot
+        if stratified is None:
+            stratified = self.has_thermo
         cc = jnp.asarray(self.cc_evisc, dtype=u.dtype)
         th_in = th if th is not None else u
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1418,13 +1424,13 @@ class FusedLES2:
         if not self.tiled and self._use_stream() and not self.fold_ghosts:
             math_fn = functools.partial(_evisc_stream_math, self.smag.tPr,
                                         float(ctx.dxi), float(ctx.dyi),
-                                        self.has_thermo)
+                                        stratified)
             return self._stream_call(math_fn, cc, (u, v, w, th_in), 1)[0]
         if not self.tiled:
             ke = ctx.ke
             body = functools.partial(_evisc_body, self.smag.tPr,
                                      float(ctx.dxi), float(ctx.dyi),
-                                     self.has_thermo)
+                                     stratified)
             in_specs = ([cc_spec]
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
                         + self._field_specs((-1, 0, 1), ks, ke, "c")
@@ -2710,9 +2716,18 @@ def fused_generic_viscosity(fused, ctx, s, sfc, aux, thermo):
     u, v, w = s["u"], s["v"], s["w"]
     ks, ke = ctx.ks, ctx.ke
     stratified = thermo is not None and getattr(thermo, "scalars", ())
+    n2s = fused.n2_scalar
     if fused.sharded_mesh is not None:
         from ..parallel.halo import sharded_planes_call
-        if stratified:
+        if n2s is not None:
+            # in-kernel N2 from the scalar's vertical gradient (vertical
+            # is shard-local; C_THREFH holds thvref)
+            ev = sharded_planes_call(
+                fused.sharded_mesh,
+                lambda uu, vv, ww, aa: fused.evisc(uu, vv, ww, aa,
+                                                   stratified=True),
+                1, u, v, w, s[n2s])[0]
+        elif stratified:
             n2 = thermo.get_n2(ctx, s)  # global XLA (rolls -> collectives)
             ev = sharded_planes_call(
                 fused.sharded_mesh,
@@ -2723,6 +2738,8 @@ def fused_generic_viscosity(fused, ctx, s, sfc, aux, thermo):
                 fused.sharded_mesh,
                 lambda uu, vv, ww: fused.evisc(uu, vv, ww, None),
                 1, u, v, w)[0]
+    elif n2s is not None:
+        ev = fused.evisc(u, v, w, s[n2s], stratified=True)
     elif stratified:
         n2 = thermo.get_n2(ctx, s)
         ev = fused.evisc_n2(u, v, w, n2)

@@ -164,11 +164,15 @@ def _common_vars(bands_key, kmaj):
 
 def _minor_o3_window(n_gpt_window_lo, n_gpt_window_hi):
     """O3 9.6 um as a minor gas over the window band's g-points (both
-    atmospheres), density-scaled like the real minor machinery."""
+    atmospheres), density-scaled like the real minor machinery.  The
+    kminor contributor table's last axis must span the WHOLE interval
+    (one column per g-point in [lo, hi] — rte-rrtmgp layout; an
+    undersized table turns the per-g-point slot gathers out-of-bounds)."""
     k_o3 = 4.0e-21                                      # cm2/molec, strong
-    km = np.zeros((N_TEMP, N_ETA, 2))
-    km[:, :, 0] = k_o3
-    km[:, :, 1] = k_o3 * 0.2
+    n_int = n_gpt_window_hi - n_gpt_window_lo + 1
+    km = np.zeros((N_TEMP, N_ETA, n_int))
+    # strong -> weak geometric ladder; reduces to (k, 0.2 k) at n_int = 2
+    km[:, :, :] = k_o3 * 0.2 ** (np.arange(n_int) / max(n_int - 1, 1))
     v = {}
     for atm in ("lower", "upper"):
         v["minor_gases_" + atm] = _char_array(["o3"])
