@@ -50,25 +50,28 @@ def check(name, val, lo, hi):
         FAILURES.append(name)
 
 
-def run_case(case, overrides, workdir, precision):
-    """Patch the ini, generate input, init + run through the CLI."""
+def run_case(case, overrides, workdir, precision, ininame=None):
+    """Patch the ini, generate input, init + run through the CLI.
+    ``ininame``: the case's ini/input basename when it differs from the
+    directory name (e.g. SBL_DNN/SBL.ini)."""
+    name = ininame or case
     src = os.path.join(REPO, "cases", case)
     wd = os.path.join(workdir, case)
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd)
-    ini = open(os.path.join(src, "%s.ini" % case)).read()
+    ini = open(os.path.join(src, "%s.ini" % name)).read()
     for key, val in overrides.items():
-        ini, n = re.subn(r"(?m)^%s=\S+" % key, "%s=%s" % (key, val), ini)
+        ini, n = re.subn(r"(?m)^%s=\S*" % key, "%s=%s" % (key, val), ini)
         if n == 0:
             raise RuntimeError("%s: override %s not found in ini" % (case, key))
-    open(os.path.join(wd, "%s.ini" % case), "w").write(ini)
-    shutil.copy(os.path.join(src, "%s_input.py" % case), wd)
+    open(os.path.join(wd, "%s.ini" % name), "w").write(ini)
+    shutil.copy(os.path.join(src, "%s_input.py" % name), wd)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    subprocess.check_call([sys.executable, "%s_input.py" % case],
+    subprocess.check_call([sys.executable, "%s_input.py" % name],
                           cwd=wd, env=env)
     for mode in ("init", "run"):
-        cmd = [sys.executable, "-m", "microhh_tpu", mode, case,
+        cmd = [sys.executable, "-m", "microhh_tpu", mode, name,
                "--precision", precision]
         print("+ %s  (in %s)" % (" ".join(cmd), wd), flush=True)
         proc = subprocess.run(cmd, cwd=wd, env=env, text=True,
@@ -85,7 +88,7 @@ def run_case(case, overrides, workdir, precision):
                 FAILURES.append("%s/%s: %s" % (case, mode, line.strip()))
                 print("  FAIL (unused ini options): %s" % line.strip())
     from microhh_tpu.utils import nc
-    return nc.Dataset(os.path.join(wd, "%s.default.0000000.nc" % case), "r")
+    return nc.Dataset(os.path.join(wd, "%s.default.0000000.nc" % name), "r")
 
 
 def _prof(group, name, tavg=1):
@@ -229,8 +232,6 @@ def validate_rcemip(args):
     # signs/magnitudes (cloudy vs clear=True fluxes; reference analog:
     # radiation_rrtmgp.cxx cloud optics in exec_longwave/shortwave +
     # swclearskystats).
-    import numpy as np
-    import jax.numpy as jnp
     from microhh_tpu.config import Ini
     from microhh_tpu.model import Model
     m = Model(Ini(os.path.join(wd, "rcemip.ini")), "run", "rcemip",
@@ -322,7 +323,7 @@ def validate_sbl_dnn(args):
               "endtime": "%g" % endtime, "savetime": "%g" % endtime,
               "sampletime": "%g" % (endtime / 2),
               "dnnpath": pt_path, "swdnnrandom": "0"},
-             args.workdir, args.precision)
+             args.workdir, args.precision, ininame="SBL")
 
     # final state from the restart files (robust to stats whitelists)
     from microhh_tpu.config import Ini
