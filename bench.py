@@ -255,12 +255,9 @@ def main():
     elapsed = time.perf_counter() - T_START
     if (os.environ.get("BENCH_MOIST_TRUE", "1") == "1"
             and elapsed < budget):
-        mt_failed = {"384": "skipped: RESOURCE_EXHAUSTED measured on a "
-                            "16 GB chip (the 2i5 XLA advection's "
-                            "wide-stencil intermediates); set "
-                            "BENCH_MOIST_SIZE to retry"}
+        mt_failed = {}
         for msize in ([int(os.environ["BENCH_MOIST_SIZE"])]
-                      if "BENCH_MOIST_SIZE" in os.environ else [256]):
+                      if "BENCH_MOIST_SIZE" in os.environ else [384, 256]):
             mktot = int(os.environ.get("BENCH_MOIST_KTOT", str(msize)))
             try:
                 sec = _run_moist_size(msize, mktot, nsteps,

@@ -413,9 +413,11 @@ class Model:
                 aux["subdt"] = subdt
                 # additive tendency producers move BEFORE the kernels
                 if fused.no_advec:
-                    # 2i* advection is an XLA op; it is additive and does
-                    # not read t, so running it here keeps the fold exact
-                    t = self.advec.exec(ctx, s, t, aux)
+                    # 2i* advection is an additive producer that does not
+                    # read t, so running it here keeps the fold exact;
+                    # fused Pallas stencil when built, XLA op otherwise
+                    adv = fused.advec_pallas or self.advec
+                    t = adv.exec(ctx, s, t, aux)
                 cols = None
                 if col_fold:
                     from .ops.pallas_fused import generic_col_tables
@@ -529,7 +531,8 @@ class Model:
             if fused is not None and fused.generic:
                 from .ops.pallas_fused import fused_generic_tendencies
                 if fused.no_advec:
-                    t = self.advec.exec(ctx, s_cons, t, aux)
+                    adv = fused.advec_pallas or self.advec
+                    t = adv.exec(ctx, s_cons, t, aux)
                 t = fused_generic_tendencies(fused, ctx, s, t, aux, sfc)
             elif fused is not None:
                 t = fused_tendencies(fused, ctx, s, t, aux, sfc)
@@ -693,12 +696,23 @@ class Model:
                 and type(self.diff) is DiffSmag2):
             return None
         if isinstance(self.advec, AdvecInterp):
-            # 2i* interpolated schemes: advection stays an XLA op (an
-            # additive tendency producer before the kernels); diffusion,
-            # the folds and the RK update run on the generic fused path.
+            # 2i* interpolated schemes: advection is an additive tendency
+            # producer before the kernels; diffusion, the folds and the RK
+            # update run on the generic fused path.  When the config
+            # allows, the producer itself is the fused Pallas stencil
+            # (advec_interp_pallas) instead of the XLA op pipeline.
             fused = self._maybe_build_fused_generic(ctx)
             if fused is not None:
                 fused.no_advec = True
+                plane = (ctx.jtot * ctx.itot
+                         * np.dtype(self.dtype).itemsize)
+                if (fused.sharded_mesh is None and plane * 56 <= 90 << 20
+                        and os.environ.get("MICROHH_ADVEC_PALLAS",
+                                           "1") == "1"):
+                    from .ops.advec_interp_pallas import AdvecInterpPallas
+                    fused.advec_pallas = AdvecInterpPallas(
+                        self.advec, ctx, self.dtype,
+                        interpret=fused.interpret)
             return fused
         if type(self.advec) is not Advec2:
             return None

@@ -1248,8 +1248,10 @@ class FusedLES2:
 
     sharded_mesh = None  # set by Model for the shard_map-wrapped variant
     generic = False      # per-field kernels + XLA thermo (any scalar list)
-    no_advec = False     # 2i*-scheme mode: advection is an upstream XLA
-                         # op; the kernels carry diffusion + folds only
+    no_advec = False     # 2i*-scheme mode: advection is an upstream
+                         # additive op; kernels carry diffusion+folds only
+    advec_pallas = None  # fused 2i* advection producer
+                         # (advec_interp_pallas.AdvecInterpPallas)
     n2_scalar = None     # generic-mode in-kernel N2: the scalar whose
                          # vertical gradient gives N2 with C_THREFH as
                          # the reference profile (moist/vapor thl; saves

@@ -313,21 +313,21 @@ class Pres2:
         self._dft_np.update(build_j4_tables(jtot, dt_))
         if j4_splittable(jtot):
             self._eig_np["eigbm_y4"] = bmji[j4_mode_perm(jtot)].astype(dt_)
-        # ---- fused radix-4 Pallas transform tables (see ops/pallas_dft) —
+        # ---- fused radix-4/radix-3 Pallas transform tables (ops/pallas_dft) —
         # permuted mode order on BOTH axes; the wavenumber table absorbs it.
         # bmat* from the closed form (valid at any f; symmetric about N/2).
         from .pallas_dft import (build_pallas_dft_tables, pallas_dft_ok,
-                                 pallas_mode_perm)
+                                 pallas_mode_perm_j, pallas_mode_perm_x)
         self._dft_np.update(build_pallas_dft_tables(itot, jtot, dt_))
         if pallas_dft_ok(itot, jtot):
             bmati_f = 2. * (np.cos(2. * np.pi * np.arange(itot) / itot)
                             - 1.) * dxidxi
             bmatj_f = 2. * (np.cos(2. * np.pi * np.arange(jtot) / jtot)
                             - 1.) * dyidyi
-            bm_pl = (bmatj_f[pallas_mode_perm(jtot, 4)][:, None]
-                     + bmati_f[pallas_mode_perm(itot, 3)][None, :])
+            bm_pl = (bmatj_f[pallas_mode_perm_j(jtot)][:, None]
+                     + bmati_f[pallas_mode_perm_x(itot)][None, :])
             # Thomas pivots for the permuted mode order (O(kmax) solve on
-            # the radix-4 spectra; the mean mode sits at (0,0) after the
+            # the radix-permuted spectra; the mean mode sits at (0,0) after the
             # permutation and gets the p_top=0 BC, so no dense patch)
             b_pl = (dz[:, None, None] ** 2 * rhoref[:, None, None]
                     * bm_pl[None] - (a + c)[:, None, None])
@@ -386,7 +386,7 @@ class Pres2:
 
     @staticmethod
     def _use_dft_pallas(dtype):
-        """Fused radix-4 Pallas transform kernels (ops/pallas_dft): the
+        """Fused radix-4/radix-3 Pallas transform kernels (ops/pallas_dft): the
         forward x+j transforms in ONE per-plane kernel and likewise the
         inverse — 4x-shorter MXU contractions with VMEM-local butterflies
         and twiddles, where the XLA-level splits/folds lost to layout
@@ -424,7 +424,7 @@ class Pres2:
         return xr.at[:, 0, 0].set(x0r), xi.at[:, 0, 0].set(x0i)
 
     def _tdma_pl(self, Yr, Yi, pp):
-        """Thomas solve on the radix-4 permuted spectra: one Pallas kernel
+        """Thomas solve on the radix-permuted spectra: one Pallas kernel
         over all permuted x-mode lanes (winv_pl encodes the per-mode pivots
         incl. the mean-mode top BC, so no dense patch).  O(kmax)
         elementwise work per mode at exact f32 vs the eigen path's
@@ -458,7 +458,7 @@ class Pres2:
 
     @staticmethod
     def _use_pl_tdma():
-        """Thomas solve instead of the eigen matmuls inside the radix-4
+        """Thomas solve instead of the eigen matmuls inside the radix
         pipeline (default on: measured 147 -> ~135 ms/step at 512^3, DIV
         unchanged).  MICROHH_PL_TDMA=0 restores the eigen matmuls."""
         return os.environ.get("MICROHH_PL_TDMA", "1") == "1"
@@ -493,7 +493,7 @@ class Pres2:
 
         The single-chip fast kernels run unchanged PER SHARD between the
         plan's all-to-all reshards: in the z-slab stage every device holds
-        full (jtot, itot) planes for kmax/n levels, so the radix-4 Pallas
+        full (jtot, itot) planes for kmax/n levels, so the radix Pallas
         DFT (or the dense MXU-DFT einsums) is shard-local inside a
         shard_map; in the mode-slab stage every device holds full-kmax
         columns for jtot/n rows of modes, so the Pallas Thomas pivot sweep

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from microhh_tpu.ops.pallas_dft import (build_pallas_dft_tables, dft2_fwd,
                                         dft2_inv, pallas_dft_ok,
-                                        pallas_mode_perm)
+                                        pallas_mode_perm_j,
+                                        pallas_mode_perm_x, pallas_radix)
 
 
 def _pp(itot, jtot):
@@ -24,23 +25,31 @@ def _pp(itot, jtot):
 
 def test_gate():
     assert pallas_dft_ok(512, 512) and pallas_dft_ok(1024, 512)
-    assert not pallas_dft_ok(384, 512) and not pallas_dft_ok(512, 256)
+    assert pallas_dft_ok(384, 512) and pallas_dft_ok(384, 384)
+    assert pallas_radix(384) == 3 and pallas_radix(768) == 3
+    assert pallas_radix(1536) == 4  # %512 wins: shorter contractions
+    assert not pallas_dft_ok(512, 256) and not pallas_dft_ok(640, 512)
 
 
-def test_fwd_matches_numpy_permuted():
-    itot = jtot = 512
+import pytest
+
+
+@pytest.mark.parametrize("itot,jtot", [(512, 512), (384, 384), (384, 512),
+                                       (512, 384)])
+def test_fwd_matches_numpy_permuted(itot, jtot):
     rng = np.random.default_rng(0)
     rhs = rng.standard_normal((2, jtot, itot))
     Yr, Yi = dft2_fwd(jnp.asarray(rhs), _pp(itot, jtot), None,
                       interpret=True)
     ref = np.fft.fft2(rhs, axes=(1, 2))
-    ref = ref[:, pallas_mode_perm(jtot, 4)][:, :, pallas_mode_perm(itot, 3)]
+    ref = ref[:, pallas_mode_perm_j(jtot)][:, :, pallas_mode_perm_x(itot)]
     np.testing.assert_allclose(np.asarray(Yr), ref.real, atol=1e-9)
     np.testing.assert_allclose(np.asarray(Yi), ref.imag, atol=1e-9)
 
 
-def test_roundtrip_identity():
-    itot = jtot = 512
+@pytest.mark.parametrize("itot,jtot", [(512, 512), (384, 384),
+                                       (512, 384)])
+def test_roundtrip_identity(itot, jtot):
     rng = np.random.default_rng(1)
     rhs = rng.standard_normal((2, jtot, itot))
     pp = _pp(itot, jtot)
@@ -49,7 +58,8 @@ def test_roundtrip_identity():
     np.testing.assert_allclose(np.asarray(out), rhs, atol=1e-11)
 
 
-def test_pres2_pallas_matches_direct():
+@pytest.mark.parametrize("itot,jtot", [(512, 512), (384, 384)])
+def test_pres2_pallas_matches_direct(itot, jtot):
     """Whole Poisson solve: Pallas radix kernels + permuted eigen tables
     vs the direct DFT path (same eigen solve, dense tables)."""
     from microhh_tpu.config import Ini
@@ -59,8 +69,8 @@ def test_pres2_pallas_matches_direct():
 
     ini = Ini("""
 [grid]
-itot=512
-jtot=512
+itot=%d
+jtot=%d
 ktot=8
 xsize=6.28
 ysize=3.14
@@ -79,7 +89,7 @@ stop=0
 endtime=1
 savetime=1
 dt=0.1
-""")
+""" % (itot, jtot))
     g = Grid(ini)
     dz = g.zsize / g.ktot
     g.set_z(np.linspace(0.5 * dz, g.zsize - 0.5 * dz, g.ktot))
