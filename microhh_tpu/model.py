@@ -704,15 +704,22 @@ class Model:
             fused = self._maybe_build_fused_generic(ctx)
             if fused is not None:
                 fused.no_advec = True
-                plane = (ctx.jtot * ctx.itot
-                         * np.dtype(self.dtype).itemsize)
-                if (fused.sharded_mesh is None and plane * 56 <= 90 << 20
+                mesh = fused.sharded_mesh
+                from .ops.advec_interp_pallas import ADV_HALO
+                jl = ctx.jtot // (mesh.shape.get("y", 1) if mesh else 1)
+                il = ctx.itot // (mesh.shape.get("x", 1) if mesh else 1)
+                if mesh is not None:
+                    jl, il = jl + 2 * ADV_HALO, il + 2 * ADV_HALO
+                plane = jl * il * np.dtype(self.dtype).itemsize
+                ok_shard = (mesh is None
+                            or min(jl, il) >= 4 * ADV_HALO)
+                if (plane * 56 <= 90 << 20 and ok_shard
                         and os.environ.get("MICROHH_ADVEC_PALLAS",
                                            "1") == "1"):
                     from .ops.advec_interp_pallas import AdvecInterpPallas
                     fused.advec_pallas = AdvecInterpPallas(
                         self.advec, ctx, self.dtype,
-                        interpret=fused.interpret)
+                        interpret=fused.interpret, mesh=mesh)
             return fused
         if type(self.advec) is not Advec2:
             return None

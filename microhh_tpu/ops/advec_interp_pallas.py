@@ -296,17 +296,34 @@ def _scalar_body(scheme, dxi, dyi, ns, cc_ref, *refs):
         outs[i][0] = t_in + ts
 
 
+ADV_HALO = 3  # deepest horizontal tap chain of the 2i* stencils
+
+
 class AdvecInterpPallas:
     """Pallas executor for an advec_interp scheme instance.
 
     ``exec`` matches AdvecInterp.exec's contract (adds interior tendencies
-    into t); fluxlimited scalars stay on the XLA Koren path.
+    into t); fluxlimited scalars stay on the XLA Koren path.  Under a mesh
+    the kernels run per shard on ADV_HALO-padded planes (parallel/halo.py
+    ppermute exchange — wider than the fused-kernel HALO because the 6th-
+    order stencils tap i/j +/- 3); single-device they run on the full
+    planes with cyclic rolls.
     """
 
-    def __init__(self, advec, ctx, dtype, interpret=False):
+    def __init__(self, advec, ctx, dtype, interpret=False, mesh=None):
         self.advec = advec
         self.scheme = advec.scheme
-        self.ctx = ctx
+        self.mesh = mesh
+        if mesh is not None:
+            import copy
+            npy = mesh.shape.get("y", 1)
+            npx = mesh.shape.get("x", 1)
+            ctx_k = copy.copy(ctx)
+            ctx_k.jtot = ctx.jtot // npy + 2 * ADV_HALO
+            ctx_k.itot = ctx.itot // npx + 2 * ADV_HALO
+            self.ctx = ctx_k
+        else:
+            self.ctx = ctx
         self.interpret = interpret
         self.cc = jnp.asarray(build_interp_tables(self.scheme, ctx, dtype))
 
@@ -332,43 +349,45 @@ class AdvecInterpPallas:
                                 lambda k, o: (k + ks + o, 0, 0), o=off),
                             memory_space=pltpu.VMEM)
 
-    def exec(self, ctx, s, t, aux):
+    def _core(self, *arrays):
+        """Kernel pipeline on (possibly halo-padded) plane arrays:
+        (u, v, w, tu, tv, tw, s_1..s_n, ts_1..ts_n) -> (tu', tv', tw',
+        ts_1'..ts_n')."""
+        ctx = self.ctx
         kt = ctx.ke - ctx.ks
         dxi, dyi = float(ctx.dxi), float(ctx.dyi)
         cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        t = dict(t)
-
-        u, v, w = s["u"], s["v"], s["w"]
+        u, v, w, tu, tv, tw = arrays[:6]
+        ns_all = (len(arrays) - 6) // 2
+        svals = arrays[6:6 + ns_all]
+        tvals = arrays[6 + ns_all:]
         shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
         t_spec = self._spec_at(0)
+        cs, ws = self._specs("c"), self._specs("w")
 
         body = functools.partial(_mom_body, self.scheme, dxi, dyi)
-        cs, ws = self._specs("c"), self._specs("w")
         tu, tv, tw = _pallas_call(
             body, grid=(kt,),
             in_specs=[cc_spec] + cs + cs + ws + [t_spec] * 3,
             out_specs=[t_spec] * 3, out_shape=[shape] * 3,
             input_output_aliases={22: 0, 23: 1, 24: 2},
             interpret=self.interpret,
-        )(self.cc, *([u] * 7 + [v] * 7 + [w] * 7),
-          t["u"], t["v"], t["w"])
-        t["u"], t["v"], t["w"] = tu, tv, tw
+        )(self.cc, *([u] * 7 + [v] * 7 + [w] * 7), tu, tv, tw)
 
         # ---- scalars (chunked to bound VMEM) -----------------------------
-        names = [n for n in ctx.scalar_names
-                 if n not in self.advec.fluxlimit_list]
         plane = ctx.jtot * ctx.itot * u.dtype.itemsize
         per = max(1, int((45 * 1024 * 1024 // max(plane, 1) - 4) // 9))
-        for i0 in range(0, len(names), per):
-            grp = names[i0:i0 + per]
+        outs_s = []
+        for i0 in range(0, ns_all, per):
+            grp = list(range(i0, min(i0 + per, ns_all)))
             ns = len(grp)
             body = functools.partial(_scalar_body, self.scheme, dxi, dyi, ns)
             ins = [self.cc, u, v, w, w]
             in_specs = [cc_spec, self._spec_at(0), self._spec_at(0),
                         self._spec_at(0), self._spec_at(1)]
             aliases = {}
-            for j, n in enumerate(grp):
-                ins += [s[n]] * 7 + [t[n]]
+            for j, idx in enumerate(grp):
+                ins += [svals[idx]] * 7 + [tvals[idx]]
                 in_specs += cs + [t_spec]
                 aliases[12 + 8 * j] = j  # 5 fixed operands + 7 planes
             outs = _pallas_call(
@@ -377,10 +396,29 @@ class AdvecInterpPallas:
                 input_output_aliases=aliases,
                 interpret=self.interpret,
             )(*ins)
-            for n, o in zip(grp, outs):
-                t[n] = o
+            outs_s.extend(outs)
+        return (tu, tv, tw) + tuple(outs_s)
 
-        # Koren-limited scalars: XLA fallback (advec_monotonic.h)
+    def exec(self, ctx, s, t, aux):
+        t = dict(t)
+        u, v, w = s["u"], s["v"], s["w"]
+        names = [n for n in ctx.scalar_names
+                 if n not in self.advec.fluxlimit_list]
+        arrays = ([u, v, w, t["u"], t["v"], t["w"]]
+                  + [s[n] for n in names] + [t[n] for n in names])
+        if self.mesh is None:
+            outs = self._core(*arrays)
+        else:
+            from ..parallel.halo import sharded_planes_call
+            outs = sharded_planes_call(self.mesh, self._core,
+                                       3 + len(names), *arrays,
+                                       halo=ADV_HALO)
+        t["u"], t["v"], t["w"] = outs[0], outs[1], outs[2]
+        for n, o in zip(names, outs[3:]):
+            t[n] = o
+
+        # Koren-limited scalars: XLA fallback (advec_monotonic.h) on the
+        # global arrays (GSPMD lowers the rolls to collective permutes)
         from .advec_interp import _advec_s_lim
         ks, ke = ctx.ks, ctx.ke
         for n in ctx.scalar_names:

@@ -1,0 +1,381 @@
+"""Pallas-fused 4th-order advection + diffusion (advec_4 + diff_4).
+
+The 4th-order DNS stack previously ran as the unfused XLA op pipeline —
+every interpolation, flux and divergence a separate HBM array (reference
+accelerator analog: src/advec_4.cu, src/diff_4.cu).  These kernels compute
+the complete advec_4 + diff_4 tendency in ONE pass per field group, the
+same per-level-weight design as the 2i* family (advec_interp_pallas):
+
+* momentum kernel — tu, tv, tw from 7-plane windows of (u, v, w_cons, w):
+  advec_4 reads the conservation-ghost w (model.cxx:387-389), diff_4 the
+  plain-ghost w, so both ride along.  The vertical ladders (ci interior
+  rows, bi/ti sub-wall interpolation rows, cg/bg/tg gradient rows with
+  the dzhi4/dzi4 metric folded in — advec_4.cxx:168-420,
+  diff_4.cxx diff_c/diff_w) are 6-tap per-level weight rows read from
+  SMEM; taps whose plane offset would leave the 7-plane window are
+  provably zero-weight and statically skipped.
+* scalar kernel — all scalars in one pass (advec_s + diff_c), sharing
+  the advecting (u, v, w..w+2) planes.
+
+The kernels read the ghost-FILLED fields directly (4th order carries
+3 vertical ghost levels, so every reachable tap exists; no clamping).
+Horizontal stencils are cyclic in-plane rolls (periodic BC).  Tendencies
+accumulate in place via input_output_aliases.
+
+Parity: tests/test_o4_pallas.py pins 1e-12 f64 agreement with
+advec_4.py + diff_4.py (which are themselves oracle-pinned against the
+reference transliteration in tests/test_oracle_o4.py).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import fd
+from .pallas_fused import _pallas_call
+
+# cc columns: cell-family interp rows (6), cell-family gradient rows (6),
+# w-family interp rows (6), w-family gradient rows (6), constants.
+_TXA, _TG, _TWC, _TGW = 0, 6, 12, 18
+_DZI4, _DZHI4, _WMASK, _NC = 24, 25, 26, 27
+
+_CG = (fd.cg0, fd.cg1, fd.cg2, fd.cg3)
+
+
+def build_o4_tables(ctx, dtype):
+    """Per-level 6-tap weight rows.
+
+    Cell family (outputs at centers k): row r holds half level hk = r - 1
+    (r = 0..kt+2); taps d = -3..+2 on q[hk+d] (interior index).
+      - interp rows (_TXA): ci interior (advec_4.cxx phi_mid), bi at
+        hk = -1 (izh_bot), ti at hk = kt+1 (izh_top).
+      - gradient rows (_TG): cg * dzhi4 interior, bg/tg * dzhi4 at the
+        sub-/above-wall rows (diff_4.cxx diff_c).
+    w family (outputs at half levels k): row r holds center c = r - 1
+    (r = 0..kt+1); taps d = -2..+3 on w[c+d].
+      - interp rows (_TWC): ci interior, bi at c = -1, ti at c = kt
+        (advec_4.cxx:327-331,380-384 edge replacements).
+      - gradient rows (_TGW): cg * dzi4 interior, bg/tg * dzi4 at the
+        edge rows (diff_4.cxx diff_w).
+    """
+    ks, ke = ctx.ks, ctx.ke
+    kt = ke - ks
+    dzi4 = np.asarray(ctx.dzi4, dtype=np.float64)
+    dzhi4 = np.asarray(ctx.dzhi4, dtype=np.float64)
+    cc = np.zeros((kt + 3, _NC), dtype=np.float64)
+
+    ci = (fd.ci0, fd.ci1, fd.ci2, fd.ci3)
+    bi = (fd.bi0, fd.bi1, fd.bi2, fd.bi3)
+    ti = (fd.ti0, fd.ti1, fd.ti2, fd.ti3)
+    cg = (fd.cg0, fd.cg1, fd.cg2, fd.cg3)
+    bg = (fd.bg0, fd.bg1, fd.bg2, fd.bg3)
+    tg = (fd.tg0, fd.tg1, fd.tg2, fd.tg3)
+
+    # ---- cell family: taps d=-3..2 -> col d+3
+    for r in range(kt + 3):
+        hk = r - 1
+        if hk == -1:
+            w4, d0, scale = bi, -1, None
+            g4, gs = bg, dzhi4[ks - 1]
+        elif hk == kt + 1:
+            w4, d0 = ti, -3
+            g4, gs = tg, dzhi4[ke + 1]
+        else:
+            w4, d0 = ci, -2
+            g4, gs = cg, dzhi4[ks + hk]
+        for i in range(4):
+            cc[r, _TXA + (d0 + i) + 3] = w4[i]
+            cc[r, _TG + (d0 + i) + 3] = g4[i] * gs
+
+    # ---- w family: taps d=-2..3 -> col d+2
+    for r in range(kt + 2):
+        c = r - 1
+        if c == -1:
+            w4, d0 = bi, 0
+            g4, gs = bg, dzi4[ks - 1]
+        elif c == kt:
+            w4, d0 = ti, -2
+            g4, gs = tg, dzi4[ke]
+        else:
+            w4, d0 = ci, -1
+            g4, gs = cg, dzi4[ks + c]
+        for i in range(4):
+            cc[r, _TWC + (d0 + i) + 2] = w4[i]
+            cc[r, _TGW + (d0 + i) + 2] = g4[i] * gs
+
+    for k in range(kt):
+        cc[k, _DZI4] = dzi4[ks + k]
+        cc[k, _DZHI4] = dzhi4[ks + k]
+        cc[k, _WMASK] = 0. if k == 0 else 1.
+    return cc.astype(dtype)
+
+
+# ---- in-plane 4th-order stencils (cyclic rolls) ---------------------------
+
+def _r(a, n, axis):
+    return jnp.roll(a, n, axis=axis)
+
+
+def _ixh(a):
+    return (fd.ci0 * _r(a, 2, -1) + fd.ci1 * _r(a, 1, -1) + fd.ci2 * a
+            + fd.ci3 * _r(a, -1, -1))
+
+
+def _ixd(F):
+    return (fd.cg0 * _r(F, 1, -1) + fd.cg1 * F + fd.cg2 * _r(F, -1, -1)
+            + fd.cg3 * _r(F, -2, -1))
+
+
+def _jyh(a):
+    return (fd.ci0 * _r(a, 2, -2) + fd.ci1 * _r(a, 1, -2) + fd.ci2 * a
+            + fd.ci3 * _r(a, -1, -2))
+
+
+def _jyd(F):
+    return (fd.cg0 * _r(F, 1, -2) + fd.cg1 * F + fd.cg2 * _r(F, -1, -2)
+            + fd.cg3 * _r(F, -2, -2))
+
+
+def _lap_h(a, dxidxi, dyidyi, dim3):
+    out = (fd.cdg3 * (_r(a, 3, -1) + _r(a, -3, -1))
+           + fd.cdg2 * (_r(a, 2, -1) + _r(a, -2, -1))
+           + fd.cdg1 * (_r(a, 1, -1) + _r(a, -1, -1))
+           + fd.cdg0 * a) * dxidxi
+    if dim3:
+        out = out + (fd.cdg3 * (_r(a, 3, -2) + _r(a, -3, -2))
+                     + fd.cdg2 * (_r(a, 2, -2) + _r(a, -2, -2))
+                     + fd.cdg1 * (_r(a, 1, -2) + _r(a, -1, -2))
+                     + fd.cdg0 * a) * dyidyi
+    return out
+
+
+# ---- vertical ladder applications ----------------------------------------
+
+def _vd_cell(cc_ref, k, base, planes, vels):
+    """sum_e cg_e * V_e * X_e with X_e the 6-tap row at half k-1+e
+    (row index k+e); vels=None for the gradient (diffusion) form."""
+    acc = None
+    for e in range(4):
+        X = None
+        for d in range(-3, 3):
+            off = e - 1 + d
+            if off < -3 or off > 3:
+                continue  # provably zero-weight (see build_o4_tables)
+            term = cc_ref[k + e, base + d + 3] * planes[off + 3]
+            X = term if X is None else X + term
+        if vels is not None:
+            X = vels[e] * X
+        acc = _CG[e] * X if acc is None else acc + _CG[e] * X
+    return acc
+
+
+def _vd_w(cc_ref, k, base, planes, square):
+    """sum_e cg_e * Y_e with Y_e the 6-tap row at center k-2+e (row index
+    k-1+e, clamped at the wall where the output is masked anyway);
+    square=True squares the interpolant (momentum self-advection flux)."""
+    acc = None
+    for e in range(4):
+        row = jnp.maximum(k - 1 + e, 0)
+        X = None
+        for d in range(-2, 4):
+            off = e - 2 + d
+            if off < -3 or off > 3:
+                continue
+            term = cc_ref[row, base + d + 2] * planes[off + 3]
+            X = term if X is None else X + term
+        if square:
+            X = X * X
+        acc = _CG[e] * X if acc is None else acc + _CG[e] * X
+    return acc
+
+
+# ---- kernel bodies --------------------------------------------------------
+
+def _o4_mom_body(dxi, dyi, visc, dim3, cc_ref, *refs):
+    k = pl.program_id(0)
+    u = [r[0] for r in refs[0:7]]
+    v = [r[0] for r in refs[7:14]]
+    wc = [r[0] for r in refs[14:21]]    # conservation-ghost w (advec)
+    wd = [r[0] for r in refs[21:28]]    # plain-ghost w (diff)
+    tu_in, tv_in, tw_in = refs[28][0], refs[29][0], refs[30][0]
+    tu_o, tv_o, tw_o = refs[31], refs[32], refs[33]
+    u0, v0, w0c, w0d = u[3], v[3], wc[3], wd[3]
+    dxidxi, dyidyi = dxi * dxi, dyi * dyi
+    dzi4 = cc_ref[k, _DZI4]
+    dzhi4 = cc_ref[k, _DZHI4]
+
+    # ---- u ----
+    G = _ixh(u0)
+    tu = -_ixd(G * G) * dxi
+    if dim3:
+        tu = tu - _jyd(_ixh(v0) * _jyh(u0)) * dyi
+    vels = [_ixh(wc[2 + e]) for e in range(4)]   # w at half k-1+e, at xh
+    tu = tu - _vd_cell(cc_ref, k, _TXA, u, vels) * dzi4
+    tu = tu + visc * (_lap_h(u0, dxidxi, dyidyi, dim3)
+                      + _vd_cell(cc_ref, k, _TG, u, None) * dzi4)
+    tu_o[0] = tu_in + tu
+
+    # ---- v ---- (advected even in 2-D; only the vv y-flux is 3-D gated)
+    tv = -_ixd(_jyh(u0) * _ixh(v0)) * dxi
+    if dim3:
+        Gv = _jyh(v0)
+        tv = tv - _jyd(Gv * Gv) * dyi
+    vels = [_jyh(wc[2 + e]) for e in range(4)]
+    tv = tv - _vd_cell(cc_ref, k, _TXA, v, vels) * dzi4
+    tv = tv + visc * (_lap_h(v0, dxidxi, dyidyi, dim3)
+                      + _vd_cell(cc_ref, k, _TG, v, None) * dzi4)
+    tv_o[0] = tv_in + tv
+
+    # ---- w (half level k; k = 0 is the wall, masked) ----
+    uzh = fd.ci0 * u[1] + fd.ci1 * u[2] + fd.ci2 * u[3] + fd.ci3 * u[4]
+    tw = -_ixd(uzh * _ixh(w0c)) * dxi
+    if dim3:
+        vzh = fd.ci0 * v[1] + fd.ci1 * v[2] + fd.ci2 * v[3] + fd.ci3 * v[4]
+        tw = tw - _jyd(vzh * _jyh(w0c)) * dyi
+    tw = tw - _vd_w(cc_ref, k, _TWC, wc, square=True) * dzhi4
+    tw = tw + visc * (_lap_h(w0d, dxidxi, dyidyi, dim3)
+                      + _vd_w(cc_ref, k, _TGW, wd, square=False) * dzhi4)
+    tw_o[0] = tw_in + tw * cc_ref[k, _WMASK]
+
+
+def _o4_scalar_body(dxi, dyi, sviscs, dim3, ns, cc_ref, *refs):
+    k = pl.program_id(0)
+    u0, v0 = refs[0][0], refs[1][0]
+    wv = [r[0] for r in refs[2:6]]      # w at half k-1 .. k+2 (cons ghosts)
+    dxidxi, dyidyi = dxi * dxi, dyi * dyi
+    dzi4 = cc_ref[k, _DZI4]
+    outs = refs[6 + 8 * ns:]
+    for i in range(ns):
+        a = [r[0] for r in refs[6 + 8 * i:6 + 8 * i + 7]]
+        t_in = refs[6 + 8 * i + 7][0]
+        a0 = a[3]
+        ts = -_ixd(u0 * _ixh(a0)) * dxi
+        if dim3:
+            ts = ts - _jyd(v0 * _jyh(a0)) * dyi
+        ts = ts - _vd_cell(cc_ref, k, _TXA, a, wv) * dzi4
+        ts = ts + sviscs[i] * (_lap_h(a0, dxidxi, dyidyi, dim3)
+                               + _vd_cell(cc_ref, k, _TG, a, None) * dzi4)
+        outs[i][0] = t_in + ts
+
+
+class O4FusedPallas:
+    """Fused advec_4 + diff_4 tendency producer.
+
+    ``exec(ctx, s_cons, s, t, aux)`` adds both ops' interior tendencies
+    into t — the Pallas replacement for the XLA
+    ``advec.exec(s_cons) ; diff.exec(s)`` pair in the 4th-order substep.
+    Under a mesh the kernels run per shard on halo-padded planes (the
+    deepest horizontal tap chain is 3, like the 2i* family).
+    """
+
+    def __init__(self, advec, diff, ctx, dtype, interpret=False, mesh=None,
+                 jtot_global=None):
+        self.advec = advec
+        self.diff = diff
+        self.mesh = mesh
+        self.dim3 = (jtot_global if jtot_global is not None
+                     else ctx.jtot) > 1
+        if mesh is not None:
+            import copy
+            from .advec_interp_pallas import ADV_HALO
+            npy = mesh.shape.get("y", 1)
+            npx = mesh.shape.get("x", 1)
+            ctx_k = copy.copy(ctx)
+            ctx_k.jtot = ctx.jtot // npy + 2 * ADV_HALO
+            ctx_k.itot = ctx.itot // npx + 2 * ADV_HALO
+            self.ctx = ctx_k
+        else:
+            self.ctx = ctx
+        self.interpret = interpret
+        # 2-D runs gate v's y-flux AND v's diffusion off (Diff4.exec);
+        # the fused body only implements the 3-D form.
+        assert self.dim3, "O4FusedPallas requires a 3-D grid (jtot > 1)"
+        self.cc = jnp.asarray(build_o4_tables(ctx, dtype))
+
+    def _spec_at(self, off=0):
+        ctx = self.ctx
+        ks = ctx.ks
+        return pl.BlockSpec((1, ctx.jtot, ctx.itot),
+                            functools.partial(
+                                lambda k, o: (k + ks + o, 0, 0), o=off),
+                            memory_space=pltpu.VMEM)
+
+    def _specs7(self):
+        return [self._spec_at(o) for o in range(-3, 4)]
+
+    def _core(self, *arrays):
+        """(u, v, w_cons, w, tu, tv, tw, s_1..s_n, ts_1..ts_n) ->
+        (tu', tv', tw', ts_1'..ts_n')."""
+        ctx = self.ctx
+        kt = ctx.ke - ctx.ks
+        dxi, dyi = float(ctx.dxi), float(ctx.dyi)
+        cc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        u, v, wc, wd, tu, tv, tw = arrays[:7]
+        ns_all = (len(arrays) - 7) // 2
+        svals = arrays[7:7 + ns_all]
+        tvals = arrays[7 + ns_all:]
+        shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+        t_spec = self._spec_at(0)
+        s7 = self._specs7()
+
+        body = functools.partial(_o4_mom_body, dxi, dyi,
+                                 float(self.diff.visc), self.dim3)
+        tu, tv, tw = _pallas_call(
+            body, grid=(kt,),
+            in_specs=[cc_spec] + s7 * 4 + [t_spec] * 3,
+            out_specs=[t_spec] * 3, out_shape=[shape] * 3,
+            input_output_aliases={29: 0, 30: 1, 31: 2},
+            interpret=self.interpret,
+        )(self.cc, *([u] * 7 + [v] * 7 + [wc] * 7 + [wd] * 7), tu, tv, tw)
+
+        names = self._scalar_names
+        plane = ctx.jtot * ctx.itot * u.dtype.itemsize
+        per = max(1, int((45 * 1024 * 1024 // max(plane, 1) - 6) // 9))
+        outs_s = []
+        for i0 in range(0, ns_all, per):
+            grp = list(range(i0, min(i0 + per, ns_all)))
+            ns = len(grp)
+            sviscs = [float(self.diff.viscs[names[i]]) for i in grp]
+            body = functools.partial(_o4_scalar_body, dxi, dyi, sviscs,
+                                     self.dim3, ns)
+            ins = [self.cc, u, v] + [wc] * 4
+            in_specs = [cc_spec, self._spec_at(0), self._spec_at(0),
+                        self._spec_at(-1), self._spec_at(0),
+                        self._spec_at(1), self._spec_at(2)]
+            aliases = {}
+            for j, idx in enumerate(grp):
+                ins += [svals[idx]] * 7 + [tvals[idx]]
+                in_specs += s7 + [t_spec]
+                aliases[14 + 8 * j] = j  # 7 fixed operands + 7 planes
+            outs = _pallas_call(
+                body, grid=(kt,), in_specs=in_specs,
+                out_specs=[t_spec] * ns, out_shape=[shape] * ns,
+                input_output_aliases=aliases,
+                interpret=self.interpret,
+            )(*ins)
+            outs_s.extend(outs)
+        return (tu, tv, tw) + tuple(outs_s)
+
+    def exec(self, ctx, s_cons, s, t, aux):
+        t = dict(t)
+        names = list(ctx.scalar_names)
+        self._scalar_names = names
+        arrays = ([s["u"], s["v"], s_cons["w"], s["w"],
+                   t["u"], t["v"], t["w"]]
+                  + [s[n] for n in names] + [t[n] for n in names])
+        if self.mesh is None:
+            outs = self._core(*arrays)
+        else:
+            from ..parallel.halo import sharded_planes_call
+            from .advec_interp_pallas import ADV_HALO
+            outs = sharded_planes_call(self.mesh, self._core,
+                                       3 + len(names), *arrays,
+                                       halo=ADV_HALO)
+        t["u"], t["v"], t["w"] = outs[0], outs[1], outs[2]
+        for n, o in zip(names, outs[3:]):
+            t[n] = o
+        return t

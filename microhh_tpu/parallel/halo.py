@@ -30,12 +30,12 @@ def _axis_size(name):
         return jax.lax.psum(1, name)
 
 
-def _pad_axis(x, axis_name, dim):
-    """Append H columns from both periodic neighbors along array dim
+def _pad_axis(x, axis_name, dim, h=HALO):
+    """Append h columns from both periodic neighbors along array dim
     ``dim``, exchanged over mesh axis ``axis_name``."""
     n = _axis_size(axis_name)
-    lo = jax.lax.slice_in_dim(x, 0, HALO, axis=dim)
-    hi = jax.lax.slice_in_dim(x, x.shape[dim] - HALO, x.shape[dim], axis=dim)
+    lo = jax.lax.slice_in_dim(x, 0, h, axis=dim)
+    hi = jax.lax.slice_in_dim(x, x.shape[dim] - h, x.shape[dim], axis=dim)
     if n == 1:
         left, right = hi, lo
     else:
@@ -48,14 +48,14 @@ def _pad_axis(x, axis_name, dim):
     return jnp.concatenate([left, x, right], axis=dim)
 
 
-def halo_pad(x, ydim=-2, xdim=-1):
-    """(…, jl, il) shard -> (…, jl+2H, il+2H) with periodic halos."""
-    x = _pad_axis(x, "y", ydim % x.ndim)
-    x = _pad_axis(x, "x", xdim % x.ndim)
+def halo_pad(x, ydim=-2, xdim=-1, h=HALO):
+    """(…, jl, il) shard -> (…, jl+2h, il+2h) with periodic halos."""
+    x = _pad_axis(x, "y", ydim % x.ndim, h)
+    x = _pad_axis(x, "x", xdim % x.ndim, h)
     return x
 
 
-def sharded_planes_call(mesh, fn, n_out, *arrays, scalars=()):
+def sharded_planes_call(mesh, fn, n_out, *arrays, scalars=(), halo=HALO):
     """Run ``fn(*padded_arrays, *scalars) -> tuple`` per shard with
     halo-padded operands, trimming each output's margins.  arrays are
     (k, j, i) global fields sharded P(None, 'y', 'x'); outputs have the
@@ -67,11 +67,11 @@ def sharded_planes_call(mesh, fn, n_out, *arrays, scalars=()):
 
     def local(*xs):
         n = len(arrays)
-        padded = [halo_pad(x) for x in xs[:n]]
+        padded = [halo_pad(x, h=halo) for x in xs[:n]]
         outs = fn(*padded, *xs[n:])
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        return tuple(o[..., HALO:o.shape[-2] - HALO, HALO:o.shape[-1] - HALO]
+        return tuple(o[..., halo:o.shape[-2] - halo, halo:o.shape[-1] - halo]
                      for o in outs)
 
     in_specs = (spec,) * len(arrays) + (rep,) * len(scalars)

@@ -16,8 +16,8 @@ from microhh_tpu.ops.advec_interp_pallas import AdvecInterpPallas
 
 INI = """
 [grid]
-itot=8
-jtot=8
+itot=%(itot)d
+jtot=%(jtot)d
 ktot=%(ktot)d
 xsize=1.
 ysize=1.
@@ -55,9 +55,9 @@ dt=0.01
 """
 
 
-def _build(scheme, ktot, fluxlimit=""):
+def _build(scheme, ktot, fluxlimit="", itot=8, jtot=8):
     ini = Ini(INI % {"swadvec": scheme, "ktot": ktot,
-                     "fluxlimit": fluxlimit})
+                     "fluxlimit": fluxlimit, "itot": itot, "jtot": jtot})
     m = Model(ini, "run", "adv")
     m.finish_setup()
     ctx = m.ctx
@@ -130,3 +130,28 @@ def test_fluxlimit_fallback():
     for n in t:
         assert np.allclose(np.asarray(t_ref[n]), np.asarray(t_pal[n]),
                            rtol=0, atol=1e-12), n
+
+
+def test_sharded_parity():
+    """2x4-mesh shard_map run (ADV_HALO ppermute halo pad) matches the
+    single-device kernels to roundoff."""
+    from microhh_tpu.parallel import mesh as pmesh
+
+    m = _build("2i5", 8, itot=32, jtot=32)
+    ctx = m.ctx
+    rng = np.random.default_rng(11)
+    s, t = _rand_state(m, rng)
+
+    ap1 = AdvecInterpPallas(m.advec, ctx, np.float64, interpret=True)
+    t1 = ap1.exec(ctx, s, dict(t), {})
+
+    mesh = pmesh.make_mesh(2, 4)
+    ap2 = AdvecInterpPallas(m.advec, ctx, np.float64, interpret=True,
+                            mesh=mesh)
+    with mesh:
+        t2 = ap2.exec(ctx, s, dict(t), {})
+    for n in t1:
+        a, b = np.asarray(t1[n]), np.asarray(t2[n])
+        scale = max(np.abs(a).max(), 1.)
+        assert np.abs(a - b).max() / scale < 1e-13, (
+            n, np.abs(a - b).max() / scale)
