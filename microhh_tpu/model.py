@@ -256,6 +256,7 @@ class Model:
         # config when the (jtot, itot) plane set fits VMEM.
         fused = self._maybe_build_fused()
         self._fused = fused  # introspection (tests, perf tooling)
+        self._o4_fused = self._maybe_build_o4_fused()
 
         fold_ghosts = fused is not None and fused.fold_ghosts
 
@@ -536,6 +537,9 @@ class Model:
                 t = fused_generic_tendencies(fused, ctx, s, t, aux, sfc)
             elif fused is not None:
                 t = fused_tendencies(fused, ctx, s, t, aux, sfc)
+            elif self._o4_fused is not None:
+                # fused advec_4 + diff_4 producer (ops/o4_pallas)
+                t = self._o4_fused.exec(ctx, s_cons, s, t, aux)
             else:
                 t = self.advec.exec(ctx, s_cons, t, aux)
                 t = self.diff.exec(ctx, s, t, aux, sfc)
@@ -844,6 +848,52 @@ class Model:
                          interpret=interpret, tiled=True, tj=tj,
                          buffer=fold_buffer, force=fold_force,
                          fold_ghosts=fold_ghosts, top_grad_th=top_grad_th)
+
+    def _maybe_build_o4_fused(self):
+        """Fused advec_4 + diff_4 Pallas producer for the 4th-order stack
+        (ops/o4_pallas) — replaces the two XLA op pipelines in the plain
+        substep branch when the config matches."""
+        if os.environ.get("MICROHH_O4_FUSED", "1") != "1":
+            return None
+        if getattr(self, "force_fused", None) is False:
+            return None
+        ctx = self.ctx
+        from .ops.advec_4 import Advec4
+        from .ops.advec_4m import Advec4m
+        from .ops.diff_4 import Diff4
+        if type(self.advec) is Advec4:
+            scheme = "4"
+        elif type(self.advec) is Advec4m:
+            scheme = "4m"
+        else:
+            return None
+        if not (ctx.spatial_order == 4 and type(self.diff) is Diff4
+                and ctx.jtot > 1):
+            return None
+        if (np.dtype(self.dtype) == np.float64
+                and jax.default_backend() == "tpu"):
+            return None  # Mosaic f64 (see _maybe_build_fused)
+        interpret = jax.default_backend() != "tpu"
+        if interpret and not getattr(self, "force_fused", False):
+            return None
+        mesh = self.mesh
+        from .ops.advec_interp_pallas import ADV_HALO
+        npy = mesh.shape.get("y", 1) if mesh else 1
+        npx = mesh.shape.get("x", 1) if mesh else 1
+        if ctx.jtot % npy or ctx.itot % npx:
+            return None
+        jl, il = ctx.jtot // npy, ctx.itot // npx
+        if mesh is not None:
+            if min(jl, il) < 4 * ADV_HALO:
+                return None
+            jl, il = jl + 2 * ADV_HALO, il + 2 * ADV_HALO
+        plane = jl * il * np.dtype(self.dtype).itemsize
+        if plane * 70 > 90 << 20:
+            return None  # momentum kernel: ~35 plane blocks double-buffered
+        from .ops.o4_pallas import O4FusedPallas
+        return O4FusedPallas(self.advec, self.diff, ctx, self.dtype,
+                             interpret=interpret, mesh=mesh,
+                             jtot_global=ctx.jtot, scheme=scheme)
 
     def _maybe_build_fused_generic(self, ctx):
         """Fused kernels for any thermo (N2 computed in XLA) and any scalar

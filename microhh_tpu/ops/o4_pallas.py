@@ -79,7 +79,7 @@ def build_o4_tables(ctx, dtype):
     for r in range(kt + 3):
         hk = r - 1
         if hk == -1:
-            w4, d0, scale = bi, -1, None
+            w4, d0 = bi, -1
             g4, gs = bg, dzhi4[ks - 1]
         elif hk == kt + 1:
             w4, d0 = ti, -3
@@ -193,9 +193,62 @@ def _vd_w(cc_ref, k, base, planes, square):
     return acc
 
 
+# ---- 4m (kinetic-energy-conserving) advective forms ----------------------
+# reference src/advec_4m.cxx; XLA form ops/advec_4m.py
+
+def _grad4(a, b, c, d):
+    return -fd.cg0 * (d - a) - fd.cg1 * (c - b)
+
+
+def _flux4_x(velh, q):
+    a = _r(velh, 1, -1) * 0.5 * (_r(q, 3, -1) + q)
+    b = velh * 0.5 * (_r(q, 1, -1) + q)
+    c = _r(velh, -1, -1) * 0.5 * (q + _r(q, -1, -1))
+    d = _r(velh, -2, -1) * 0.5 * (q + _r(q, -3, -1))
+    return -_grad4(a, b, c, d)
+
+
+def _flux4_y(velh, q):
+    a = _r(velh, 1, -2) * 0.5 * (_r(q, 3, -2) + q)
+    b = velh * 0.5 * (_r(q, 1, -2) + q)
+    c = _r(velh, -1, -2) * 0.5 * (q + _r(q, -1, -2))
+    d = _r(velh, -2, -2) * 0.5 * (q + _r(q, -3, -2))
+    return -_grad4(a, b, c, d)
+
+
+def _vert4m_cell(k, kt, planes, wvels):
+    """-grad4 of the half-position fluxes for a cell target at k;
+    wall rows replace the outer flux by the mirrored negative flux
+    (advec_4m.cxx bottom/top; ops/advec_4m._vert_4m)."""
+    q0 = planes[3]
+    a = wvels[0] * 0.5 * (planes[0] + q0)
+    b = wvels[1] * 0.5 * (planes[2] + q0)
+    c = wvels[2] * 0.5 * (q0 + planes[4])
+    d = wvels[3] * 0.5 * (q0 + planes[6])
+    a = jnp.where(k == 0, -wvels[2] * 0.5 * (planes[2] + planes[5]), a)
+    d = jnp.where(k == kt - 1,
+                  -wvels[1] * 0.5 * (planes[1] + planes[4]), d)
+    return -_grad4(a, b, c, d)
+
+
+def _vert4m_w(planes):
+    """-grad4 of the center-located fluxes for the w equation at half k;
+    wc4[c] is the ci interpolation of w to center c (advec_4m.cxx:100-104
+    in ops/advec_4m.py)."""
+    def wc4(e):  # center c = k-2+e, taps offsets e-3..e
+        return (fd.ci0 * planes[e] + fd.ci1 * planes[e + 1]
+                + fd.ci2 * planes[e + 2] + fd.ci3 * planes[e + 3])
+    w0 = planes[3]
+    a = wc4(0) * 0.5 * (planes[0] + w0)
+    b = wc4(1) * 0.5 * (planes[2] + w0)
+    c = wc4(2) * 0.5 * (w0 + planes[4])
+    d = wc4(3) * 0.5 * (w0 + planes[6])
+    return -_grad4(a, b, c, d)
+
+
 # ---- kernel bodies --------------------------------------------------------
 
-def _o4_mom_body(dxi, dyi, visc, dim3, cc_ref, *refs):
+def _o4_mom_body(scheme, kt, dxi, dyi, visc, dim3, cc_ref, *refs):
     k = pl.program_id(0)
     u = [r[0] for r in refs[0:7]]
     v = [r[0] for r in refs[7:14]]
@@ -209,40 +262,60 @@ def _o4_mom_body(dxi, dyi, visc, dim3, cc_ref, *refs):
     dzhi4 = cc_ref[k, _DZHI4]
 
     # ---- u ----
-    G = _ixh(u0)
-    tu = -_ixd(G * G) * dxi
-    if dim3:
-        tu = tu - _jyd(_ixh(v0) * _jyh(u0)) * dyi
-    vels = [_ixh(wc[2 + e]) for e in range(4)]   # w at half k-1+e, at xh
-    tu = tu - _vd_cell(cc_ref, k, _TXA, u, vels) * dzi4
+    if scheme == "4":
+        G = _ixh(u0)
+        tu = -_ixd(G * G) * dxi
+        if dim3:
+            tu = tu - _jyd(_ixh(v0) * _jyh(u0)) * dyi
+        vels = [_ixh(wc[2 + e]) for e in range(4)]  # w at half k-1+e, xh
+        tu = tu - _vd_cell(cc_ref, k, _TXA, u, vels) * dzi4
+    else:  # 4m
+        tu = _flux4_x(_ixh(u0), u0) * dxi
+        if dim3:
+            tu = tu + _flux4_y(_ixh(v0), u0) * dyi
+        vels = [_ixh(wc[2 + e]) for e in range(4)]
+        tu = tu + _vert4m_cell(k, kt, u, vels) * dzi4
     tu = tu + visc * (_lap_h(u0, dxidxi, dyidyi, dim3)
                       + _vd_cell(cc_ref, k, _TG, u, None) * dzi4)
     tu_o[0] = tu_in + tu
 
     # ---- v ---- (advected even in 2-D; only the vv y-flux is 3-D gated)
-    tv = -_ixd(_jyh(u0) * _ixh(v0)) * dxi
-    if dim3:
-        Gv = _jyh(v0)
-        tv = tv - _jyd(Gv * Gv) * dyi
-    vels = [_jyh(wc[2 + e]) for e in range(4)]
-    tv = tv - _vd_cell(cc_ref, k, _TXA, v, vels) * dzi4
+    if scheme == "4":
+        tv = -_ixd(_jyh(u0) * _ixh(v0)) * dxi
+        if dim3:
+            Gv = _jyh(v0)
+            tv = tv - _jyd(Gv * Gv) * dyi
+        vels = [_jyh(wc[2 + e]) for e in range(4)]
+        tv = tv - _vd_cell(cc_ref, k, _TXA, v, vels) * dzi4
+    else:
+        tv = _flux4_x(_jyh(u0), v0) * dxi
+        if dim3:
+            tv = tv + _flux4_y(_jyh(v0), v0) * dyi
+        vels = [_jyh(wc[2 + e]) for e in range(4)]
+        tv = tv + _vert4m_cell(k, kt, v, vels) * dzi4
     tv = tv + visc * (_lap_h(v0, dxidxi, dyidyi, dim3)
                       + _vd_cell(cc_ref, k, _TG, v, None) * dzi4)
     tv_o[0] = tv_in + tv
 
     # ---- w (half level k; k = 0 is the wall, masked) ----
     uzh = fd.ci0 * u[1] + fd.ci1 * u[2] + fd.ci2 * u[3] + fd.ci3 * u[4]
-    tw = -_ixd(uzh * _ixh(w0c)) * dxi
-    if dim3:
-        vzh = fd.ci0 * v[1] + fd.ci1 * v[2] + fd.ci2 * v[3] + fd.ci3 * v[4]
-        tw = tw - _jyd(vzh * _jyh(w0c)) * dyi
-    tw = tw - _vd_w(cc_ref, k, _TWC, wc, square=True) * dzhi4
+    vzh = fd.ci0 * v[1] + fd.ci1 * v[2] + fd.ci2 * v[3] + fd.ci3 * v[4]
+    if scheme == "4":
+        tw = -_ixd(uzh * _ixh(w0c)) * dxi
+        if dim3:
+            tw = tw - _jyd(vzh * _jyh(w0c)) * dyi
+        tw = tw - _vd_w(cc_ref, k, _TWC, wc, square=True) * dzhi4
+    else:
+        tw = _flux4_x(uzh, w0c) * dxi
+        if dim3:
+            tw = tw + _flux4_y(vzh, w0c) * dyi
+        tw = tw + _vert4m_w(wc) * dzhi4
     tw = tw + visc * (_lap_h(w0d, dxidxi, dyidyi, dim3)
                       + _vd_w(cc_ref, k, _TGW, wd, square=False) * dzhi4)
     tw_o[0] = tw_in + tw * cc_ref[k, _WMASK]
 
 
-def _o4_scalar_body(dxi, dyi, sviscs, dim3, ns, cc_ref, *refs):
+def _o4_scalar_body(scheme, kt, dxi, dyi, sviscs, dim3, ns, cc_ref, *refs):
     k = pl.program_id(0)
     u0, v0 = refs[0][0], refs[1][0]
     wv = [r[0] for r in refs[2:6]]      # w at half k-1 .. k+2 (cons ghosts)
@@ -253,10 +326,16 @@ def _o4_scalar_body(dxi, dyi, sviscs, dim3, ns, cc_ref, *refs):
         a = [r[0] for r in refs[6 + 8 * i:6 + 8 * i + 7]]
         t_in = refs[6 + 8 * i + 7][0]
         a0 = a[3]
-        ts = -_ixd(u0 * _ixh(a0)) * dxi
-        if dim3:
-            ts = ts - _jyd(v0 * _jyh(a0)) * dyi
-        ts = ts - _vd_cell(cc_ref, k, _TXA, a, wv) * dzi4
+        if scheme == "4":
+            ts = -_ixd(u0 * _ixh(a0)) * dxi
+            if dim3:
+                ts = ts - _jyd(v0 * _jyh(a0)) * dyi
+            ts = ts - _vd_cell(cc_ref, k, _TXA, a, wv) * dzi4
+        else:  # 4m
+            ts = _flux4_x(u0, a0) * dxi
+            if dim3:
+                ts = ts + _flux4_y(v0, a0) * dyi
+            ts = ts + _vert4m_cell(k, kt, a, wv) * dzi4
         ts = ts + sviscs[i] * (_lap_h(a0, dxidxi, dyidyi, dim3)
                                + _vd_cell(cc_ref, k, _TG, a, None) * dzi4)
         outs[i][0] = t_in + ts
@@ -273,9 +352,10 @@ class O4FusedPallas:
     """
 
     def __init__(self, advec, diff, ctx, dtype, interpret=False, mesh=None,
-                 jtot_global=None):
+                 jtot_global=None, scheme="4"):
         self.advec = advec
         self.diff = diff
+        self.scheme = scheme
         self.mesh = mesh
         self.dim3 = (jtot_global if jtot_global is not None
                      else ctx.jtot) > 1
@@ -322,7 +402,7 @@ class O4FusedPallas:
         t_spec = self._spec_at(0)
         s7 = self._specs7()
 
-        body = functools.partial(_o4_mom_body, dxi, dyi,
+        body = functools.partial(_o4_mom_body, self.scheme, kt, dxi, dyi,
                                  float(self.diff.visc), self.dim3)
         tu, tv, tw = _pallas_call(
             body, grid=(kt,),
@@ -340,8 +420,8 @@ class O4FusedPallas:
             grp = list(range(i0, min(i0 + per, ns_all)))
             ns = len(grp)
             sviscs = [float(self.diff.viscs[names[i]]) for i in grp]
-            body = functools.partial(_o4_scalar_body, dxi, dyi, sviscs,
-                                     self.dim3, ns)
+            body = functools.partial(_o4_scalar_body, self.scheme, kt,
+                                     dxi, dyi, sviscs, self.dim3, ns)
             ins = [self.cc, u, v] + [wc] * 4
             in_specs = [cc_spec, self._spec_at(0), self._spec_at(0),
                         self._spec_at(-1), self._spec_at(0),
