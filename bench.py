@@ -303,6 +303,28 @@ def main():
             out["o4_weakscaling"] = {"error": "%s: %s" % (
                 type(e).__name__, str(e)[:200])}
             gc.collect()
+
+    # 4th-order channel DNS (moser180 case verbatim: advec_4m + diff_4 +
+    # pres_4 on the stretched channel grid) — the production-shaped o4
+    # metric complementing the tall-thin weakscaling unit
+    elapsed = time.perf_counter() - T_START
+    if (os.environ.get("BENCH_O4_CHANNEL", "1") == "1" and elapsed < budget):
+        try:
+            sec = _time_case("moser180", "cases/moser180", [],
+                             ("swstats", "swcross", "swdump", "swcolumn",
+                              "swbudget"), nsteps, dt_val=0.2)
+            pts = 256 * 192 * 128
+            out["o4_channel"] = {
+                "metric": "moser180 256x192x128 4th-order (4m) channel "
+                          "DNS per RK3 step (1 chip)",
+                "value": sec, "unit": "s/step",
+                "updates_per_s": pts / sec,
+                "vs_baseline": pts / sec / baseline_agg,
+            }
+        except Exception as e:
+            out["o4_channel"] = {"error": "%s: %s" % (
+                type(e).__name__, str(e)[:200])}
+            gc.collect()
     print(json.dumps(out))
 
 

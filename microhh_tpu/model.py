@@ -50,13 +50,23 @@ class Context:
         self.rhoref = jnp.asarray(fields.rhoref, dtype=dtype)
         self.rhorefh = jnp.asarray(fields.rhorefh, dtype=dtype)
         self.scalar_names = tuple(fields.sp.keys())
-        # numpy copies for host-side math
+        # numpy copies for host-side math (kernel weight-table builders
+        # MUST read these: np.asarray(<device array>, dtype=...) compiles
+        # a cast on the device — minutes through a tunneled chip)
         self.np_dz = grid.dz
         self.np_z = grid.z
+        for name in ("dzi", "dzhi", "dzi4", "dzhi4"):
+            v = getattr(g, name, None)
+            setattr(self, "np_" + name,
+                    None if v is None else np.asarray(v, dtype=np.float64))
+        self.np_rhoref = np.asarray(fields.rhoref, dtype=np.float64)
+        self.np_rhorefh = np.asarray(fields.rhorefh, dtype=np.float64)
 
     def refresh_basestate(self, fields):
         self.rhoref = jnp.asarray(fields.rhoref, dtype=self.dtype)
         self.rhorefh = jnp.asarray(fields.rhorefh, dtype=self.dtype)
+        self.np_rhoref = np.asarray(fields.rhoref, dtype=np.float64)
+        self.np_rhorefh = np.asarray(fields.rhorefh, dtype=np.float64)
 
 
 class Model:

@@ -52,6 +52,16 @@ def _roll(a, n, axis):
     return jnp.roll(a, n, axis=axis)
 
 
+def _np_col(ctx, name):
+    """Host copy of a per-level profile.  NEVER np.asarray(<device
+    array>, dtype=...) here: the dtype cast compiles on the device,
+    which costs minutes through a tunneled chip."""
+    v = getattr(ctx, "np_" + name, None)
+    if v is None:
+        v = np.asarray(getattr(ctx, name))
+    return np.asarray(v, dtype=np.float64)
+
+
 def build_interp_tables(scheme, ctx, dtype):
     """Per-level ladder weight tables, density-prescaled.
 
@@ -157,10 +167,10 @@ def build_interp_tables(scheme, ctx, dtype):
                 setc(WXc, c, i6c)
                 setc(WUc, c, i5c)
 
-    rho = np.asarray(ctx.rhoref, dtype=np.float64)
-    rhoh = np.asarray(ctx.rhorefh, dtype=np.float64)
-    dzi = np.asarray(ctx.dzi, dtype=np.float64)
-    dzhi = np.asarray(ctx.dzhi, dtype=np.float64)
+    rho = _np_col(ctx, "rhoref")
+    rhoh = _np_col(ctx, "rhorefh")
+    dzi = _np_col(ctx, "dzi")
+    dzhi = _np_col(ctx, "dzhi")
 
     for m in range(kt + 1):
         WXf[m] *= rhoh[ks + m]

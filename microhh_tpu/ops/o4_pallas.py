@@ -64,8 +64,9 @@ def build_o4_tables(ctx, dtype):
     """
     ks, ke = ctx.ks, ctx.ke
     kt = ke - ks
-    dzi4 = np.asarray(ctx.dzi4, dtype=np.float64)
-    dzhi4 = np.asarray(ctx.dzhi4, dtype=np.float64)
+    from .advec_interp_pallas import _np_col
+    dzi4 = _np_col(ctx, "dzi4")
+    dzhi4 = _np_col(ctx, "dzhi4")
     cc = np.zeros((kt + 3, _NC), dtype=np.float64)
 
     ci = (fd.ci0, fd.ci1, fd.ci2, fd.ci3)

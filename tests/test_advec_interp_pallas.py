@@ -66,6 +66,8 @@ def _build(scheme, ktot, fluxlimit="", itot=8, jtot=8):
     z = np.linspace(0., 1., kc)
     ctx.rhoref = jnp.asarray(1.2 - 0.5 * z)
     ctx.rhorefh = jnp.asarray(1.25 - 0.45 * z)
+    ctx.np_rhoref = np.asarray(ctx.rhoref)    # table builders read np_*
+    ctx.np_rhorefh = np.asarray(ctx.rhorefh)
     return m
 
 
