@@ -135,3 +135,36 @@ def test_step_integration():
         scale = max(np.abs(ref[n]).max(), 1.)
         err = np.abs(ref[n] - fus[n]).max() / scale
         assert err < 1e-12, (n, err)
+
+
+def test_sharded_parity():
+    """2x4-mesh shard_map run (ADV_HALO ppermute halo pad) matches the
+    single-device o4 kernels to roundoff."""
+    from microhh_tpu.parallel import mesh as pmesh
+    from microhh_tpu.ops.o4_pallas import O4FusedPallas
+
+    ini_txt = (INI % {"ktot": 8, "swadvec": "4"}
+               ).replace("itot=16", "itot=32").replace("jtot=16",
+                                                       "jtot=32")
+    m2 = Model(Ini(ini_txt), "run", "o4sh")
+    m2.force_fused = True
+    m2.finish_setup()
+    ctx = m2.ctx
+    rng = np.random.default_rng(5)
+    s, t = _rand_state(m2, rng)
+    s_cons = dict(s)
+    s_cons["w"] = jnp.asarray(rng.standard_normal(np.asarray(s["w"]).shape))
+
+    o1 = O4FusedPallas(m2.advec, m2.diff, ctx, np.float64, interpret=True)
+    t1 = o1.exec(ctx, s_cons, s, dict(t), {})
+
+    mesh = pmesh.make_mesh(2, 4)
+    o2 = O4FusedPallas(m2.advec, m2.diff, ctx, np.float64, interpret=True,
+                       mesh=mesh, jtot_global=ctx.jtot)
+    with mesh:
+        t2 = o2.exec(ctx, s_cons, s, dict(t), {})
+    for n in t1:
+        a, b = np.asarray(t1[n]), np.asarray(t2[n])
+        scale = max(np.abs(a).max(), 1.)
+        assert np.abs(a - b).max() / scale < 1e-13, (
+            n, np.abs(a - b).max() / scale)
